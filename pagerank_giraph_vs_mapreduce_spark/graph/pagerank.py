@@ -1,0 +1,184 @@
+"""PageRank kernel: cached-DataFrame superstep loop (reference I1-I5, C1-C5,
+A1, A4-A6, J1-J2).
+
+Semantics (both reference engines agree on these, SURVEY.md §2.8/§4.3):
+- uniform init pr = 1/N (MR/PageRankDriver.java:394-437 "align with NetworkX";
+  GI/PageRankVertex.java:21-27)
+- update: new = (1-d)/N + d*(dangling_sum/N + Σ contrib)
+  (MR/PageRankReducer.java:100-115; GI/PageRankVertex.java:40-43)
+- contribution = pr/outdeg scattered along each deduped out-edge
+  (MR/PageRankMapper.java:83-95; GI/PageRankVertex.java:56-58)
+- dangling mass redistributed uniformly; the reference applies iteration i's
+  mass in iteration i+1 via counter/aggregator lag — we compute it from the
+  *current* ranks inside each iteration, which is mathematically identical
+  (SURVEY.md §4.3 note 2) without the lag plumbing.
+- stop when avg |Δpr| = Σ|Δ|/N <= tol AND iter >= min_iter, or at max_iter
+  (MR/PageRankDriver.java:207-216; GI/PageRankMasterCompute.java:105-117).
+- numeric: full doubles throughout (Giraph semantics); we do NOT reproduce
+  the MR side's %.10f truncation at iteration boundaries (C4) — the two
+  reference engines already disagree at ~1e-10 because of it.
+
+Execution shape (the whole point of the Spark design):
+- graph structure (``links``) is shuffled ONCE at build, partitioned by src,
+  and cached; each superstep re-shuffles only the V-row ranks table.
+- per-superstep driver work is two actions: the scatter+gather+update plan,
+  and one global aggregate returning (Σ|Δ|, dangling mass, Σpr) in a single
+  pass — replacing the reference's three fixed-point Hadoop counters
+  (MR/PageRankDriver.java:195-216) and Giraph DoubleSumAggregators.
+- eager ``localCheckpoint`` EVERY superstep truncates lineage (the Spark
+  analog of the reference's iteration-dir GC, MR/PageRankDriver.java:177-185).
+  This is load-bearing: each superstep references the previous ranks twice
+  (scatter join + update join), so without truncation the logical plan —
+  and Catalyst's analysis time — doubles per iteration (measured: 1.7s →
+  15s/iter by iteration 5 on a 4-vertex graph). The checkpoint materializes
+  the new ranks, which we need anyway for the stats aggregate; superseded
+  checkpoint RDDs are unpersisted by Spark's ContextCleaner once the driver
+  drops its reference.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from pagerank_giraph_vs_mapreduce_spark.graph.builder import GraphTables, build_graph
+
+
+@dataclass
+class IterationStats:
+    iteration: int
+    avg_diff: float
+    dangling_sum: float
+    total_pr: float
+    seconds: float
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id BIGINT, pr DOUBLE)
+    n_vertices: int
+    iterations: int
+    converged: bool
+    history: list[IterationStats] = field(default_factory=list)
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    min_iter: int = 5,
+    graph: GraphTables | None = None,
+) -> PageRankResult:
+    """Run PageRank over edges(src, dst); returns ranks + convergence history.
+
+    Arg contract mirrors the reference CLI ``<in> <out> [maxIter] [damping]
+    [threshold] [minIter]`` (MR/PageRankDriver.java:64-71; experiments use
+    maxIter=100, threshold=1e-8, README.md:125-128).
+    """
+    own_graph = graph is None
+    g = graph or build_graph(edges)
+    n = g.n_vertices
+    if n == 0:
+        empty = edges.sparkSession.createDataFrame([], "id bigint, pr double")
+        return PageRankResult(empty, 0, 0, True, [])
+
+    base = (1.0 - damping) / n
+
+    # ranks carries a static `dangling` flag so the per-iteration global
+    # aggregate gets Σ|Δ|, dangling mass and Σpr in ONE pass (A4+A5+A6).
+    out_src = g.links.select("src").distinct()
+    ranks = (
+        g.vertices.join(out_src, g.vertices.id == out_src.src, "left")
+        .select(
+            "id",
+            F.lit(1.0 / n).alias("pr"),
+            F.col("src").isNull().alias("dangling"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    first = ranks.agg(
+        F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum")
+    ).first()
+    dangling_sum = float(first["dsum"] or 0.0)
+
+    history: list[IterationStats] = []
+    converged = False
+    iterations = 0
+
+    for i in range(max_iter):
+        t0 = time.monotonic()
+        # J1/C2 scatter + A1 gather: links is cached pre-partitioned by src,
+        # so only the V-row ranks side shuffles here.
+        msgs = (
+            g.links.join(
+                ranks.select(F.col("id").alias("src"), "pr"), "src"
+            )
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        # C1 update with same-iteration dangling redistribution.
+        new = (
+            ranks.select("id", "dangling", F.col("pr").alias("pr_old"))
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                "dangling",
+                "pr_old",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_sum / n))
+                ).alias("pr"),
+            )
+        )
+        # Truncate lineage + materialize in one shot (see module docstring).
+        new = new.localCheckpoint(eager=True)
+
+        stats = new.agg(
+            F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("diff"),
+            F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum"),
+            F.sum("pr").alias("total"),
+        ).first()
+
+        ranks.unpersist()
+        ranks = new.select("id", "pr", "dangling")
+        dangling_sum = float(stats["dsum"] or 0.0)
+        avg_diff = float(stats["diff"] or 0.0) / n
+        iterations = i + 1
+        history.append(
+            IterationStats(
+                iteration=iterations,
+                avg_diff=avg_diff,
+                dangling_sum=dangling_sum,
+                total_pr=float(stats["total"] or 0.0),
+                seconds=time.monotonic() - t0,
+            )
+        )
+        if iterations >= min_iter and avg_diff <= tol:
+            converged = True
+            break
+
+    result = ranks.select("id", "pr")
+    if own_graph:
+        g.unpersist()
+    return PageRankResult(result, n, iterations, converged, history)
+
+
+def top_k(ranks: DataFrame, k: int = 50) -> DataFrame:
+    """T1: top-K vertices by PR (reference K=50, MR/PageRankDriver.java:352-384).
+
+    ``orderBy(desc).limit(k)`` compiles to TakeOrderedAndProject — the
+    distributed version of the reference's driver-side bounded min-heap.
+    Ties broken by id for determinism (the reference heap's tie order is
+    arrival order, i.e. unspecified).
+    """
+    return ranks.orderBy(F.desc("pr"), F.asc("id")).limit(k)

@@ -1,0 +1,51 @@
+"""CLI entry point with the reference driver's argument contract:
+
+    python -m pagerank_giraph_vs_mapreduce_spark.run \
+        <input> <output> [maxIter] [damping] [threshold] [minIter]
+
+(MR/PageRankDriver.java:64-71 and run_pagerank.sh.) Input is a SNAP-format
+edge-list text file; output dir receives final_scores/ (id\tpr TSV),
+pagerankTop_50.txt equivalent (top_50/), and _timings.csv.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+from pagerank_giraph_vs_mapreduce_spark.session import get_spark
+from pagerank_giraph_vs_mapreduce_spark.sources.edgelist import read_edgelist
+from pagerank_giraph_vs_mapreduce_spark.sources.sinks import (
+    write_final_scores,
+    write_timings_csv,
+    write_top_k,
+)
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    inp, out = argv[0], argv[1]
+    max_iter = int(argv[2]) if len(argv) > 2 else 10
+    damping = float(argv[3]) if len(argv) > 3 else 0.85
+    threshold = float(argv[4]) if len(argv) > 4 else 1e-6
+    min_iter = int(argv[5]) if len(argv) > 5 else 5
+
+    spark = get_spark()
+    edges = read_edgelist(spark, inp)
+    result = pagerank(
+        edges, damping=damping, max_iter=max_iter, tol=threshold, min_iter=min_iter
+    )
+    write_final_scores(result.ranks, f"{out}/final_scores", coalesce=1)
+    write_top_k(result.ranks, f"{out}/top_50", k=50)
+    write_timings_csv(result, f"{out}/_timings.csv")
+    print(
+        f"pagerank: N={result.n_vertices} iterations={result.iterations} "
+        f"converged={result.converged}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the test/bench harness (local[$SPARK_GRAFT_CPUS]);
+the same config block is what we would ship as cluster defaults: AQE on
+(skew-join splitting directly addresses the hub-vertex hot-key pathology the
+reference documents at README.md:417-418), Arrow on for the pandas-UDF path,
+UTC session timezone so event-time queries are oracle-stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pagerank-giraph-vs-mapreduce-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
