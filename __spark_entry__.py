@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the PageRank kernel — the
+reference's entire raison d'être — over the derived edges graph at
+sf0.001). ``queries()``/``oracle_sql()`` expose the declared operator
+surface registered in pagerank_giraph_vs_mapreduce_spark/plans/.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    load_all_queries,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full PageRank (converged, d=0.85) on the sf0.001 graph,
+    returning the top-50 vertices — the reference's headline artifact
+    (pagerankTop_50.txt, MR/PageRankDriver.java:352-384)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank, top_k
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import derived_edges
+
+    edges = derived_edges(spark, "/root/testdata/sf0.001")
+    result = pagerank(edges, damping=0.85, max_iter=30, tol=1e-8, min_iter=5)
+    return top_k(result.ranks, 50).select("id", F.round("pr", 9).alias("pr"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    load_all_queries()
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    load_all_queries()
+    return dict(ORACLES)

@@ -1,0 +1,207 @@
+"""Declared graph queries (SURVEY.md §2.1-2.8 operator surface) with DuckDB
+oracles over the derived ``edges`` graph (sources/tables.py).
+
+The fixed-k PageRank oracle is the reference's full semantics unrolled into
+ANSI SQL CTEs (uniform init C3, dedup A2, scatter J1/C2, gather A1,
+dangling A4/I3, update C1) — giving even the iterative kernel a SQL oracle
+(SURVEY.md §5.2 item 5).
+
+Float-determinism notes: per-row double arithmetic is bit-identical across
+engines; grouped double sums are order-dependent, so gather sums go through
+exact per-row DECIMAL casts and PageRank values are rounded to 9 decimals
+(error from summation order is ~1e-18, far below the rounding grain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
+from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import EDGES_SQL, derived_edges
+
+# Shared CTE prelude: dedup edges (A2), vertex universe (J3/U1), out-degrees.
+GRAPH_CTES = f"""WITH raw AS ({EDGES_SQL}),
+edges AS (SELECT DISTINCT src, dst FROM raw),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+deg AS (SELECT src AS id, count(*) AS outdeg FROM edges GROUP BY src)"""
+
+
+def _graph_parts(spark: SparkSession, sf_dir: str):
+    raw = derived_edges(spark, sf_dir)
+    edges = raw.select("src", "dst").distinct()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("outdeg"))
+    return raw, edges, verts, deg
+
+
+@query(
+    "g_vertex_universe",
+    oracle=f"{GRAPH_CTES} SELECT id FROM verts",
+)
+def g_vertex_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/U1: every id appearing as src or dst (the reference's "!" trick)."""
+    _, _, verts, _ = _graph_parts(spark, sf_dir)
+    return verts
+
+
+@query(
+    "g_graph_counts",
+    oracle=f"""{GRAPH_CTES}
+SELECT (SELECT count(*) FROM verts) AS n_vertices,
+       (SELECT count(*) FROM edges) AS n_edges_dedup,
+       (SELECT count(*) FROM raw) AS n_edges_raw,
+       (SELECT count(*) FROM edges WHERE src = dst) AS n_self_loops""",
+)
+def g_graph_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 vertex count + A2 dedup accounting in one scan-shaped summary."""
+    raw, edges, verts, _ = _graph_parts(spark, sf_dir)
+    return (
+        verts.agg(F.count(F.lit(1)).alias("n_vertices"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges_dedup")))
+        .crossJoin(raw.agg(F.count(F.lit(1)).alias("n_edges_raw")))
+        .crossJoin(
+            edges.filter(F.col("src") == F.col("dst")).agg(
+                F.count(F.lit(1)).alias("n_self_loops")
+            )
+        )
+    )
+
+
+@query(
+    "g_out_degree",
+    oracle=f"""{GRAPH_CTES}
+SELECT v.id, coalesce(d.outdeg, 0) AS outdeg
+FROM verts v LEFT JOIN deg d ON v.id = d.id""",
+)
+def g_out_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree per vertex over deduped edges (0 for dangling)."""
+    _, _, verts, deg = _graph_parts(spark, sf_dir)
+    return verts.join(deg, "id", "left").select(
+        "id", F.coalesce(F.col("outdeg"), F.lit(0)).cast("bigint").alias("outdeg")
+    )
+
+
+@query(
+    "g_dangling",
+    oracle=f"""{GRAPH_CTES}
+SELECT id FROM verts WHERE id NOT IN (SELECT id FROM deg)""",
+)
+def g_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: vertices with no out-edges (left-anti join against degree table)."""
+    _, _, verts, deg = _graph_parts(spark, sf_dir)
+    return verts.join(deg, "id", "left_anti")
+
+
+@query(
+    "g_scatter_contribs",
+    oracle=f"""{GRAPH_CTES}
+SELECT e.src, e.dst,
+       (1.0 / (SELECT count(*) FROM verts)) / d.outdeg AS contrib
+FROM edges e JOIN deg d ON e.src = d.id""",
+)
+def g_scatter_contribs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/C2 as a static query: per-edge contribution from uniform init.
+
+    Per-row double math — bit-identical across engines, no rounding needed.
+    """
+    _, edges, verts, deg = _graph_parts(spark, sf_dir)
+    n = verts.count()
+    return edges.join(deg, edges.src == deg.id).select(
+        "src", "dst", (F.lit(1.0 / n) / F.col("outdeg")).alias("contrib")
+    )
+
+
+@query(
+    "g_gather_sum",
+    oracle=f"""{GRAPH_CTES},
+contribs AS (
+  SELECT e.dst, (1.0 / (SELECT count(*) FROM verts)) / d.outdeg AS contrib
+  FROM edges e JOIN deg d ON e.src = d.id)
+SELECT dst AS id,
+       CAST(round(sum(CAST(contrib AS DECIMAL(38,30))), 15) AS DOUBLE) AS sum_contrib
+FROM contribs GROUP BY dst""",
+)
+def g_gather_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 gather: per-dst contribution sum. DECIMAL(38,30) per-row cast makes
+    the sum exact and order-independent (grouped double sums are not); the
+    exact sum is rounded to 15 dp BEFORE the double cast because DuckDB's
+    wide-decimal→double conversion double-rounds (int128/10^30), while a
+    15-dp decimal converts identically in both engines."""
+    _, edges, verts, deg = _graph_parts(spark, sf_dir)
+    n = verts.count()
+    return (
+        edges.join(deg, edges.src == deg.id)
+        .select(
+            "dst",
+            (F.lit(1.0 / n) / F.col("outdeg")).cast("decimal(38,30)").alias("contrib"),
+        )
+        .groupBy("dst")
+        .agg(F.round(F.sum("contrib"), 15).cast("double").alias("sum_contrib"))
+        .select(F.col("dst").alias("id"), "sum_contrib")
+    )
+
+
+def _pagerank_unrolled_sql(k: int, d: float = 0.85) -> str:
+    """The kernel's exact semantics as k unrolled SQL iterations."""
+    ctes = [
+        f"r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS pr FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""dang{i} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM {p}
+  WHERE id NOT IN (SELECT id FROM deg))"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS id, sum(r.pr / g.outdeg) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.id JOIN deg g ON g.id = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT v.id,
+         (1 - {d}) / (SELECT count(*) FROM verts)
+         + {d} * ((SELECT dm FROM dang{i}) / (SELECT count(*) FROM verts)
+                  + coalesce(c.contrib, 0.0)) AS pr
+  FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return f"{GRAPH_CTES},\n" + ",\n".join(ctes) + f"\nSELECT id, round(pr, 9) AS pr FROM r{k}"
+
+
+PAGERANK_K = 3
+
+
+@query("g_pagerank_k3", oracle=_pagerank_unrolled_sql(PAGERANK_K))
+def g_pagerank_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative kernel itself, fixed at k=3 supersteps, vs the unrolled
+    SQL oracle. Rounded to 9 dp (summation-order noise ~1e-18)."""
+    res = pagerank(derived_edges(spark, sf_dir), max_iter=PAGERANK_K, tol=-1.0, min_iter=0)
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
+@query(
+    "g_pagerank_top20",
+    oracle=_pagerank_unrolled_sql(PAGERANK_K).replace(
+        f"SELECT id, round(pr, 9) AS pr FROM r{PAGERANK_K}",
+        f"SELECT id, round(pr, 9) AS pr FROM r{PAGERANK_K} "
+        "ORDER BY round(pr, 9) DESC, id LIMIT 20",
+    ),
+)
+def g_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 top-k over kernel output; ties broken on rounded pr then id so both
+    engines select the identical row set."""
+    res = pagerank(derived_edges(spark, sf_dir), max_iter=PAGERANK_K, tol=-1.0, min_iter=0)
+    return (
+        res.ranks.select("id", F.round("pr", 9).alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("id"))
+        .limit(20)
+    )

@@ -1,0 +1,494 @@
+"""Relational query surface (SURVEY.md §7.2): the breadth the engine gets
+from Spark SQL for free, each declared with a DuckDB oracle on the TPC-H-ish
+testdata tables.
+
+The reference has no relational layer at all (SURVEY.md §2.3 "no general
+join operator"); this module is the declared evidence that the Spark-first
+re-expression covers filters/projections, inner/left/semi/anti/broadcast
+joins, hash aggregation, rollup/cube, distinct aggs, window functions,
+sorts/limits, set ops, scalar functions and subqueries.
+
+Determinism: money aggregates use per-row DECIMAL(38,12) casts (exact,
+order-independent sums), rounded to 6 dp before the final double cast —
+see graph_queries.py for why the pre-cast round matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+
+def _dsum(col, alias):
+    """Exact order-independent sum of a double column (Spark side)."""
+    return F.round(F.sum(col.cast("decimal(38,12)")), 6).cast("double").alias(alias)
+
+
+def _sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(38,12))), 6) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------- filters
+
+
+@query(
+    "rel_filter_project",
+    oracle="""SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS disc_price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45""",
+)
+def rel_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection; filters push to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < "1996-01-01") & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+    )
+
+
+@query(
+    "rel_q1_pricing",
+    oracle=f"""SELECT l_returnflag, l_linestatus,
+       {_sql_dsum('l_quantity', 'sum_qty')},
+       {_sql_dsum('l_extendedprice', 'sum_base_price')},
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def rel_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate hash agg with map-side partials."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    disc = F.col("l_discount")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(price, "sum_base_price"),
+            _dsum(price * (1 - disc), "sum_disc_price"),
+            _dsum(price * (1 - disc) * (1 + F.col("l_tax")), "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ joins
+
+
+@query(
+    "rel_join_q3",
+    oracle=f"""SELECT l_orderkey,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def rel_join_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "rel_broadcast_dim_join",
+    oracle=f"""SELECT r_name AS region, n_name AS nation,
+       count(*) AS n_customers, {_sql_dsum('c_acctbal', 'total_acctbal')}
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name""",
+)
+def rel_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup with explicit broadcast of the small dims —
+    the join strategy J1 needs at scale (SURVEY.md §2.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal"), "total_acctbal"),
+        )
+    )
+
+
+@query(
+    "rel_semi_join",
+    oracle="""SELECT c_mktsegment, count(*) AS n_with_orders
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment""",
+)
+def rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+
+
+@query(
+    "rel_anti_join",
+    oracle="""SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def rel_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "rel_outer_join",
+    oracle="""SELECT s_suppkey, s_name, coalesce(li.n_items, 0) AS n_items
+FROM supplier LEFT JOIN (
+  SELECT l_suppkey, count(*) AS n_items FROM lineitem
+  WHERE l_returnflag = 'R' GROUP BY l_suppkey) li
+ON s_suppkey = li.l_suppkey""",
+)
+def rel_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left").select(
+        "s_suppkey",
+        "s_name",
+        F.coalesce(F.col("n_items"), F.lit(0)).cast("bigint").alias("n_items"),
+    )
+
+
+# ----------------------------------------------------------- aggregations
+
+
+@query(
+    "rel_agg_rollup",
+    oracle=f"""SELECT l_returnflag, l_linestatus,
+       count(*) AS n, {_sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def rel_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+@query(
+    "rel_agg_cube",
+    oracle="""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def rel_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "rel_distinct_agg",
+    oracle="""SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part
+FROM lineitem GROUP BY l_returnflag""",
+)
+def rel_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+@query(
+    "rel_having",
+    oracle="""SELECT o_custkey, count(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15""",
+)
+def rel_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@query(
+    "rel_pivot",
+    oracle="""SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'O') AS O,
+       count(*) FILTER (WHERE l_linestatus = 'F') AS F
+FROM lineitem GROUP BY l_returnflag""",
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+
+@query(
+    "rel_win_rank",
+    oracle="""SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3""",
+)
+def rel_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer; total ordering (price, key) so rank is
+    deterministic across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.rank().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "rel_win_running",
+    oracle="""SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running_value
+FROM events""",
+)
+def rel_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum — the frame's total order makes double accumulation
+    sequence-identical across engines; rounded anyway for safety."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running_value")
+    )
+
+
+@query(
+    "rel_win_lag",
+    oracle="""SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS us_since_prev
+FROM events""",
+)
+def rel_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("us_since_prev"),
+    )
+
+
+# --------------------------------------------------------- sort / set ops
+
+
+@query(
+    "rel_sort_limit",
+    oracle="""SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""",
+)
+def rel_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "rel_intersect",
+    oracle="""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT SELECT o_custkey AS c_custkey FROM orders""",
+)
+def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+    )
+
+
+@query(
+    "rel_except",
+    oracle="""SELECT l_partkey FROM lineitem
+EXCEPT SELECT l_partkey FROM lineitem WHERE l_quantity >= 49""",
+)
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never ordered in bulk (set difference; subtract = EXCEPT DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_partkey").subtract(
+        li.filter(F.col("l_quantity") >= 49).select("l_partkey")
+    )
+
+
+@query(
+    "rel_union_all",
+    oracle="""SELECT 'customer' AS kind, c_name AS name FROM customer WHERE c_acctbal < -900
+UNION ALL SELECT 'supplier' AS kind, s_name AS name FROM supplier WHERE s_acctbal < 0""",
+)
+def rel_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.filter(F.col("c_acctbal") < -900).select(
+        F.lit("customer").alias("kind"), F.col("c_name").alias("name")
+    ).unionAll(
+        s.filter(F.col("s_acctbal") < 0).select(
+            F.lit("supplier").alias("kind"), F.col("s_name").alias("name")
+        )
+    )
+
+
+# ----------------------------------------------- scalar funcs / subqueries
+
+
+@query(
+    "rel_string_funcs",
+    oracle="""SELECT p_partkey,
+       upper(p_brand) AS brand_u,
+       substr(p_name, 1, 8) AS name8,
+       length(p_name) AS name_len,
+       replace(p_type, ' ', '_') AS type_id,
+       concat(p_brand, ':', CAST(p_size AS VARCHAR)) AS brand_size
+FROM part WHERE p_name LIKE '%red%'""",
+)
+def rel_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_id"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+    )
+
+
+@query(
+    "rel_date_funcs",
+    oracle="""SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       count(*) AS n_orders
+FROM orders GROUP BY 1, 2, 3""",
+)
+def rel_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "rel_case_coalesce",
+    oracle="""SELECT
+  CASE WHEN c_acctbal < 0 THEN 'negative'
+       WHEN c_acctbal < 5000 THEN 'low'
+       ELSE 'high' END AS bal_bucket,
+  count(*) AS n
+FROM customer GROUP BY 1""",
+)
+def rel_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return c.groupBy(bucket.alias("bal_bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "rel_scalar_subquery",
+    oracle="""SELECT count(*) AS n_above_avg FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) / count(*)
+  FROM orders)""",
+)
+def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold computed via exact decimal sum so both engines derive the
+    bit-identical average (a plain double avg is order-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,12)")).cast("double")
+         / F.count(F.lit(1))).alias("avg")
+    ).first()
+    return o.filter(F.col("o_totalprice") > row["avg"]).agg(
+        F.count(F.lit(1)).alias("n_above_avg")
+    )
+
+
+@query(
+    "rel_json_extract",
+    oracle="""SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
+FROM events WHERE event_type = 'purchase' AND CAST(props->>'$.k' AS BIGINT) >= 90""",
+)
+def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.filter((F.col("event_type") == "purchase") & (k >= 90))
+        .select("event_id", k.alias("k"))
+    )

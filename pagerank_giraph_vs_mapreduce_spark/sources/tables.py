@@ -43,7 +43,34 @@ EDGES_SQL = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to a microsecond TIMESTAMP.
+
+    The testdata writes ``ts`` as INT64 TIMESTAMP(NANOS), which Spark's
+    vectorized parquet reader rejects outright; ``nanosAsLong`` reads the
+    raw nanos and we floor-divide to micros — exactly the truncation DuckDB
+    applies when casting TIMESTAMP_NS to its micro-precision TIMESTAMP, so
+    event-time queries stay oracle-comparable. ``ts_us`` (BIGINT micros) is
+    kept for arithmetic that must avoid engine-specific epoch functions.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # integer DIV — a double `/` would lose precision on ~1.7e18 nanos
+    ts_us = F.expr("ts DIV 1000")
+    return raw.select(
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
 
 
 def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
