@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (ARRAY<FLOAT>).
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variant is the scale path (prune to one hyperplane-sign bucket before
+scoring). Embedding math casts FLOAT→DOUBLE per element BEFORE any
+arithmetic: float ops differ between engines, double ops are IEEE-identical
+(cast is exact), keeping DuckDB oracles bit-stable up to a final rounding.
+
+Scale notes: scoring is a broadcast of the (tiny) query vector against a
+narrow map over the embeddings table — no shuffle until top-k
+(TakeOrderedAndProject). The LSH variant adds one narrow bucket-id map and
+a bucket-equality filter, which at scale becomes a partition-pruned read
+when the table is written bucketed/partitioned by bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of ``emb`` rows against the single-row
+    ``query`` DataFrame (same vec_col). Deterministic tie-break on id."""
+    q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("qv")))
+    scored = emb.crossJoin(q).select(
+        F.col(id_col),
+        (
+            _dot(_as_double(F.col(vec_col)), F.col("qv"))
+            / (_norm(_as_double(F.col(vec_col))) * _norm(F.col("qv")))
+        ).alias("cos_sim"),
+    )
+    return (
+        scored.select(id_col, F.round("cos_sim", 9).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(
+    emb: DataFrame,
+    planes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_id: str = "plane_id",
+) -> DataFrame:
+    """LSH bucket id = bit vector of sign(dot(x, plane_i)).
+
+    ``planes`` is a small (plane_id, embedding) DataFrame — here derived
+    deterministically from the data itself (first vectors of the table) so
+    the DuckDB oracle can reconstruct identical planes.
+    """
+    p = F.broadcast(
+        planes.select(
+            F.col(plane_id), _as_double(F.col(vec_col)).alias("pv")
+        )
+    )
+    signs = emb.crossJoin(p).select(
+        F.col(id_col),
+        plane_id,
+        F.when(_dot(_as_double(F.col(vec_col)), F.col("pv")) > 0, 1).otherwise(0).alias(
+            "bit"
+        ),
+    )
+    return signs.groupBy(id_col).agg(
+        # SQL expr: F.shiftleft only takes a literal shift amount
+        F.sum(F.expr(f"shiftleft(bit, cast({plane_id} as int))"))
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    planes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: score only vectors in the query's hyperplane-sign bucket."""
+    buckets = hyperplane_bucket(emb, planes, id_col, vec_col)
+    qbucket = hyperplane_bucket(query, planes, id_col, vec_col).select(
+        F.col("bucket").alias("qb")
+    )
+    candidates = (
+        emb.join(buckets, id_col)
+        .crossJoin(F.broadcast(qbucket))
+        .filter(F.col("bucket") == F.col("qb"))
+        .select(id_col, vec_col)
+    )
+    return cosine_topk(candidates, query, k, id_col, vec_col)

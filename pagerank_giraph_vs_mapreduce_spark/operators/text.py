@@ -1,0 +1,115 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All built from engine-portable scalar functions
+(length/replace/regexp/ascii arithmetic) so each keeps a DuckDB oracle.
+
+Everything is a narrow per-row map — no shuffle, fully codegen'd,
+scale-free (bounded by scan throughput at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword markers for the n-gram/stopword-voting
+# heuristic. Deliberately small and ASCII so the oracle SQL is identical.
+LANG_MARKERS = {
+    "en": (" the ", " and "),
+    "es": (" el ", " los "),
+    "fr": (" le ", " les "),
+    "de": (" der ", " und "),
+    "zh": (" de ", " shi "),
+}
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrence count via length arithmetic (portable, regex-free)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count, byte/char lengths, average token length."""
+    t = F.col(text_col)
+    n_tokens = (_count_occurrences(t, " ") + 1).alias("n_tokens")
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("long").alias("n_chars_measured"),
+        F.octet_length(t).cast("long").alias("n_bytes"),
+        n_tokens,
+        F.round(
+            (F.length(F.replace(t, F.lit(" "), F.lit(""))))
+            / (_count_occurrences(t, " ") + 1),
+            9,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality signals: stopword ratio, digit ratio, short-doc flag.
+
+    The score formula is arbitrary but fixed; per-row double math keeps it
+    oracle-exact.
+    """
+    t = F.col(text_col)
+    n_tokens = _count_occurrences(t, " ") + 1
+    stop_hits = _count_occurrences(t, " the ") + _count_occurrences(t, " a ")
+    digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    stop_ratio = stop_hits / n_tokens
+    digit_ratio = digits / F.length(t)
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 9).alias("stopword_ratio"),
+        F.round(digit_ratio, 9).alias("digit_ratio"),
+        (F.length(t) < 100).alias("too_short"),
+        F.round(
+            F.lit(1.0)
+            - digit_ratio
+            - F.when(F.length(t) < 100, 0.5).otherwise(0.0)
+            + stop_ratio * 0.1,
+            9,
+        ).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker voting: argmax over per-language marker hit counts,
+    ties broken by language code order ('unknown' when zero hits)."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = [
+        (
+            lang,
+            sum(
+                (_count_occurrences(t, m) for m in markers),
+                F.lit(0).cast("long"),
+            ),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred: Column = F.lit("unknown")
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), lang).otherwise(pred)
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Two document fingerprints: md5 (exact-dup key, portable) and a
+    position-weighted checksum (cheap shift-insensitive-ish signature)."""
+    t = F.col(text_col)
+    checksum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long")
+            * ((i % 64) + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) % F.lit(1_000_000_007)
+    return df.select(
+        F.col(id_col),
+        F.md5(t).alias("fp_md5"),
+        checksum.alias("fp_checksum"),
+    )

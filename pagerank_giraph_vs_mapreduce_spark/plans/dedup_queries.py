@@ -1,1 +1,202 @@
+"""Declared dedup queries with exact DuckDB oracles (north-star extension
+surface). The oracle SQL is generated from the same constants as the Spark
+operators (functions/hashing.py) so both engines hash identically.
 
+The testdata documents are all-distinct at sf0.01, so near-dup queries run
+over ``docs2`` — documents plus verbatim copies of every doc_id % 10 == 0
+under id+10000 — giving known true duplicates while keeping everything
+reconstructable in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.functions.hashing import (
+    minhash_sql,
+    shingle_code_sql,
+)
+from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+    SIMHASH_BITS,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+SHINGLE_LEN = 5
+N_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = 3
+
+DOCS2_SQL = """docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+
+# Distinct (id, code) shingle codes — mirrors operators.dedup.shingles.
+SHINGLES_SQL = f"""sh AS (
+  SELECT DISTINCT doc_id AS id,
+         {shingle_code_sql(f"substr(text, CAST(i AS INT), {SHINGLE_LEN})", SHINGLE_LEN)} AS code
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) - {SHINGLE_LEN - 2})) AS i
+        FROM docs2 WHERE length(text) >= {SHINGLE_LEN}))"""
+
+_sig_cols = ", ".join(
+    f"min({minhash_sql('code', j)}) AS mh{j}" for j in range(N_HASHES)
+)
+SIG_SQL = f"sig AS (SELECT id, {_sig_cols} FROM sh GROUP BY id)"
+
+_band_selects = " UNION ALL ".join(
+    "SELECT id, {b} AS band, concat_ws('_', {cols}) AS bkey FROM sig".format(
+        b=b,
+        cols=", ".join(
+            f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        ),
+    )
+    for b in range(BANDS)
+)
+BANDED_SQL = f"banded AS ({_band_selects})"
+
+CAND_SQL = """cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.id < b.id)"""
+
+JACCARD_SQL = """sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.code = a.code
+  GROUP BY c.id_a, c.id_b),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+  FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b)"""
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(dups)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""WITH {DOCS2_SQL}
+SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS copies
+FROM docs2 GROUP BY md5(text)""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: survivor id + copy count per content."""
+    d = exact_dedup(_docs2(spark, sf_dir), ["text"], "doc_id")
+    return d.select(F.md5("text").alias("fp"), "keep_id", "copies")
+
+
+@query(
+    "dedup_minhash_sig",
+    oracle=f"WITH {DOCS2_SQL},\n{SHINGLES_SQL},\n{SIG_SQL} SELECT * FROM sig",
+)
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (12 universal hashes over 5-char shingles)."""
+    return minhash_signatures(
+        _docs2(spark, sf_dir), "doc_id", "text", N_HASHES, SHINGLE_LEN
+    )
+
+
+@query(
+    "dedup_lsh_candidates",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIG_SQL},
+{BANDED_SQL},
+{CAND_SQL}
+SELECT id_a, id_b FROM cand""",
+)
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 3 rows): candidate pairs sharing a bucket."""
+    sigs = minhash_signatures(
+        _docs2(spark, sf_dir), "doc_id", "text", N_HASHES, SHINGLE_LEN
+    )
+    return lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND)
+
+
+@query(
+    "dedup_minhash_near_dups",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIG_SQL},
+{BANDED_SQL},
+{CAND_SQL},
+{JACCARD_SQL}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.8""",
+)
+def dedup_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→exact-Jaccard pipeline at threshold 0.8 — catches
+    the planted verbatim copies (jaccard = 1.0)."""
+    return minhash_near_dups(
+        _docs2(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        n_hashes=N_HASHES,
+        shingle_len=SHINGLE_LEN,
+        bands=BANDS,
+    )
+
+
+_bit_sums = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_bit_assemble = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+SIMHASH_SQL = f"""rehashed AS (SELECT id, {minhash_sql('code', 0)} AS h FROM sh),
+perbit AS (SELECT id, {_bit_sums} FROM rehashed GROUP BY id),
+simh AS (SELECT id, CAST({_bit_assemble} AS BIGINT) AS simhash FROM perbit)"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIMHASH_SQL}
+SELECT id, simhash FROM simh""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """31-bit SimHash per document (sign-aggregated shingle hashes)."""
+    return simhash(_docs2(spark, sf_dir), "doc_id", "text", SHINGLE_LEN)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""WITH docs2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60),
+{SHINGLES_SQL},
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.code = b.code AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jaccard
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.3""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard on a 60-doc subset (the no-LSH baseline)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+    sh = shingles(docs, "doc_id", "text", SHINGLE_LEN)
+    return jaccard_pairs(sh).filter(F.col("jaccard") >= 0.3)

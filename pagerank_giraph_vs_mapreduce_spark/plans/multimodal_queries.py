@@ -1,0 +1,61 @@
+"""Declared multimodal-column queries (operators/multimodal.py).
+
+``mm_meta`` oracles the schema/metadata plumbing (binary payload sizes).
+``mm_features`` exercises the Arrow-batched mapInPandas decode path; its
+stub decoder computes byte statistics which for ASCII text are expressible
+in SQL, so even the UDF path keeps an exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "mm_meta",
+    oracle="""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+       'text/plain;fake-media' AS format
+FROM documents""",
+)
+def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct: size/format contract."""
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+    )
+
+
+@query(
+    "mm_features",
+    oracle="""SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       round(CAST(list_sum(list_transform(range(1, length(text) + 1),
+                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))) AS DOUBLE)
+             / strlen(text), 9) AS byte_mean,
+       'text/plain;fake-media' AS format
+FROM documents""",
+)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (stub decoder = byte stats; for the
+    all-ASCII testdata the byte stats are SQL-expressible, so the Arrow/UDF
+    batch path itself is oracle-checked)."""
+    media = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    f = extract_features(media)
+    return f.select(
+        "doc_id",
+        "n_bytes",
+        F.col("first_byte").cast("int").alias("first_byte"),
+        F.round("byte_mean", 9).alias("byte_mean"),
+        "format",
+    )

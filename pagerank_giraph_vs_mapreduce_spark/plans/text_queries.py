@@ -1,1 +1,125 @@
+"""Declared text-analysis queries with DuckDB oracles (operators/text.py)."""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+    LANG_MARKERS,
+    fingerprints,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+
+def _occ_sql(text: str, needle: str) -> str:
+    n = needle.replace("'", "''")
+    return (
+        f"CAST((length({text}) - length(replace({text}, '{n}', ''))) / {len(needle)}"
+        " AS BIGINT)"
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_measured,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       {_occ_sql('text', ' ')} + 1 AS n_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / ({_occ_sql('text', ' ')} + 1), 9) AS avg_token_len
+FROM documents""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + length stats (regex-free, portable)."""
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality",
+    oracle=f"""SELECT doc_id,
+  round(CAST({_occ_sql('text', ' the ')} + {_occ_sql('text', ' a ')} AS DOUBLE)
+        / ({_occ_sql('text', ' ')} + 1), 9) AS stopword_ratio,
+  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        / length(text), 9) AS digit_ratio,
+  length(text) < 100 AS too_short,
+  round(1.0
+        - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+          / length(text)
+        - CASE WHEN length(text) < 100 THEN 0.5 ELSE 0.0 END
+        + CAST({_occ_sql('text', ' the ')} + {_occ_sql('text', ' a ')} AS DOUBLE)
+          / ({_occ_sql('text', ' ')} + 1) * 0.1, 9) AS quality
+FROM documents""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/digit-ratio quality heuristics."""
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = LANG_MARKERS[lang]
+    return " + ".join(_occ_sql("padded", m) for m in markers)
+
+
+_lang_cases = "\n".join(
+    f"  WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+)
+_lang_scores = ",\n".join(
+    f"  {_lang_score_sql(lang)} AS s_{lang}" for lang in sorted(LANG_MARKERS)
+)
+_greatest = ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""WITH padded_docs AS (
+  SELECT doc_id, concat(' ', text, ' ') AS padded FROM documents),
+scored AS (
+  SELECT doc_id,
+{_lang_scores},
+  greatest({_greatest}) AS best
+  FROM padded_docs)
+SELECT doc_id,
+  CASE WHEN best = 0 THEN 'unknown'
+{_lang_cases}
+  ELSE 'unknown' END AS lang_pred
+FROM scored""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language voting (argmax, alphabetic tie-break)."""
+    return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""SELECT doc_id,
+  md5(text) AS fp_md5,
+  list_sum(list_transform(range(1, length(text) + 1),
+           i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
+                * ((i % 64) + 1))) % 1000000007 AS fp_checksum
+FROM documents""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 exact-dup key + position-weighted rolling checksum."""
+    return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_regexp_tokens",
+    oracle="""SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_word_tokens,
+  CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens
+FROM documents""",
+)
+def text_regexp_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token classes (alpha runs / digit runs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).cast("bigint").alias("n_word_tokens"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("bigint").alias("n_num_tokens"),
+    )

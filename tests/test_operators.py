@@ -1,0 +1,139 @@
+"""Unit tests for the extension operators (dedup / similarity / text /
+multimodal) on hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_dups,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from pagerank_giraph_vs_mapreduce_spark.operators.similarity import cosine_topk
+from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+    language_id,
+    token_stats,
+)
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(spark):
+    d = docs_df(spark, [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa")])
+    out = {r["keep_id"]: r["copies"] for r in exact_dedup(d, ["text"], "doc_id").collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_shingles_dedup_and_short_text(spark):
+    d = docs_df(spark, [(1, "abcdef"), (2, "abc")])  # doc 2 shorter than 5
+    sh = shingles(d, "doc_id", "text", 5).collect()
+    ids = {r["id"] for r in sh}
+    assert ids == {1}
+    assert len(sh) == 2  # 'abcde', 'bcdef'
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    t = "the quick brown fox jumps over the lazy dog"
+    d = docs_df(spark, [(1, t), (2, t), (3, "completely different text here")])
+    sigs = {r["id"]: tuple(r[f"mh{j}"] for j in range(12))
+            for r in minhash_signatures(d, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_near_dups_finds_planted_pair(spark):
+    base = "spark catalyst optimizer rewrites the logical plan into physical stages"
+    d = docs_df(
+        spark,
+        [
+            (1, base),
+            (2, base),  # exact copy → jaccard 1.0
+            (3, base.replace("physical", "bodily")),  # near copy
+            (4, "unrelated content about cooking pasta with plenty of butter"),
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_dups(d, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 4) not in pairs
+    assert pairs[(1, 3)] > 0.5
+
+
+def test_jaccard_all_pairs(spark):
+    d = docs_df(spark, [(1, "abcdefgh"), (2, "abcdefgh"), (3, "zzzzzzzz")])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           jaccard_pairs(shingles(d, "doc_id", "text")).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) not in out  # no shared shingles at all
+
+
+def test_simhash_identical_docs_equal(spark):
+    t = "minhash and simhash agree on identical inputs"
+    d = docs_df(spark, [(1, t), (2, t)])
+    out = {r["id"]: r["simhash"] for r in simhash(d, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**31
+
+
+def test_cosine_topk_self_is_first(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    top = cosine_topk(emb, q, k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2]
+    assert top[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_language_id_markers(spark):
+    d = docs_df(
+        spark,
+        [
+            (1, "the cat and the dog and the bird"),
+            (2, "el gato y los perros y el pajaro"),
+            (3, "xyzzy plugh"),
+        ],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(d, "doc_id", "text").collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "unknown"
+
+
+def test_token_stats(spark):
+    d = docs_df(spark, [(1, "one two three")])
+    r = token_stats(d, "doc_id", "text").collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["n_chars_measured"] == 13
+    assert r["avg_token_len"] == pytest.approx(11 / 3, abs=1e-9)
+
+
+def test_multimodal_plumbing(spark):
+    d = docs_df(spark, [(1, "AB"), (2, "")])
+    media = with_binary_payload(d)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert feats[1]["n_bytes"] == 2
+    assert feats[1]["first_byte"] == 65
+    assert feats[1]["byte_mean"] == pytest.approx((65 + 66) / 2)
+    assert feats[2]["n_bytes"] == 0
+    assert feats[2]["first_byte"] == -1
