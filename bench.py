@@ -1,0 +1,100 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, ...}
+
+Comparable structure vs BASELINE.md: per-iteration PageRank cost must stay
+flat and memory-resident (Giraph-shaped ~17s/superstep on 69M edges /
+6 nodes), not per-iteration-job-shaped (MR ~131s). We report
+pagerank_sec_per_iter explicitly for that comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pagerank_giraph_vs_mapreduce_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank, top_k
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import derived_edges
+
+    load_all_queries()
+
+    # Warm the JVM/session outside timed regions.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    def run_query(name: str):
+        return lambda: QUERIES[name](spark, sf_dir).count()
+
+    def run_pagerank() -> None:
+        res = pagerank(
+            derived_edges(spark, sf_dir),
+            damping=0.85,
+            max_iter=100,
+            tol=1e-8,
+            min_iter=5,
+        )
+        top_k(res.ranks, 50).collect()
+        extras["pagerank_iterations"] = res.iterations
+        iter_secs = [h.seconds for h in res.history]
+        extras["pagerank_sec_per_iter"] = round(sum(iter_secs) / len(iter_secs), 3)
+
+    timed("pagerank_full", run_pagerank)
+    for q in (
+        "rel_q1_pricing",
+        "rel_join_q3",
+        "rel_win_rank",
+        "win_session_30m",
+        "dedup_minhash_near_dups",
+        "dedup_simhash",
+        "sim_cosine_top10",
+        "text_fingerprint",
+        "g_pagerank_k3",
+    ):
+        timed(q, run_query(q))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -140,8 +140,10 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-        # Truncate lineage + materialize in one shot (see module docstring).
-        new = new.localCheckpoint(eager=True)
+        # Lazy localCheckpoint truncates the logical plan immediately (the
+        # returned DF is LogicalRDD-backed) while deferring materialization
+        # to the stats aggregate below — ONE action per superstep.
+        new = new.localCheckpoint(eager=False)
 
         stats = new.agg(
             F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("diff"),
