@@ -53,7 +53,7 @@ def cosine_topk(
         ).alias("cos_sim"),
     )
     return (
-        scored.select(id_col, F.round("cos_sim", 9).alias("cos_sim"))
+        scored.select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -90,6 +90,63 @@ def hyperplane_bucket(
         .cast("long")
         .alias("bucket")
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its max-dot-product
+    centroid (deterministic tie-break on centroid id).
+
+    ``centroids`` is small (broadcast); a trained k-means codebook slots in
+    unchanged — here tests/oracles use data-derived centroids. At scale the
+    assignment is a narrow map; writing the table partitioned by
+    ``centroid_id`` turns probe-time reads into partition pruning.
+    """
+    c = F.broadcast(
+        centroids.select(F.col(centroid_id), _as_double(F.col(vec_col)).alias("cv"))
+    )
+    scored = emb.crossJoin(c).select(
+        F.col(id_col),
+        F.col(centroid_id),
+        _dot(_as_double(F.col(vec_col)), F.col("cv")).alias("dot"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc(F.round("dot", 6)), F.asc(centroid_id)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, centroid_id)
+    )
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only vectors in the query's coarse cell (nprobe=1)."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    q_assign = ivf_assign(query, centroids, id_col, vec_col).select(
+        F.col("centroid_id").alias("qc")
+    )
+    candidates = (
+        emb.join(assign, id_col)
+        .crossJoin(F.broadcast(q_assign))
+        .filter(F.col("centroid_id") == F.col("qc"))
+        .select(id_col, vec_col)
+    )
+    return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
 def lsh_cosine_topk(

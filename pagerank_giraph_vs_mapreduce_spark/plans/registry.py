@@ -37,6 +37,7 @@ _QUERY_MODULES = (
     "pagerank_giraph_vs_mapreduce_spark.plans.text_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.window_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.multimodal_queries",
+    "pagerank_giraph_vs_mapreduce_spark.plans.sql_queries",
 )
 
 

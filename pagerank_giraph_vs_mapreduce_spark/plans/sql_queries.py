@@ -1,0 +1,156 @@
+"""Additional declared queries exercising the spark.sql() API path, array
+functions, grouping sets, correlated subqueries — and the SNAP text-parse
+pipeline (S1-S3/P1) as a declared query over lines synthesized from
+lineitem (the driver tables have no text file, so both engines construct
+identical lines, including comment/blank/malformed ones, then parse)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.edgelist import parse_edgelist
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+
+def _register(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+@query(
+    "sql_grouping_sets",
+    oracle="""SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the spark.sql() API (same Catalyst plan as the
+    DataFrame rollup/cube queries — declared to evidence the SQL surface)."""
+    _register(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+    )
+
+
+@query(
+    "sql_exists_correlated",
+    oracle="""SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 49.5)""",
+)
+def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (decorrelated by Catalyst into a semi-join)."""
+    _register(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey AND l_quantity >= 49.5)"""
+    )
+
+
+@query(
+    "sql_array_agg",
+    oracle="""SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenums,
+       CAST(len(list(l_linenumber)) AS INT) AS n_lines
+FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey""",
+)
+def sql_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + sort (order-insensitive via array_sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_linenumber")).alias("linenums"),
+            F.count(F.lit(1)).cast("int").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "sql_array_funcs",
+    oracle="""WITH arrs AS (
+  SELECT l_orderkey, list_sort(list(l_partkey)) AS parts
+  FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey)
+SELECT l_orderkey,
+       parts[1] AS first_part,
+       CAST(len(parts) AS INT) AS n_parts,
+       CAST(list_contains(parts, 1) AS BOOLEAN) AS has_part_1,
+       list_sum(list_transform(parts, x -> x % 10)) AS mod_sum
+FROM arrs""",
+)
+def sql_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array element access / contains / transform+aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = (
+        li.filter(F.col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.element_at("parts", 1).alias("first_part"),
+        F.size("parts").alias("n_parts"),
+        F.array_contains("parts", 1).alias("has_part_1"),
+        F.aggregate(
+            F.transform("parts", lambda x: x % 10),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("mod_sum"),
+    )
+
+
+# --- S1-S3/P1 as a declared query: synthesize SNAP lines, then parse ------
+
+_LINES_SQL = """lines AS (
+  SELECT CASE
+    WHEN l_linenumber = 7 THEN '# synthetic comment line'
+    WHEN l_linenumber = 6 THEN ''
+    WHEN l_linenumber = 5 THEN concat('x', CAST(l_orderkey AS VARCHAR), ' junk')
+    ELSE concat(CAST(l_orderkey % 997 AS VARCHAR), ' ',
+                CAST(l_partkey % 1500 AS VARCHAR))
+  END AS value
+  FROM lineitem)"""
+
+
+@query(
+    "edge_parse_snap",
+    oracle=f"""WITH {_LINES_SQL},
+parsed AS (
+  SELECT TRY_CAST(split_part(trim(value), ' ', 1) AS BIGINT) AS src,
+         TRY_CAST(split_part(trim(value), ' ', 2) AS BIGINT) AS dst
+  FROM lines
+  WHERE trim(value) <> '' AND NOT starts_with(trim(value), '#'))
+SELECT src, dst, count(*) AS n
+FROM parsed WHERE src IS NOT NULL AND dst IS NOT NULL
+GROUP BY src, dst""",
+)
+def edge_parse_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's text-scan pipeline (S1-S3/P1) as a declared query:
+    identical SNAP-ish lines are synthesized in both engines (including
+    comment, blank, and malformed lines, which must be dropped), then the
+    engine's real parser (sources/edgelist.py) runs on the Spark side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.when(F.col("l_linenumber") == 7, "# synthetic comment line")
+        .when(F.col("l_linenumber") == 6, "")
+        .when(
+            F.col("l_linenumber") == 5,
+            F.concat(F.lit("x"), F.col("l_orderkey").cast("string"), F.lit(" junk")),
+        )
+        .otherwise(
+            F.concat(
+                (F.col("l_orderkey") % 997).cast("string"),
+                F.lit(" "),
+                (F.col("l_partkey") % 1500).cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    return parse_edgelist(lines).groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -1,0 +1,49 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2.9 extension: the reference has no streaming surface at all).
+
+Per-user running totals that survive across micro-batches — the minimal
+shape of a custom stateful aggregator (fraud counters, rate limiters,
+sessionizers all specialize this skeleton). State is a typed tuple per
+group key held in the state store; Arrow batches flow through pandas.
+
+Scale notes: state is partitioned by the group key across executors; the
+number of state rows is bounded by |distinct keys|. For unbounded key
+spaces add a timeout (GroupStateTimeout.EventTimeTimeout + watermark) so
+idle state is evicted — exercised by tests with NoTimeout since the file
+source replay is finite.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+STATE_SCHEMA = "n bigint, total double"
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, value-sum), updated each batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the dedup/similarity math.
+
+Pure-Python mirrors of the cross-engine hash pipeline are checked against
+the Spark operators, and MinHash's statistical contract (signature
+agreement ≈ Jaccard) is asserted within generous bounds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pagerank_giraph_vs_mapreduce_spark.functions.hashing import (
+    CODE_MOD,
+    HASH_MOD,
+    MINHASH_A,
+    MINHASH_B,
+    MULT,
+)
+from pagerank_giraph_vs_mapreduce_spark.operators.dedup import minhash_signatures
+
+WORDS = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel"]
+
+
+def py_shingles(text: str, L: int = 5) -> set[int]:
+    out = set()
+    for i in range(len(text) - L + 1):
+        sh = text[i : i + L]
+        code = 0
+        for j, ch in enumerate(sh):
+            code += ord(ch) * MULT ** (L - 1 - j)
+        out.add(code % CODE_MOD)
+    return out
+
+
+def py_signature(text: str, n: int = 12) -> tuple[int, ...]:
+    codes = py_shingles(text)
+    return tuple(
+        min((MINHASH_A[j] * c + MINHASH_B[j]) % HASH_MOD for c in codes)
+        for j in range(n)
+    )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(WORDS), min_size=3, max_size=12).map(" ".join),
+    st.lists(st.sampled_from(WORDS), min_size=3, max_size=12).map(" ".join),
+)
+def test_spark_signature_matches_python_mirror(spark, t1, t2):
+    """The Spark MinHash pipeline must equal the pure-Python mirror —
+    this is the same property the DuckDB oracle checks, from a third
+    independent implementation."""
+    df = spark.createDataFrame([(1, t1), (2, t2)], "doc_id bigint, text string")
+    got = {
+        r["id"]: tuple(r[f"mh{j}"] for j in range(12))
+        for r in minhash_signatures(df, "doc_id", "text").collect()
+    }
+    assert got[1] == py_signature(t1)
+    assert got[2] == py_signature(t2)
+
+
+def test_minhash_estimates_jaccard():
+    """Statistical contract: fraction of agreeing signature components
+    approximates true Jaccard (coarse bound, 12 hashes)."""
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    sa, sb = py_shingles(a), py_shingles(b)
+    true_j = len(sa & sb) / len(sa | sb)
+    siga, sigb = py_signature(a), py_signature(b)
+    est = sum(x == y for x, y in zip(siga, sigb)) / len(siga)
+    assert abs(est - true_j) < 0.35  # 12 hashes → wide but bounded
