@@ -66,7 +66,27 @@ def main() -> int:
         iter_secs = [h.seconds for h in res.history]
         extras["pagerank_sec_per_iter"] = round(sum(iter_secs) / len(iter_secs), 3)
 
+    def run_pagerank_skewed() -> None:
+        """Hub-vertex stress (README.md:417-418 pathology): 10 source hubs
+        each with ~|lineitem|/10 out-edges, 20 hot gather keys — the
+        scatter join and gather agg both skew; AQE skew-join + map-side
+        partial aggregation must keep per-iteration time near the uniform
+        graph's."""
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        skewed = li.select(
+            (F.col("l_suppkey") % 10).alias("src"),
+            (F.col("l_partkey") % 20).alias("dst"),
+        )
+        res = pagerank(skewed, max_iter=3, tol=-1.0, min_iter=0)
+        res.ranks.count()
+        extras["pagerank_skew_sec_per_iter"] = round(
+            sum(h.seconds for h in res.history) / len(res.history), 3
+        )
+
     timed("pagerank_full", run_pagerank)
+    timed("pagerank_skewed_3iter", run_pagerank_skewed)
     for q in (
         "rel_q1_pricing",
         "rel_join_q3",

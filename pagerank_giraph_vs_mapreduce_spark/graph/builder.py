@@ -44,22 +44,30 @@ class GraphTables:
         self.links.unpersist()
 
 
-def build_graph(edges: DataFrame, num_partitions: int | None = None) -> GraphTables:
+def build_graph(
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    extra_vertices: DataFrame | None = None,
+) -> GraphTables:
     """edges(src, dst) → cached (vertices, links-with-outdeg, N).
 
     ``links`` is hash-partitioned by ``src`` and cached so the per-iteration
     scatter join reuses the partitioning (exchange reuse) instead of
     re-shuffling the edge table every superstep — the Giraph memory-resident
     design (README.md:283) rather than MR's per-iteration HDFS round-trip.
+
+    ``extra_vertices`` (single-column ``id``) forces ids with no edges into
+    the universe — needed for Giraph adjacency input where a bare-id line
+    declares an isolated (dangling) vertex.
     """
     dedup = edges.select("src", "dst").distinct()
 
-    vertices = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    universe = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
     )
+    if extra_vertices is not None:
+        universe = universe.union(extra_vertices.select(F.col("id")))
+    vertices = universe.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     n_vertices = vertices.count()
 
     outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

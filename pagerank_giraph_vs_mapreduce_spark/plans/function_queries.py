@@ -1,0 +1,132 @@
+"""Scalar-function parity queries.
+
+``fn_c5_c6`` exercises exactly the reference's scalar surface (SURVEY.md
+§2.5): abs/ceil/max(0,·) (C5 — MR/PageRankReducer.java:113-125) and
+split/join/trim/startswith/substring/indexOf (C6 — the R1/R2 codec
+functions). The others add the math/date breadth any relational engine
+user expects; libm-backed functions (exp/ln) are rounded because they are
+not correctly-rounded and differ across engines' libm builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+
+@query(
+    "fn_c5_c6",
+    oracle="""SELECT p_partkey,
+  abs(p_retailprice - 1000.0) AS abs_delta,
+  CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS ceil_bucket,
+  greatest(p_size - 25, 0) AS clamped_size,
+  split_part(p_name, ' ', 1) AS first_word,
+  concat_ws(',', p_brand, p_type) AS joined,
+  trim(concat('  ', p_name, '  ')) AS trimmed,
+  starts_with(p_name, 'small') AS is_small,
+  substr(p_type, 1, 4) AS type4,
+  CAST(strpos(p_name, ' ') AS BIGINT) AS space_at
+FROM part""",
+)
+def fn_c5_c6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact scalar-function inventory as one projection."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("abs_delta"),
+        F.ceil(F.col("p_retailprice") / 100.0).cast("bigint").alias("ceil_bucket"),
+        F.greatest(F.col("p_size") - 25, F.lit(0)).alias("clamped_size"),
+        F.substring_index("p_name", " ", 1).alias("first_word"),
+        F.concat_ws(",", "p_brand", "p_type").alias("joined"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.col("p_name").startswith("small").alias("is_small"),
+        F.substring("p_type", 1, 4).alias("type4"),
+        F.instr("p_name", " ").cast("bigint").alias("space_at"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""SELECT l_orderkey, l_linenumber,
+  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+  round(ln(l_extendedprice), 6) AS ln_price,
+  round(exp(l_discount), 6) AS exp_disc,
+  round(pow(1.0 + l_tax, 2), 6) AS tax_sq,
+  CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+  CAST(sign(l_extendedprice - 30000.0) AS BIGINT) AS price_sign
+FROM lineitem WHERE l_orderkey < 500""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions; exp/ln rounded (libm is not correctly-rounded)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.signum(F.col("l_extendedprice") - 30000.0).cast("bigint").alias("price_sign"),
+    )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""SELECT o_orderkey,
+  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+  date_diff('day', TIMESTAMP '1994-01-01', o_orderdate) AS days_since_epoch_94,
+  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+  CAST(quarter(o_orderdate) AS BIGINT) AS q
+FROM orders WHERE o_orderkey < 1000""",
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic + parts (DuckDB dayofweek: Sunday=0; Spark: 1..7)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1994-01-01")).cast("bigint").alias(
+            "days_since_epoch_94"
+        ),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+    )
+
+
+@query(
+    "fn_win_frames",
+    oracle="""SELECT o_custkey, o_orderkey,
+  first_value(o_totalprice) OVER w AS first_price,
+  last_value(o_totalprice)  OVER w AS last_price,
+  nth_value(o_totalprice, 2) OVER w AS second_price,
+  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+)
+def fn_win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs: full-partition frame + 3-row moving average."""
+    o = load_table(spark, sf_dir, "orders")
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    mov = (
+        Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(full).alias("first_price"),
+        F.last("o_totalprice").over(full).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
+        F.round(F.avg("o_totalprice").over(mov), 6).alias("mov_avg3"),
+    )

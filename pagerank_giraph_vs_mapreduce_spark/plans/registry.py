@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "pagerank_giraph_vs_mapreduce_spark.plans.window_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.multimodal_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.sql_queries",
+    "pagerank_giraph_vs_mapreduce_spark.plans.function_queries",
 )
 
 

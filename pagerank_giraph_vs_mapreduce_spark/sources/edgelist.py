@@ -51,3 +51,44 @@ def parse_edgelist(lines: DataFrame, observation: Observation | None = None) -> 
 def read_edgelist(spark: SparkSession, path: str) -> DataFrame:
     """S1: scan a SNAP-format text file/dir into edges(src BIGINT, dst BIGINT)."""
     return parse_edgelist(spark.read.text(path))
+
+
+def read_adjacency(spark: SparkSession, path: str) -> DataFrame:
+    """S5: Giraph adjacency-list input — one line per vertex,
+    ``id nbr1 nbr2 ...`` whitespace-separated (the format
+    LongLongNullTextInputFormat consumes, GI/PageRankDriver.java:79;
+    produced by the pre-cleaning step run_pagerank.sh feeds it).
+
+    Returns edges(src, dst). A bare-id line (vertex with no neighbors)
+    contributes no edge rows — pass ``read_adjacency_vertices`` output as
+    ``build_graph(..., extra_vertices=...)`` to keep such vertices in the
+    universe as dangling, matching Giraph (which instantiates every input
+    line as a vertex).
+    """
+    lines = spark.read.text(path)
+    toks = (
+        lines.select(F.split(F.trim("value"), r"\s+").alias("t"))
+        .filter((F.size("t") >= 1) & (F.col("t").getItem(0) != ""))
+        .select(
+            F.col("t").getItem(0).try_cast("bigint").alias("src"),
+            F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))).alias("nbrs"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    return toks.select(
+        "src", F.explode("nbrs").alias("d")
+    ).select(
+        "src", F.col("d").try_cast("bigint").alias("dst")
+    ).filter(F.col("dst").isNotNull())
+
+
+def read_adjacency_vertices(spark: SparkSession, path: str) -> DataFrame:
+    """All vertex ids declared by adjacency-list lines (first token),
+    including bare-id vertices with no out-neighbors."""
+    lines = spark.read.text(path)
+    return (
+        lines.select(F.split(F.trim("value"), r"\s+").getItem(0).alias("tok"))
+        .select(F.col("tok").try_cast("bigint").alias("id"))
+        .filter(F.col("id").isNotNull())
+        .distinct()
+    )
