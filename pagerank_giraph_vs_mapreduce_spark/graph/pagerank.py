@@ -73,12 +73,21 @@ def pagerank(
     tol: float = 1e-6,
     min_iter: int = 5,
     graph: GraphTables | None = None,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank over edges(src, dst); returns ranks + convergence history.
 
     Arg contract mirrors the reference CLI ``<in> <out> [maxIter] [damping]
     [threshold] [minIter]`` (MR/PageRankDriver.java:64-71; experiments use
     maxIter=100, threshold=1e-8, README.md:125-128).
+
+    ``initial_ranks`` (id, pr) resumes from previously materialized state —
+    e.g. an R2 state file written by sources/statefile.py or by the
+    reference itself. This keeps MR's durability property (restart from the
+    last materialized iteration, MR/PageRankDriver.java:120-161) as an
+    opt-in, without paying the per-iteration materialization tax that is
+    MR's documented 3.7× slowdown. Vertices missing from the provided state
+    are seeded uniformly at 1/N.
     """
     own_graph = graph is None
     g = graph or build_graph(edges)
@@ -92,11 +101,19 @@ def pagerank(
     # ranks carries a static `dangling` flag so the per-iteration global
     # aggregate gets Σ|Δ|, dangling mass and Σpr in ONE pass (A4+A5+A6).
     out_src = g.links.select("src").distinct()
+    base_state = g.vertices.join(out_src, g.vertices.id == out_src.src, "left")
+    if initial_ranks is None:
+        init_pr = F.lit(1.0 / n)
+        state = base_state
+    else:
+        state = base_state.join(
+            initial_ranks.select("id", F.col("pr").alias("pr0")), "id", "left"
+        )
+        init_pr = F.coalesce(F.col("pr0"), F.lit(1.0 / n))
     ranks = (
-        g.vertices.join(out_src, g.vertices.id == out_src.src, "left")
-        .select(
+        state.select(
             "id",
-            F.lit(1.0 / n).alias("pr"),
+            init_pr.alias("pr"),
             F.col("src").isNull().alias("dangling"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)

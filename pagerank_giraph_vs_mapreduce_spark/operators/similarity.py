@@ -149,6 +149,38 @@ def ivf_cosine_topk(
     return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
+def embedding_near_dups(
+    emb: DataFrame,
+    planes: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+
+    Candidate pairs are restricted to same-LSH-bucket vectors (identical/
+    near-identical vectors always share a bucket), so the self-join is per
+    bucket, not the full cross product; exact cosine then filters. At scale
+    the bucket column becomes the shuffle/bucketing key.
+    """
+    buckets = hyperplane_bucket(emb, planes, id_col, vec_col)
+    withb = emb.join(buckets, id_col)
+    a = withb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = withb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(_as_double(F.col("va")), _as_double(F.col("vb"))) / (
+        _norm(_as_double(F.col("va"))) * _norm(_as_double(F.col("vb")))
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query: DataFrame,

@@ -142,6 +142,39 @@ def sim_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+_EMB2_SQL = """emb2 AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""WITH {_EMB2_SQL}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 6) >= 0.99""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings + planted verbatim
+    copies (vec_id % 10 == 0 at +10000). Spark prunes candidates through
+    LSH buckets; the oracle brute-forces all pairs — same survivors."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    emb2 = emb.unionAll(dups)
+    planes = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
+    ).select((F.col("vec_id") - 1).alias("plane_id"), "embedding")
+    return embedding_near_dups(emb2, planes, threshold=0.99)
+
+
 @query(
     "sim_lsh_ann_top5",
     oracle=f"""WITH {_PLANES_SQL},
