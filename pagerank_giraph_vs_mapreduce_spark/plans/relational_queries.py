@@ -481,6 +481,100 @@ def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_q6_forecast",
+    oracle=f"""SELECT {_sql_dsum('l_extendedprice * l_discount', 'revenue')},
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def rel_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight multi-predicate scan + two aggregates — the
+    pushdown/codegen showcase (all predicates reach the parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "rel_q14_promo_ratio",
+    oracle="""SELECT round(
+  100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))
+        ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
+  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))) AS DOUBLE),
+  6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""",
+)
+def rel_q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio across a join; both
+    sums decimal-exact so the ratio is engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,12)"
+    )
+    zero = F.lit(0).cast("decimal(38,12)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-09-01")
+            & (F.col("l_shipdate") < "1995-10-01")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "rel_q18_large_orders",
+    oracle=f"""SELECT c_custkey, c_name, o_orderkey,
+       {_sql_dsum('l_quantity', 'total_qty')}
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_custkey, c_name, o_orderkey
+HAVING sum(l_quantity) > 180""",
+)
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: 3-way join + group + HAVING on an aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(
+            _dsum(F.col("l_quantity"), "total_qty"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .filter(F.col("_raw_qty") > 180)
+        .drop("_raw_qty")
+    )
+
+
+@query(
     "rel_json_extract",
     oracle="""SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k
 FROM events WHERE event_type = 'purchase' AND CAST(props->>'$.k' AS BIGINT) >= 90""",
