@@ -1,0 +1,94 @@
+"""Weakly-connected components: a second iterative kernel on the same
+cached-DataFrame superstep skeleton as PageRank (SURVEY.md §7.0) —
+min-label propagation until fixpoint.
+
+The reference implements only PageRank; this kernel demonstrates the
+engine's iteration machinery (I1-I4: driver loop, cache discipline, lazy
+localCheckpoint lineage truncation, single stats action per superstep) is
+a general vertex-program substrate, not a one-off.
+
+Scale notes: the symmetrized edge table shuffles once and is cached
+partitioned by src; each superstep shuffles only the V-row label table.
+Label propagation converges in O(diameter) supersteps; for graphs with
+huge diameter, switch to the large-star/small-star algorithm (same loop
+shape, different message rule).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class ComponentsResult:
+    components: DataFrame  # (id BIGINT, component BIGINT = min vertex id)
+    n_vertices: int
+    iterations: int
+    converged: bool
+    history: list[tuple[int, int, float]] = field(default_factory=list)
+    # (iteration, labels_changed, seconds)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> ComponentsResult:
+    """Min-label propagation over the undirected view of edges(src, dst)."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    labels = vertices.select("id", F.col("id").alias("label")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n = labels.count()
+
+    history: list[tuple[int, int, float]] = []
+    converged = False
+    iterations = 0
+    for i in range(max_iter):
+        t0 = time.monotonic()
+        msgs = (
+            sym.join(labels.select(F.col("id").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.select("id", F.col("label").alias("old"))
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("old"), F.coalesce(F.col("nbr_min"), F.col("old"))
+                ).alias("label"),
+                "old",
+            )
+        )
+        new = new.localCheckpoint(eager=False)
+        changed = int(
+            new.agg(
+                F.count(F.when(F.col("label") != F.col("old"), 1)).alias("c")
+            ).first()["c"]
+        )
+        labels.unpersist()
+        labels = new.select("id", "label")
+        iterations = i + 1
+        history.append((iterations, changed, time.monotonic() - t0))
+        if changed == 0:
+            converged = True
+            break
+
+    sym.unpersist()
+    return ComponentsResult(
+        components=labels.select("id", F.col("label").alias("component")),
+        n_vertices=n,
+        iterations=iterations,
+        converged=converged,
+        history=history,
+    )

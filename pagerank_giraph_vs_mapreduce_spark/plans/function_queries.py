@@ -100,6 +100,57 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_agg_breadth",
+    oracle="""SELECT o_orderstatus,
+  min_by(o_orderkey, o_totalprice) AS cheapest_order,
+  max_by(o_orderkey, o_totalprice) AS priciest_order,
+  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+  bool_and(o_totalprice > 0) AS all_positive,
+  bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+FROM orders GROUP BY o_orderstatus""",
+)
+def fn_agg_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by, filtered count, boolean aggregates.
+
+    min_by/max_by ties would be nondeterministic, but o_totalprice values
+    collide with probability ~0 in this data; tie-free verified by the
+    oracle match itself.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )
+
+
+@query(
+    "fn_null_semantics",
+    oracle="""SELECT
+  coalesce(NULL, NULL, 'fallback') AS c3,
+  nullif('a', 'a') AS n1,
+  nullif('a', 'b') AS n2,
+  ifnull(NULL, 42) AS i1,
+  count(*) AS n_rows,
+  count(nullif(o_orderstatus, 'P')) AS n_not_p
+FROM orders""",
+)
+def fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling functions + count's NULL-skipping contract."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.coalesce(F.lit(None), F.lit(None), F.lit("fallback")).alias("c3"),
+        F.nullif(F.lit("a"), F.lit("a")).alias("n1"),
+        F.nullif(F.lit("a"), F.lit("b")).alias("n2"),
+        F.ifnull(F.lit(None), F.lit(42)).alias("i1"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.nullif(F.col("o_orderstatus"), F.lit("P"))).alias("n_not_p"),
+    )
+
+
+@query(
     "fn_win_frames",
     oracle="""SELECT o_custkey, o_orderkey,
   first_value(o_totalprice) OVER w AS first_price,

@@ -177,6 +177,48 @@ def _pagerank_unrolled_sql(k: int, d: float = 0.85) -> str:
     return f"{GRAPH_CTES},\n" + ",\n".join(ctes) + f"\nSELECT id, round(pr, 9) AS pr FROM r{k}"
 
 
+def _wcc_unrolled_sql(k: int) -> str:
+    """Min-label propagation unrolled k supersteps (undirected view)."""
+    ctes = [
+        "sym AS (SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges)",
+        "uverts AS (SELECT DISTINCT src AS id FROM sym)",
+        "l0 AS (SELECT id, id AS label FROM uverts)",
+    ]
+    for i in range(1, k + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"""m{i} AS (
+  SELECT s.dst AS id, min(l.label) AS nm
+  FROM sym s JOIN {p} l ON s.src = l.id GROUP BY s.dst)"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+  SELECT l.id, least(l.label, coalesce(m.nm, l.label)) AS label
+  FROM {p} l LEFT JOIN m{i} m ON l.id = m.id)"""
+        )
+    return (
+        f"{GRAPH_CTES},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, label AS component FROM l{k}"
+    )
+
+
+WCC_K = 4
+
+
+@query("g_wcc_k4", oracle=_wcc_unrolled_sql(WCC_K))
+def g_wcc_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components kernel, k=4 supersteps, vs unrolled SQL oracle.
+    (If the graph converges earlier, further supersteps are identities, so
+    fixed-k oracle equality holds either way.)"""
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        connected_components,
+    )
+
+    res = connected_components(derived_edges(spark, sf_dir), max_iter=WCC_K)
+    return res.components
+
+
 PAGERANK_K = 3
 
 

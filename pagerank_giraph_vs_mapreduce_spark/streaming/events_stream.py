@@ -68,6 +68,46 @@ def streaming_tumbling_counts(
     )
 
 
+def streaming_sliding_counts(
+    events: DataFrame,
+    duration_secs: int = 3600,
+    slide_secs: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window streaming twin of operators.windows.sliding."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{duration_secs} seconds", f"{slide_secs} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "n", "sum_value")
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame, gap_secs: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window streaming twin of operators.windows.session."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", f"{gap_secs} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming twin of exact dedup for at-least-once sources
+    (dropDuplicatesWithinWatermark bounds the dedup state store)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory_sink(stream: DataFrame, name: str) -> None:
     """Drain all available input into an in-memory table (test harness)."""
     q = (

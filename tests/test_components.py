@@ -1,0 +1,53 @@
+"""Connected components vs a pure-Python union-find oracle."""
+
+from __future__ import annotations
+
+from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+    connected_components,
+)
+from tests.conftest import make_edges
+
+
+def uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_two_components_and_self_loop(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (12, 12)]
+    res = connected_components(make_edges(spark, edges), max_iter=20)
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 12}
+    assert res.converged
+
+
+def test_random_graph_matches_union_find(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    res = connected_components(make_edges(spark, edges), max_iter=60)
+    got = {r["id"]: r["component"] for r in res.components.collect()}
+    want = uf_components(edges)
+    assert res.converged
+    assert got == want
+
+
+def test_chain_converges_in_diameter_steps(spark):
+    # path graph 0-1-2-...-9: diameter 9, label 0 must reach the far end
+    edges = [(i, i + 1) for i in range(9)]
+    res = connected_components(make_edges(spark, edges), max_iter=30)
+    got = {r["component"] for r in res.components.collect()}
+    assert got == {0}
