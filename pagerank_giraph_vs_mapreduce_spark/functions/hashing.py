@@ -25,10 +25,14 @@ MULT = 131
 MINHASH_A = (
     1103515245, 1103592907, 134775813, 214013, 69069, 1664525,
     22695477, 1103515221, 48271, 16807, 69621, 40692,
+    741103597, 887987685, 259336153, 76886297, 630360016, 251033993,
+    442577113, 988033853, 127136089, 670443841, 374441957, 21403699,
 )
 MINHASH_B = (
     12345, 2531011, 1, 13849, 5, 1013904223,
     1, 11, 7, 3, 23, 17,
+    29, 31, 37, 41, 43, 47,
+    53, 59, 61, 67, 71, 73,
 )
 
 

@@ -5,14 +5,15 @@ All hashing uses the cross-engine primitives in functions/hashing.py so
 every operator keeps an exact DuckDB oracle (integer arithmetic only).
 
 Scale notes (100 TB posture):
-- shingling fans out rows ×(text_len); it is a narrow map (no shuffle)
-  feeding ONE distinct-aggregate shuffle keyed by (doc, code).
-- MinHash signatures are a single groupBy with n_hashes min-aggregates —
-  map-side partial min makes the shuffle carry one row per (doc).
+- shingling AND MinHash/SimHash signatures are pure per-row array
+  expressions (char-code array → shingle-code array → array_min per hash):
+  ZERO shuffles; the whole signature stage is scan-bound.
 - LSH banding re-keys by (band, band_key); hot buckets (boilerplate docs)
   are the skew risk — AQE skew-join splitting plus the candidate
   `distinct` keep the pair explosion bounded; exact-Jaccard verification
-  touches only candidate pairs, never the full cross product.
+  touches only candidate pairs, never the full cross product. Band width
+  sets the precision/recall point: 4 bands × 6 rows over 24 hashes accepts
+  ~6% of jaccard-0.5 pairs while keeping ~95% recall at jaccard 0.9.
 """
 
 from __future__ import annotations
@@ -21,11 +22,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.functions.hashing import (
+    CODE_MOD,
     HASH_MOD,
     MINHASH_A,
     MINHASH_B,
+    MULT,
     minhash_col,
-    shingle_code_col,
 )
 
 
@@ -36,43 +38,79 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def shingle_code_array(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int = 5
+) -> DataFrame:
+    """(id, codes ARRAY<BIGINT>) — distinct shingle codes per document,
+    computed entirely per-row: a narrow map, NO shuffle. Documents shorter
+    than ``shingle_len`` are dropped.
+
+    The text is first exploded into a char-code array (one O(len) pass);
+    each shingle code is then ``shingle_len`` O(1) ``element_at`` lookups.
+    Computing ``substring(t, i, L)`` per index instead would be O(i) per
+    call (UTF-8 codepoint traversal) — quadratic per document, measured
+    12s for 5500 docs vs ~1s this way."""
+    t = F.col(text_col)
+    chars = F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long"))
+    pre = df.filter(F.length(t) >= shingle_len).select(
+        F.col(id_col).alias("id"),
+        chars.alias("_chars"),
+        # clamp ≥1: sequence(1, n<1) would descend through index 0; the
+        # inferred-predicate evaluation (see code_at note) can reach short
+        # rows even though the length filter drops them from the output
+        F.greatest(F.length(t) - F.lit(shingle_len - 1), F.lit(1)).alias("_n"),
+    )
+    weights = [MULT ** (shingle_len - 1 - k) for k in range(shingle_len)]
+
+    def code_at(i):  # i is 1-based shingle start
+        total = None
+        for k, w in enumerate(weights):
+            # try_element_at: Catalyst infers a `size(codes) > 0` predicate
+            # from the downstream explode and may evaluate it BEFORE the
+            # length filter; strict element_at would throw on short rows.
+            # Valid rows are never out of bounds, so semantics are equal.
+            term = F.try_element_at(F.col("_chars"), i + F.lit(k)) * F.lit(w)
+            total = term if total is None else total + term
+        return total % F.lit(CODE_MOD)
+
+    codes = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.col("_n")), code_at)
+    )
+    return pre.select("id", codes.alias("codes"))
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_len: int = 5
 ) -> DataFrame:
-    """Distinct (id, code) character-shingle codes per document.
-
-    Narrow explode (no shuffle) then one distinct-aggregate shuffle.
-    Documents shorter than ``shingle_len`` produce no shingles.
-    """
-    n = F.length(text_col) - F.lit(shingle_len - 1)
-    exploded = (
-        df.filter(F.length(text_col) >= shingle_len)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.sequence(F.lit(1), n)).alias("i"),
-            F.col(text_col).alias("_t"),
-        )
-        .select("id", F.expr(f"substring(_t, i, {shingle_len})").alias("sh"))
+    """Exploded (id, code) view of shingle_code_array (distinct by
+    construction — the dedup happened per-row, shuffle-free)."""
+    return shingle_code_array(df, id_col, text_col, shingle_len).select(
+        "id", F.explode("codes").alias("code")
     )
-    return exploded.select(
-        "id", shingle_code_col(F.col("sh"), shingle_len).alias("code")
-    ).distinct()
 
 
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n_hashes: int = 12,
+    n_hashes: int = 24,
     shingle_len: int = 5,
 ) -> DataFrame:
-    """(id, mh0..mh{n-1}) MinHash signature — one groupBy, n min-aggregates."""
+    """(id, mh0..mh{n-1}) MinHash signature.
+
+    Each component is ``array_min(transform(codes, h_j))`` over the per-row
+    code array — the whole signature stage is a narrow projection with ZERO
+    shuffles (the earlier explode+groupBy formulation shuffled |doc|×|text|
+    rows; this shuffles nothing)."""
     assert n_hashes <= len(MINHASH_A)
-    sh = shingles(df, id_col, text_col, shingle_len)
-    aggs = [
-        F.min(minhash_col(F.col("code"), j)).alias(f"mh{j}") for j in range(n_hashes)
+    arr = shingle_code_array(df, id_col, text_col, shingle_len)
+    cols = [
+        F.array_min(
+            F.transform(F.col("codes"), lambda c: minhash_col(c, j))
+        ).alias(f"mh{j}")
+        for j in range(n_hashes)
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return arr.select("id", *cols)
 
 
 def lsh_candidate_pairs(
@@ -148,27 +186,34 @@ def minhash_near_dups(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
-    n_hashes: int = 12,
+    n_hashes: int = 24,
     shingle_len: int = 5,
     bands: int = 4,
 ) -> DataFrame:
     """Full MinHash→LSH→exact-verify near-dup pipeline (id_a, id_b, jaccard).
 
-    The shingle table feeds BOTH the signature stage and the exact-Jaccard
-    verification — it is cached so the (expensive) explode+distinct runs
-    once, not twice (measured 1.8× end-to-end at sf0.1).
+    The per-row code-array table feeds BOTH the (shuffle-free) signature
+    stage and the exact-Jaccard verification — cached so shingling runs
+    once; the only shuffles in the whole pipeline are the LSH bucket join
+    and the candidate-routed intersection counts.
     """
     from pyspark.storagelevel import StorageLevel
 
     rows_per_band = n_hashes // bands
-    sh = shingles(df, id_col, text_col, shingle_len).persist(
+    arr = shingle_code_array(df, id_col, text_col, shingle_len).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    aggs = [
-        F.min(minhash_col(F.col("code"), j)).alias(f"mh{j}") for j in range(n_hashes)
-    ]
-    sigs = sh.groupBy("id").agg(*aggs)
+    sigs = arr.select(
+        "id",
+        *[
+            F.array_min(
+                F.transform(F.col("codes"), lambda c: minhash_col(c, j))
+            ).alias(f"mh{j}")
+            for j in range(n_hashes)
+        ],
+    )
     cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = arr.select("id", F.explode("codes").alias("code"))
     return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 
 
@@ -179,22 +224,27 @@ def simhash(
     df: DataFrame, id_col: str, text_col: str, shingle_len: int = 5
 ) -> DataFrame:
     """31-bit SimHash per document: bit b is the sign of Σ_shingles ±1
-    (weight +1 if bit b of the shingle hash is set). One groupBy with 31
-    conditional-sum aggregates, then bit assembly — map-side combinable."""
-    sh = shingles(df, id_col, text_col, shingle_len)
-    h = minhash_col(F.col("code"), 0)
-    rehashed = sh.select("id", h.alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    per_bit = rehashed.groupBy("id").agg(*aggs)
+    (weight +1 if bit b of the shingle hash is set).
+
+    Computed entirely per-row over the code array (rehash via transform,
+    31 array-aggregate bit sums, assemble) — like the MinHash stage, a
+    narrow shuffle-free projection."""
+    arr = shingle_code_array(df, id_col, text_col, shingle_len).select(
+        "id", F.transform("codes", lambda c: minhash_col(c, 0)).alias("hs")
+    )
+
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1),
+        )
+
     sig: Column = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        sig = sig + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(0)
-    return per_bit.select("id", sig.alias("simhash"))
+        sig = sig + F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(0)
+    return arr.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dups(

@@ -31,9 +31,9 @@ from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
 from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
 
 SHINGLE_LEN = 5
-N_HASHES = 12
+N_HASHES = 24
 BANDS = 4
-ROWS_PER_BAND = 3
+ROWS_PER_BAND = 6
 
 DOCS2_SQL = """docs2 AS (
   SELECT doc_id, text FROM documents
@@ -105,7 +105,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"WITH {DOCS2_SQL},\n{SHINGLES_SQL},\n{SIG_SQL} SELECT * FROM sig",
 )
 def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (12 universal hashes over 5-char shingles)."""
+    """MinHash signatures (24 universal hashes over 5-char shingles)."""
     return minhash_signatures(
         _docs2(spark, sf_dir), "doc_id", "text", N_HASHES, SHINGLE_LEN
     )
@@ -121,7 +121,12 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT id_a, id_b FROM cand""",
 )
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding (4 bands × 3 rows): candidate pairs sharing a bucket."""
+    """LSH banding (4 bands × 6 rows): candidate pairs sharing a bucket.
+
+    r=6 keeps candidate acceptance at ~6%% for jaccard-0.5 pairs while
+    retaining ~95%% recall at jaccard 0.9 (1-(1-j^6)^4) — the 4×3 config
+    accepted 41%% of j=0.5 pairs, flooding verification on vocab-shared
+    corpora."""
     sigs = minhash_signatures(
         _docs2(spark, sf_dir), "doc_id", "text", N_HASHES, SHINGLE_LEN
     )

@@ -33,7 +33,14 @@ def main(argv: list[str]) -> int:
     min_iter = int(argv[5]) if len(argv) > 5 else 5
 
     spark = get_spark()
-    edges = read_edgelist(spark, inp)
+    try:
+        edges = read_edgelist(spark, inp)
+        edges.first()  # force path validation before the run starts
+    except Exception as exc:  # noqa: BLE001
+        if "PATH_NOT_FOUND" in str(exc):
+            print(f"error: input path not found: {inp}")
+            return 1
+        raise
     result = pagerank(
         edges, damping=damping, max_iter=max_iter, tol=threshold, min_iter=min_iter
     )
