@@ -1,0 +1,104 @@
+"""Temporal join operators Spark lacks as built-ins (charter: custom
+operators expressed as compositions of DataFrame ops — SURVEY.md §2.9):
+
+- as-of join: for each left row, the latest right row with
+  right.time <= left.time within the same key (DuckDB: native ASOF JOIN,
+  which the declared query uses as its oracle).
+- binned range join: equi-bucketed interval join — the scale-safe form of
+  a non-equi time-range join (a plain range predicate compiles to a
+  broadcast-nested-loop at best; binning turns it into an equi shuffle
+  join plus a residual filter).
+
+Scale notes: the as-of join is one union + one window pass — shuffle by
+key, sort by time within partition; no self-cross. The range join shuffles
+on (key?, bin); bin width trades duplication factor (interval_len/bin)
+against bucket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """For each left row: columns of the latest right row with
+    ``right.time_col <= left.time_col`` and equal ``key`` (NULL payload if
+    no such row). Implemented as tagged union + last-non-null window — one
+    shuffle, no cross product.
+
+    Right-side ties on (key, time) are broken by the last payload in
+    column order — pass a unique tiebreaker in ``payload_cols`` ordering
+    if exact tie semantics matter.
+    """
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
+    )
+    r_tag = right.select(
+        *[
+            F.col(c) if c in (key, time_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at equal time → "<=" semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *lcols,
+        "_is_left",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *lcols, *[F.col(f"_r_{c}").alias(f"right_{c}") for c in payload_cols]
+    )
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+) -> DataFrame:
+    """Join each point p to every interval [start, end) containing it,
+    via equi-join on bin id (intervals replicated per covered bin) plus a
+    residual range filter. All columns from both sides are kept.
+
+    ``bin_width`` should be >= the typical interval length so replication
+    stays near 2×; the bin column is the natural partitioning key at scale.
+    """
+    p = points.withColumn("_bin", (F.col(point_col) / bin_width).cast("long"))
+    i = intervals.withColumn(
+        "_bins",
+        F.sequence(
+            (F.col(start_col) / bin_width).cast("long"),
+            (F.col(end_col) / bin_width).cast("long"),
+        ),
+    ).withColumn("_bin", F.explode("_bins")).drop("_bins")
+    return (
+        p.join(i, "_bin")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bin")
+    )

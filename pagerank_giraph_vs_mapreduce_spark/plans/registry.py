@@ -39,6 +39,8 @@ _QUERY_MODULES = (
     "pagerank_giraph_vs_mapreduce_spark.plans.multimodal_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.sql_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.function_queries",
+    "pagerank_giraph_vs_mapreduce_spark.plans.udf_queries",
+    "pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries",
 )
 
 

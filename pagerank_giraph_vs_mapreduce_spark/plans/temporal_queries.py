@@ -1,0 +1,80 @@
+"""Declared temporal-join queries (operators/temporal.py).
+
+The as-of oracle uses DuckDB's NATIVE ``ASOF LEFT JOIN`` — our
+union+window composition must reproduce the dedicated engine operator
+exactly. The range-join oracle is the plain non-equi predicate that the
+binned implementation must match while staying an equi shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.operators.temporal import (
+    asof_join,
+    binned_range_join,
+)
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_events
+
+HOUR_US = 3_600_000_000
+
+
+@query(
+    "asof_click_purchase",
+    oracle="""WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'click'),
+purch AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+  WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, c.ts_us,
+       p.event_id AS right_event_id,
+       p.value AS right_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""",
+)
+def asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's latest purchase at-or-before it —
+    the union+window as-of vs DuckDB's native ASOF JOIN."""
+    e = load_events(spark, sf_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    return asof_join(clicks, purch, "user_id", "ts_us", ["event_id", "value"])
+
+
+@query(
+    "range_join_signup_errors",
+    oracle=f"""WITH signups AS (
+  SELECT event_id AS signup_id, user_id, epoch_us(ts) AS s_start,
+         epoch_us(ts) + {HOUR_US} AS s_end
+  FROM events WHERE event_type = 'signup'),
+errors AS (
+  SELECT event_id AS error_id, epoch_us(ts) AS e_ts FROM events
+  WHERE event_type = 'error')
+SELECT s.signup_id, s.user_id, e.error_id
+FROM errors e JOIN signups s
+  ON e.e_ts >= s.s_start AND e.e_ts < s.s_end""",
+)
+def range_join_signup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors landing within one hour after any signup — binned equi-join
+    + residual filter vs the oracle's plain range predicate."""
+    e = load_events(spark, sf_dir)
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts_us").alias("s_start"),
+        (F.col("ts_us") + F.lit(HOUR_US)).alias("s_end"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts_us").alias("e_ts")
+    )
+    joined = binned_range_join(
+        errors, signups, "e_ts", "s_start", "s_end", bin_width=HOUR_US
+    )
+    return joined.select("signup_id", "user_id", "error_id")
