@@ -85,8 +85,46 @@ def main() -> int:
             sum(h.seconds for h in res.history) / len(res.history), 3
         )
 
+    def run_pagerank_large() -> None:
+        """Kernel scaling proxy: ~200k vertices / ~2.4M edges synthesized
+        from 4 shifted copies of lineitem pairs (the derived sf0.1 graph
+        has only 1500 vertices — too small to exercise the V-row shuffle).
+        3 fixed supersteps; records sec/iter on the bigger graph."""
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        copies = []
+        for s in range(4):
+            copies.append(
+                li.select(
+                    ((F.col("l_orderkey") * 7 + F.col("l_linenumber") + s * 49999) % 200000).alias("src"),
+                    ((F.col("l_partkey") * 31 + F.col("l_suppkey") + s * 31337) % 200000).alias("dst"),
+                )
+            )
+        edges = copies[0]
+        for c in copies[1:]:
+            edges = edges.unionAll(c)
+        res = pagerank(edges, max_iter=3, tol=-1.0, min_iter=0)
+        extras["pagerank_large_n_vertices"] = res.n_vertices
+        extras["pagerank_large_sec_per_iter"] = round(
+            sum(h.seconds for h in res.history) / len(res.history), 3
+        )
+
+    def run_pagerank_flatness() -> None:
+        """15 forced supersteps on the derived graph; first-vs-last
+        iteration ratio certifies flat per-superstep cost (the
+        Giraph-shape claim — lineage truncation working)."""
+        res = pagerank(derived_edges(spark, sf_dir), max_iter=15, tol=-1.0, min_iter=0)
+        secs = [h.seconds for h in res.history]
+        mid = sorted(secs)[len(secs) // 2]
+        extras["pagerank_iter1_sec"] = round(secs[0], 3)
+        extras["pagerank_iter15_sec"] = round(secs[-1], 3)
+        extras["pagerank_iter_median_sec"] = round(mid, 3)
+
     timed("pagerank_full", run_pagerank)
     timed("pagerank_skewed_3iter", run_pagerank_skewed)
+    timed("pagerank_large_3iter", run_pagerank_large)
+    timed("pagerank_flatness_15iter", run_pagerank_flatness)
     for q in (
         "rel_q1_pricing",
         "rel_join_q3",
