@@ -192,6 +192,121 @@ def pagerank(
     return PageRankResult(result, n, iterations, converged, history)
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: list[int],
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+    min_iter: int = 5,
+    graph: GraphTables | None = None,
+) -> PageRankResult:
+    """PageRank with teleport restricted to ``sources`` (random-walk-with-
+    restart relevance scores).
+
+    Not in the reference (its teleport is uniform, GI/PageRankVertex.java:40-43);
+    this is the standard personalization extension of the same C1 formula:
+    the uniform reset 1/N becomes a reset vector v with v_i = 1/|S| for
+    i ∈ S else 0, and dangling mass redistributes along v instead of
+    uniformly:
+
+        pr = (1-d)*v + d*(Σ contrib + dangling_sum * v)
+
+    Init pr = v (the walk starts at the sources). Everything else — scatter,
+    gather, dedup, single stats action, lazy localCheckpoint per superstep —
+    is the uniform kernel's machinery; same scale shape (links shuffled
+    once, only V rows move per superstep). Sources absent from the graph
+    contribute no mass (their reset weight is simply never materialized),
+    keeping results well-defined on any input.
+    """
+    own_graph = graph is None
+    g = graph or build_graph(edges)
+    n = g.n_vertices
+    if n == 0 or not sources:
+        empty = edges.sparkSession.createDataFrame([], "id bigint, pr double")
+        return PageRankResult(empty, n, 0, True, [])
+    w = 1.0 / len(sources)
+    src_ids = [int(s) for s in sources]
+
+    out_src = g.links.select("src").distinct()
+    reset = F.when(F.col("id").isin(src_ids), F.lit(w)).otherwise(F.lit(0.0))
+    ranks = (
+        g.vertices.join(out_src, g.vertices.id == out_src.src, "left")
+        .select(
+            "id",
+            reset.alias("reset"),
+            reset.alias("pr"),
+            F.col("src").isNull().alias("dangling"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    first = ranks.agg(
+        F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum")
+    ).first()
+    dangling_sum = float(first["dsum"] or 0.0)
+
+    history: list[IterationStats] = []
+    converged = False
+    iterations = 0
+    for i in range(max_iter):
+        t0 = time.monotonic()
+        msgs = (
+            g.links.join(ranks.select(F.col("id").alias("src"), "pr"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("outdeg")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        new = (
+            ranks.select("id", "reset", "dangling", F.col("pr").alias("pr_old"))
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                "reset",
+                "dangling",
+                "pr_old",
+                (
+                    F.lit(1.0 - damping) * F.col("reset")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.lit(dangling_sum) * F.col("reset")
+                    )
+                ).alias("pr"),
+            )
+        )
+        new = new.localCheckpoint(eager=False)
+        stats = new.agg(
+            F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("diff"),
+            F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum"),
+            F.sum("pr").alias("total"),
+        ).first()
+        ranks.unpersist()
+        ranks = new.select("id", "reset", "pr", "dangling")
+        dangling_sum = float(stats["dsum"] or 0.0)
+        avg_diff = float(stats["diff"] or 0.0) / n
+        iterations = i + 1
+        history.append(
+            IterationStats(
+                iteration=iterations,
+                avg_diff=avg_diff,
+                dangling_sum=dangling_sum,
+                total_pr=float(stats["total"] or 0.0),
+                seconds=time.monotonic() - t0,
+            )
+        )
+        if iterations >= min_iter and avg_diff <= tol:
+            converged = True
+            break
+
+    result = ranks.select("id", "pr")
+    if own_graph:
+        g.unpersist()
+    return PageRankResult(result, n, iterations, converged, history)
+
+
 def top_k(ranks: DataFrame, k: int = 50) -> DataFrame:
     """T1: top-K vertices by PR (reference K=50, MR/PageRankDriver.java:352-384).
 

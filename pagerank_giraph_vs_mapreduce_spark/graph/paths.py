@@ -1,0 +1,82 @@
+"""Breadth-first shortest paths (hop counts) from a source vertex — a third
+iterative kernel on the cached-DataFrame superstep skeleton (SURVEY.md §7.0,
+same I1-I4 machinery as graph/pagerank.py and graph/components.py).
+
+The reference implements only PageRank (MR/PageRankDriver.java,
+GI/PageRankVertex.java); BFS demonstrates the same scatter/gather loop with
+frontier semantics: per superstep, ONLY the frontier (vertices first reached
+last hop) joins the edge table — message volume is O(frontier out-degree),
+not O(E), so supersteps get *cheaper* as the frontier collapses.
+
+Scale notes (100 TB): the edge table shuffles once at build (repartition by
+src, cached); each hop shuffles frontier-out-neighbors only. The settled
+`dist` table grows monotonically to V rows; `localCheckpoint` per hop keeps
+its lineage flat. For huge-diameter graphs the loop count is the diameter —
+acceptable because per-hop cost tracks frontier size, not graph size.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class BfsResult:
+    distances: DataFrame  # (id BIGINT, dist BIGINT) — only reached vertices
+    iterations: int
+    history: list[tuple[int, int, float]] = field(default_factory=list)
+    # (hop, frontier_size, seconds)
+
+
+def bfs_distances(edges: DataFrame, source: int, max_hops: int = 10) -> BfsResult:
+    """Minimum hop count from ``source`` along directed edges(src, dst).
+
+    Returns only vertices reachable within ``max_hops`` (the source itself
+    at dist 0). Duplicate edges are deduped (A2 semantics); unreachable
+    vertices are absent, mirroring a recursive-SQL BFS oracle.
+    """
+    spark = edges.sparkSession
+    links = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    dist = spark.createDataFrame([(int(source), 0)], "id bigint, dist bigint").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    frontier = dist.select("id")
+
+    history: list[tuple[int, int, float]] = []
+    iterations = 0
+    for hop in range(1, max_hops + 1):
+        t0 = time.monotonic()
+        # Scatter from the frontier only; anti-join drops settled vertices —
+        # BFS's "first arrival is the minimum" invariant.
+        reached = (
+            links.join(frontier.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).cast("bigint").alias("dist"))
+        )
+        # Lazy localCheckpoint both truncates lineage and stores the RDD —
+        # the count below is the hop's single action and materializes it.
+        new_dist = dist.unionAll(reached).localCheckpoint(eager=False)
+        n_new = new_dist.count() - sum(f for _, f, _ in history) - 1
+        dist.unpersist()
+        dist = new_dist
+        frontier = dist.filter(F.col("dist") == hop).select("id")
+        iterations = hop
+        history.append((hop, int(n_new), time.monotonic() - t0))
+        if n_new == 0:
+            break
+
+    links.unpersist()
+    return BfsResult(distances=dist, iterations=iterations, history=history)

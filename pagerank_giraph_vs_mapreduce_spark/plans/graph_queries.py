@@ -247,3 +247,157 @@ def g_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), F.asc("id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional kernels beyond the reference's PageRank: BFS shortest paths,
+# personalized PageRank, triangle counting, degree distribution. Same derived
+# graph, same oracle discipline.
+
+BFS_SOURCE = 0
+BFS_HOPS = 4
+
+_BFS_SQL = (
+    GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+bfs AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT e.dst AS id, b.dist + 1 AS dist
+  FROM bfs b JOIN edges e ON e.src = b.id
+  WHERE b.dist < {BFS_HOPS})
+SELECT id, min(dist) AS dist FROM bfs GROUP BY id"""
+)
+
+
+@query("g_bfs_hops_k4", oracle=_BFS_SQL)
+def g_bfs_hops_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS kernel (graph/paths.py) vs a bounded recursive-CTE
+    oracle: min hop count from vertex 0 within 4 hops. Integer-exact —
+    no float tolerance needed."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import bfs_distances
+
+    res = bfs_distances(derived_edges(spark, sf_dir), source=BFS_SOURCE, max_hops=BFS_HOPS)
+    return res.distances
+
+
+PPR_SOURCES = [0, 1, 2, 3]  # |S| = 4 → reset weight 0.25, exact in binary
+PPR_K = 3
+
+
+def _ppr_unrolled_sql(k: int, sources: list[int], d: float = 0.85) -> str:
+    """personalized_pagerank's exact semantics as k unrolled SQL iterations.
+
+    Reset weights (0.25/0.0) are binary-exact and CAST to DOUBLE so both
+    engines run identical IEEE arithmetic; remaining noise is summation
+    order (~1e-17), absorbed by round(9) like the uniform oracle.
+    """
+    ids = ", ".join(str(s) for s in sources)
+    w = 1.0 / len(sources)
+    reset = f"CAST(CASE WHEN {{alias}}id IN ({ids}) THEN {w!r} ELSE 0.0 END AS DOUBLE)"
+    ctes = [f"p0 AS (SELECT id, {reset.format(alias='')} AS pr FROM verts)"]
+    for i in range(1, k + 1):
+        p = f"p{i - 1}"
+        ctes.append(
+            f"""pdang{i} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM {p}
+  WHERE id NOT IN (SELECT id FROM deg))"""
+        )
+        ctes.append(
+            f"""pc{i} AS (
+  SELECT e.dst AS id, sum(r.pr / g.outdeg) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.id JOIN deg g ON g.id = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""p{i} AS (
+  SELECT v.id,
+         (1 - {d}) * {reset.format(alias='v.')}
+         + {d} * (coalesce(c.contrib, 0.0)
+                  + (SELECT dm FROM pdang{i}) * {reset.format(alias='v.')}) AS pr
+  FROM verts v LEFT JOIN pc{i} c ON v.id = c.id)"""
+        )
+    return f"{GRAPH_CTES},\n" + ",\n".join(ctes) + f"\nSELECT id, round(pr, 9) AS pr FROM p{k}"
+
+
+@query("g_ppr_k3", oracle=_ppr_unrolled_sql(PPR_K, PPR_SOURCES))
+def g_ppr_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart to sources {0..3}),
+    k=3 supersteps, vs its unrolled SQL oracle."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        personalized_pagerank,
+    )
+
+    res = personalized_pagerank(
+        derived_edges(spark, sf_dir),
+        sources=PPR_SOURCES,
+        max_iter=PPR_K,
+        tol=-1.0,
+        min_iter=0,
+    )
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
+_TRI_CTES = f"""{GRAPH_CTES},
+eo AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst)"""
+
+
+@query(
+    "g_triangle_count",
+    oracle=f"""{_TRI_CTES}
+SELECT count(*) AS n_triangles
+FROM eo a
+JOIN eo b ON b.u = a.v
+JOIN eo c ON c.u = a.u AND c.v = b.v""",
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the undirected deduped graph (self-loops
+    dropped): orient every edge low→high id, enumerate wedges u<v<w via a
+    self-join, then close them against the oriented edge set.
+
+    The orientation means each triangle is counted exactly once and every
+    join key is the *lower*-id endpoint — the standard degree-bounding trick
+    for distributed triangle counting; at 100 TB the refinement is ordering
+    by degree instead of id so hub vertices never key the wedge join.
+    NOTE: wedge count is Σ C(deg,2) — quadratic in degree; run on sparse
+    graphs (the sf0.1 derived graph is near-complete and not a sensible
+    triangle-counting input, so bench uses the kernels, not this query).
+    """
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    eo = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+    a, b, c = eo.alias("a"), eo.alias("b"), eo.alias("c")
+    wedges = a.join(b, F.col("b.u") == F.col("a.v"))
+    closed = wedges.join(
+        c,
+        (F.col("c.u") == F.col("a.u")) & (F.col("c.v") == F.col("b.v")),
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+@query(
+    "g_degree_hist",
+    oracle=f"""{GRAPH_CTES}
+SELECT coalesce(d.outdeg, 0) AS outdeg, count(*) AS n_vertices
+FROM verts v LEFT JOIN deg d ON v.id = d.id
+GROUP BY coalesce(d.outdeg, 0)""",
+)
+def g_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram over the full vertex universe (dangling vertices
+    land in the 0 bucket — P2 as a distribution, the degree-skew summary
+    README.md:410-414 tabulates for its datasets)."""
+    _, _, verts, deg = _graph_parts(spark, sf_dir)
+    return (
+        verts.join(deg, "id", "left")
+        .select(F.coalesce(F.col("outdeg"), F.lit(0)).alias("outdeg"))
+        .groupBy("outdeg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )

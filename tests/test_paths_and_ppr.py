@@ -1,0 +1,76 @@
+"""BFS shortest-paths kernel and personalized PageRank: closed-form small
+graphs (SURVEY.md §5.2 item 2 style)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import personalized_pagerank
+from pagerank_giraph_vs_mapreduce_spark.graph.paths import bfs_distances
+from tests.conftest import make_edges
+
+
+def _dists(res):
+    return {r["id"]: r["dist"] for r in res.distances.collect()}
+
+
+def test_bfs_chain(spark):
+    # 0→1→2→3, plus a shortcut 0→2: dist(2) must take the shortcut.
+    edges = make_edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2)])
+    res = bfs_distances(edges, source=0, max_hops=10)
+    assert _dists(res) == {0: 0, 1: 1, 2: 1, 3: 2}
+    # Frontier collapsed: last history entry reports zero new vertices.
+    assert res.history[-1][1] == 0
+
+
+def test_bfs_unreachable_and_direction(spark):
+    # Directed: 1→0 does not make 1 reachable from 0; 5-6 is disconnected.
+    edges = make_edges(spark, [(1, 0), (5, 6)])
+    res = bfs_distances(edges, source=0, max_hops=5)
+    assert _dists(res) == {0: 0}
+
+
+def test_bfs_hop_bound(spark):
+    edges = make_edges(spark, [(0, 1), (1, 2), (2, 3)])
+    res = bfs_distances(edges, source=0, max_hops=2)
+    assert _dists(res) == {0: 0, 1: 1, 2: 2}  # 3 is beyond the bound
+
+
+def test_bfs_duplicate_edges(spark):
+    edges = make_edges(spark, [(0, 1), (0, 1), (1, 2)])
+    res = bfs_distances(edges, source=0, max_hops=4)
+    assert _dists(res) == {0: 0, 1: 1, 2: 2}
+
+
+def test_ppr_two_node_closed_form(spark):
+    # 0⇄1, teleport only to 0. Fixpoint of
+    #   pr0 = 0.15 + 0.85*pr1 ; pr1 = 0.85*pr0
+    # → pr0 = 0.15/(1-0.85²), pr1 = 0.85*pr0.
+    edges = make_edges(spark, [(0, 1), (1, 0)])
+    res = personalized_pagerank(edges, sources=[0], max_iter=200, tol=1e-12)
+    got = {r["id"]: r["pr"] for r in res.ranks.collect()}
+    pr0 = 0.15 / (1 - 0.85**2)
+    assert got[0] == pytest.approx(pr0, abs=1e-9)
+    assert got[1] == pytest.approx(0.85 * pr0, abs=1e-9)
+    assert res.converged
+
+
+def test_ppr_mass_conservation_with_dangling(spark):
+    # 2 is dangling; its mass returns to the source set, so Σpr stays 1.
+    edges = make_edges(spark, [(0, 1), (0, 2), (1, 2)])
+    res = personalized_pagerank(edges, sources=[0, 1], max_iter=50, tol=1e-10)
+    total = sum(r["pr"] for r in res.ranks.collect())
+    assert total == pytest.approx(1.0, abs=1e-9)
+    # Teleport-unreachable? No — everything is reachable from {0,1} here;
+    # but a vertex with no in-edges and no reset weight must end at pr 0.
+    edges2 = make_edges(spark, [(7, 0), (0, 1), (1, 0)])
+    res2 = personalized_pagerank(edges2, sources=[0], max_iter=50, tol=1e-10)
+    got = {r["id"]: r["pr"] for r in res2.ranks.collect()}
+    assert got[7] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_ppr_empty_sources_and_empty_graph(spark):
+    edges = make_edges(spark, [(0, 1)])
+    assert personalized_pagerank(edges, sources=[]).ranks.count() == 0
+    empty = make_edges(spark, [])
+    assert personalized_pagerank(empty, sources=[1]).ranks.count() == 0
