@@ -108,6 +108,88 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def streaming_click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_secs: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to clicks by the same
+    user within the preceding ``horizon_secs`` — the streaming twin of the
+    batch as-of/range temporal joins (operators/temporal.py).
+
+    Both sides carry watermarks and the join condition time-bounds the
+    buffered state: a click older than (watermark + horizon) can never
+    match a future purchase, so Spark evicts it. Without the time bound the
+    state store grows without limit — the canonical stream-join pitfall.
+    State shards by user_id across executors (shuffle on the equi-key).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_secs} SECONDS")
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.unix_timestamp("click_ts").alias("click_s"),
+        F.unix_timestamp("purchase_ts").alias("purchase_s"),
+        "value",
+    )
+
+
+def run_foreach_batch_upsert(
+    stream: DataFrame, out_dir: str, key: str = "event_id"
+) -> list[int]:
+    """foreachBatch sink: per micro-batch, dedup on ``key`` and append to a
+    parquet dir partitioned by batch id — the idempotent-upsert pattern for
+    sinks with no native streaming support (JDBC, plain parquet).
+
+    foreachBatch hands the micro-batch over as a *batch* DataFrame, so the
+    full batch API (dedup, merge joins, overwrite-by-partition) applies;
+    writing each batch to ``batch_id=N`` partitions makes replays after
+    failure overwrite-idempotent instead of duplicating. Returns the batch
+    ids processed.
+    """
+    seen: list[int] = []
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        seen.append(batch_id)
+        (
+            batch.dropDuplicates([key])
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{out_dir}_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    return seen
+
+
 def run_to_memory_sink(stream: DataFrame, name: str) -> None:
     """Drain all available input into an in-memory table (test harness)."""
     q = (
