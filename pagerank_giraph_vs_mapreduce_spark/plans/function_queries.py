@@ -181,3 +181,107 @@ def fn_win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(full).alias("second_price"),
         F.round(F.avg("o_totalprice").over(mov), 6).alias("mov_avg3"),
     )
+
+
+@query(
+    "fn_stats_agg",
+    oracle="""SELECT o_orderstatus,
+  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+  round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+  round(median(o_totalprice), 6) AS med,
+  round(stddev_samp(o_totalprice), 4) AS sd,
+  round(var_samp(o_totalprice), 2) AS var,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(28, 6))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus""",
+)
+def fn_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: continuous percentiles, median, sample
+    stddev/variance.
+
+    Determinism: percentile_cont interpolates between two order statistics
+    of the sorted values — engine-independent up to one IEEE op, round(6).
+    stddev/var accumulate sums of squares in engine-specific order →
+    rounded coarser (4/2 dp ≈ 1e-10 relative on these magnitudes). The
+    plain sum goes through DECIMAL like every other money aggregate here.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 6).alias("p50"),
+        F.round(F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 6).alias("p90"),
+        F.round(F.median("o_totalprice"), 6).alias("med"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("var"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("total"),
+    )
+
+
+@query(
+    "fn_hash_sample",
+    oracle="""SELECT count(*) AS n_sampled,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(28, 6))) AS DOUBLE) AS sampled_total
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'""",
+)
+def fn_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via md5-prefix filter (md5 is standardized,
+    so the SAME rows are selected by any engine, any cluster layout, any
+    run — unlike rng-based TABLESAMPLE, whose selection is seed- and
+    partitioning-dependent).
+
+    This is the reproducible-sampling pattern a 100 TB training-data
+    pipeline needs: the sample is a pure row-local predicate (pushes to the
+    scan, no shuffle), stable under retries/re-partitioning, and composable
+    (rate = prefix threshold; '1a'/256 ≈ 10.2%).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    ).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("sampled_total"),
+    )
+
+
+@query(
+    "fn_sketch_bounds",
+    oracle="""SELECT
+  count(DISTINCT o_custkey) AS n_exact,
+  TRUE AS hll_within_3pct,
+  TRUE AS approx_p50_within_1pct
+FROM orders""",
+)
+def fn_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches (HyperLogLog++ distinct count, approx
+    percentile) validated IN-PLAN against their exact counterparts.
+
+    Sketch outputs are estimator-specific and can never hash-match another
+    engine, so the declared result is the *error-bound check*: Spark
+    computes both the sketch and the exact value and emits whether the
+    sketch landed inside its error envelope (HLL++ rsd=0.01 with a
+    3-sigma bound — rsd is a standard deviation, not a hard cap, so the
+    1-sigma bound is wrong ~1/3 of the time; approx_percentile accuracy
+    10000 ≈ 1e-4 rank error, 1% value slack). HLL++ is deterministic for
+    a fixed input, so the checks are stable, not flaky. The oracle
+    independently recomputes the exact value and asserts
+    the bounds hold (literal TRUE). At 100 TB the sketches are the only
+    option — single-pass, bounded memory, mergeable across partitions —
+    and this query is the harness proving they stay honest.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_hll"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("p50_approx"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50_exact"),
+    )
+    return row.select(
+        "n_exact",
+        (
+            F.abs(F.col("n_hll") - F.col("n_exact"))
+            <= 0.03 * F.col("n_exact")
+        ).alias("hll_within_3pct"),
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= 0.01 * F.col("p50_exact")
+        ).alias("approx_p50_within_1pct"),
+    )
