@@ -79,3 +79,96 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("frame_n", T.LongType()),
+    ]
+)
+
+
+def ascii_payload(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload STRING): printable-ASCII-sanitized text standing in
+    for a decoded media byte stream (chars == bytes after sanitization, so
+    character ops below are exactly byte ops)."""
+    return docs.select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("payload")
+    )
+
+
+def sample_frames(media: DataFrame, frame_chars: int = 64, every: int = 4) -> DataFrame:
+    """Frame sampling: split each payload into fixed-size frames, keep every
+    ``every``-th — the video-frame-extraction batch shape (one input row →
+    many output rows) as Arrow-batched ``mapInPandas``.
+
+    Emits md5 of each kept frame (the stand-in for "decoded frame tensor");
+    a real deployment replaces the hash with the codec call — the row
+    fan-out, schema and batching are the contract under test. Fan-out is
+    bounded per input row, so task memory stays flat; output partitioning
+    inherits the input's (no shuffle)."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = -(-len(payload) // frame_chars)
+                for i in range(0, n_frames, every):
+                    frame = payload[i * frame_chars : (i + 1) * frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+                    lens.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_md5": pd.Series(hashes, dtype="object"),
+                    "frame_n": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.StringType()),
+        T.StructField("stride", T.LongType()),
+    ]
+)
+
+
+def resize_payload(media: DataFrame, target: int = 32) -> DataFrame:
+    """Downsample each payload to ≤``target`` chars by strided selection —
+    the image-resize/audio-resample shape (one row in, one smaller row
+    out), again as Arrow-batched ``mapInPandas``. Deterministic stand-in
+    for a real resampler; stride = ceil(len/target)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_thumb, out_stride = [], []
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    out_thumb.append("")
+                    out_stride.append(1)
+                    continue
+                stride = -(-len(payload) // target)
+                out_thumb.append(payload[::stride])
+                out_stride.append(stride)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "thumb": pd.Series(out_thumb, dtype="object"),
+                    "stride": pd.Series(out_stride, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)

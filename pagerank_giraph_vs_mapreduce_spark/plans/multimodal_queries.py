@@ -59,3 +59,34 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("byte_mean", 9).alias("byte_mean"),
         "format",
     )
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""WITH media AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS payload
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, payload,
+         unnest(range(0, CAST(ceil(length(payload) / 64.0) AS BIGINT))) AS frame_idx
+  FROM media
+)
+SELECT doc_id, frame_idx,
+       md5(substring(payload, 1 + CAST(frame_idx AS BIGINT) * 64, 64)) AS frame_md5,
+       CAST(length(substring(payload, 1 + CAST(frame_idx AS BIGINT) * 64, 64)) AS BIGINT) AS frame_n
+FROM frames WHERE frame_idx % 4 = 0""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (video-extraction batch shape): every 4th 64-char
+    frame of the sanitized payload, md5-fingerprinted, via Arrow-batched
+    mapInPandas row fan-out. ASCII sanitization makes chars ≡ bytes, so
+    the SQL oracle reproduces the framing exactly; md5 is standardized, so
+    the per-frame digests hash-match too."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        ascii_payload,
+        sample_frames,
+    )
+
+    media = ascii_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_chars=64, every=4)
