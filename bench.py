@@ -49,6 +49,10 @@ def main() -> int:
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
+        # Isolate entries: leftover cached tables from one entry otherwise
+        # squeeze the next one's working set (measured: +2-3x variance on
+        # the iterative kernels when prior runs' caches linger).
+        spark.catalog.clearCache()
 
     def run_query(name: str):
         return lambda: QUERIES[name](spark, sf_dir).count()
@@ -85,11 +89,10 @@ def main() -> int:
             sum(h.seconds for h in res.history) / len(res.history), 3
         )
 
-    def run_pagerank_large() -> None:
-        """Kernel scaling proxy: ~200k vertices / ~2.4M edges synthesized
-        from 4 shifted copies of lineitem pairs (the derived sf0.1 graph
-        has only 1500 vertices — too small to exercise the V-row shuffle).
-        3 fixed supersteps; records sec/iter on the bigger graph."""
+    def large_graph():
+        """~200k vertices / ~2.4M edges synthesized from 4 shifted copies of
+        lineitem pairs (the derived sf0.1 graph has only 1500 vertices —
+        too small to exercise the V-row shuffle)."""
         from pyspark.sql import functions as F
 
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -104,7 +107,12 @@ def main() -> int:
         edges = copies[0]
         for c in copies[1:]:
             edges = edges.unionAll(c)
-        res = pagerank(edges, max_iter=3, tol=-1.0, min_iter=0)
+        return edges
+
+    def run_pagerank_large() -> None:
+        """Kernel scaling proxy: 3 fixed supersteps on the 200k-vertex
+        graph; records sec/iter."""
+        res = pagerank(large_graph(), max_iter=3, tol=-1.0, min_iter=0)
         extras["pagerank_large_n_vertices"] = res.n_vertices
         extras["pagerank_large_sec_per_iter"] = round(
             sum(h.seconds for h in res.history) / len(res.history), 3
@@ -121,10 +129,33 @@ def main() -> int:
         extras["pagerank_iter15_sec"] = round(secs[-1], 3)
         extras["pagerank_iter_median_sec"] = round(mid, 3)
 
+    def run_wcc_large() -> None:
+        """Second kernel at scale: 3 label-propagation supersteps on the
+        200k-vertex graph (symmetrized ~4.8M directed edges)."""
+        from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+            connected_components,
+        )
+
+        res = connected_components(large_graph(), max_iter=3)
+        extras["wcc_large_sec_per_iter"] = round(
+            sum(s for _, _, s in res.history) / len(res.history), 3
+        )
+
+    def run_bfs_large() -> None:
+        """Frontier BFS on the 200k-vertex graph: per-hop cost must track
+        frontier size (collapsing), not graph size."""
+        from pagerank_giraph_vs_mapreduce_spark.graph.paths import bfs_distances
+
+        res = bfs_distances(large_graph(), source=0, max_hops=4)
+        extras["bfs_large_reached"] = res.distances.count()
+        extras["bfs_large_hops"] = res.iterations
+
     timed("pagerank_full", run_pagerank)
     timed("pagerank_skewed_3iter", run_pagerank_skewed)
     timed("pagerank_large_3iter", run_pagerank_large)
     timed("pagerank_flatness_15iter", run_pagerank_flatness)
+    timed("wcc_large_3iter", run_wcc_large)
+    timed("bfs_large_4hop", run_bfs_large)
     for q in (
         "rel_q1_pricing",
         "rel_join_q3",
