@@ -154,3 +154,93 @@ def edge_parse_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_edgelist(lines).groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@query(
+    "sql_higher_order",
+    oracle="""WITH arrs AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
+SELECT l_orderkey,
+  list_filter(parts, x -> x % 2 = 0) AS evens,
+  CAST(len(list_filter(parts, x -> x > 1000)) > 0 AS BOOLEAN) AS any_big,
+  CAST(len(list_filter(parts, x -> x <= 0)) = 0 AS BOOLEAN) AS all_positive,
+  list_transform(range(1, CAST(len(parts) AS BIGINT) + 1),
+                 i -> parts[CAST(i AS INT)]
+                      + parts[CAST(len(parts) AS INT) - CAST(i AS INT) + 1]
+  ) AS palindrome_sum
+FROM arrs""",
+)
+def sql_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: filter / exists / forall / zip_with
+    (with reverse). All lambda bodies run JVM-side inside codegen — the
+    whole point vs a Python UDF doing the same list work."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = (
+        li.filter(F.col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    return arrs.select(
+        "l_orderkey",
+        F.filter("parts", lambda x: x % 2 == 0).alias("evens"),
+        F.exists("parts", lambda x: x > 1000).alias("any_big"),
+        F.forall("parts", lambda x: x > 0).alias("all_positive"),
+        F.zip_with(
+            "parts", F.reverse("parts"), lambda x, y: x + y
+        ).alias("palindrome_sum"),
+    )
+
+
+@query(
+    "sql_posexplode",
+    oracle="""WITH arrs AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
+  FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
+SELECT l_orderkey, u.part AS part,
+       CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY u.part) - 1 AS INT) AS pos
+FROM arrs, LATERAL unnest(parts) u(part)""",
+)
+def sql_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode (lateral array fan-out with position). The array is
+    sorted-distinct, so position ≡ rank-by-value — which is how the
+    order-insensitive oracle reconstructs pos deterministically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arrs = (
+        li.filter(F.col("l_orderkey") < 100)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    return arrs.select(
+        "l_orderkey", F.posexplode("parts").alias("pos", "part")
+    ).select("l_orderkey", "part", "pos")
+
+
+@query(
+    "sql_unpivot",
+    oracle="""SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS val
+FROM lineitem WHERE l_orderkey < 50
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'price' AS metric, l_extendedprice AS val
+FROM lineitem WHERE l_orderkey < 50
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS val
+FROM lineitem WHERE l_orderkey < 50""",
+)
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt): three measure columns into (metric, val)
+    rows — the inverse of rel_pivot. Values are per-row doubles (no
+    aggregation), so they hash-match raw."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+        .withColumnsRenamed(
+            {"l_quantity": "quantity", "l_extendedprice": "price", "l_discount": "discount"}
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "price", "discount"],
+            "metric",
+            "val",
+        )
+    )
