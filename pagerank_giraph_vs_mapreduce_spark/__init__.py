@@ -9,8 +9,20 @@ rendering of both reference designs, cf. SURVEY.md §7.0), plus the
 relational and LLM-data-pipeline operator surface built on Spark SQL.
 """
 
-from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+from pagerank_giraph_vs_mapreduce_spark.catalog import open_catalog, sql
+from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+    pagerank,
+    personalized_pagerank,
+    top_k,
+)
 from pagerank_giraph_vs_mapreduce_spark.session import get_spark
 
-__all__ = ["pagerank", "get_spark"]
+__all__ = [
+    "pagerank",
+    "personalized_pagerank",
+    "top_k",
+    "get_spark",
+    "open_catalog",
+    "sql",
+]
 __version__ = "0.1.0"
