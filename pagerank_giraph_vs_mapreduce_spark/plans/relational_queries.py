@@ -586,3 +586,32 @@ def rel_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter((F.col("event_type") == "purchase") & (k >= 90))
         .select("event_id", k.alias("k"))
     )
+
+
+@query(
+    "rel_win_ranking_family",
+    oracle="""SELECT o_orderkey,
+  row_number() OVER w AS rn,
+  dense_rank() OVER w AS drk,
+  ntile(4) OVER w AS quartile,
+  round(percent_rank() OVER w, 9) AS prk,
+  round(cume_dist() OVER w, 9) AS cd,
+  lead(o_orderkey) OVER w AS next_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""",
+)
+def rel_win_ranking_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one totally-ordered window
+    (price, key) — row_number/dense_rank/ntile/percent_rank/cume_dist/lead
+    all deterministic because the ordering is a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("prk"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
