@@ -54,3 +54,41 @@ def write_timings_csv(result: PageRankResult, path: str) -> None:
         w.writerow(["Phase", "Duration_ms"])
         for it in result.history:
             w.writerow([f"Superstep_{it.iteration}", round(it.seconds * 1000.0, 3)])
+
+
+def compact_parquet(
+    spark,
+    in_dir: str,
+    out_dir: str,
+    target_file_mb: int = 256,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Small-files compaction: rewrite a parquet dir into ~``target_file_mb``
+    files, optionally sorted within files for row-group pruning.
+
+    The small-files problem is the dominant operational failure of long-
+    running ingestion at scale (every micro-batch/task writes a file; a
+    100 TB table ingested in 1 MB files is 10^8 files — listing alone
+    breaks). Compaction = read → repartition to ceil(bytes/target) →
+    write. ``sort_by`` applies sortWithinPartitions so min/max row-group
+    stats become selective (poor-man's clustering; at cluster scale use
+    repartitionByRange on the same keys for global clustering).
+
+    Returns the number of output partitions chosen.
+    """
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = spark.read.parquet(in_dir)
+    # Size from the files Spark actually scanned (driver-side listing).
+    jvm_files = spark._jvm.org.apache.hadoop.fs.Path(in_dir)
+    fs = jvm_files.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jvm_files).getLength()
+    n_parts = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    if sort_by:
+        out = df.repartition(n_parts).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_parts)
+    out.write.mode("overwrite").parquet(out_dir)
+    return n_parts
