@@ -401,3 +401,26 @@ def g_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("outdeg")
         .agg(F.count(F.lit(1)).alias("n_vertices"))
     )
+
+
+@query(
+    "g_two_hop_count",
+    oracle=f"""{GRAPH_CTES}
+SELECT a.src AS id, count(DISTINCT b.dst) AS n_two_hop
+FROM edges a JOIN edges b ON b.src = a.dst
+GROUP BY a.src""",
+)
+def g_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 2-hop neighborhood size per vertex — the multi-join graph
+    query shape (friend-of-friend). Edge-table self-join re-keyed on the
+    intermediate vertex; distinct-count gathers per origin. At scale the
+    intermediate fan-out is Σ in(m)·out(m) — bound it by filtering hub
+    intermediates or pre-aggregating per (src, mid) before the second hop
+    (the same degree-bounding discipline as triangle counting)."""
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    a, b = edges.alias("a"), edges.alias("b")
+    return (
+        a.join(b, F.col("b.src") == F.col("a.dst"))
+        .groupBy(F.col("a.src").alias("id"))
+        .agg(F.countDistinct(F.col("b.dst")).alias("n_two_hop"))
+    )
