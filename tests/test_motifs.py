@@ -1,0 +1,78 @@
+"""Triangle counting (degree-oriented) and bounded 2-hop counts on
+hand-built graphs with known answers."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from conftest import make_edges
+
+from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+    triangle_count,
+    two_hop_count,
+)
+
+
+def n_triangles(pairs) -> int:
+    """Pure-python oracle: count triangles in the undirected simple graph."""
+    und = {tuple(sorted((a, b))) for a, b in pairs if a != b}
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return sum(
+        1
+        for u, v, w in combinations(sorted(adj), 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+
+
+def test_triangle_simple(spark):
+    # one triangle + a pendant edge + a duplicate + a self-loop
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1), (5, 5)]
+    got = triangle_count(make_edges(spark, pairs)).first()["n_triangles"]
+    assert got == 1 == n_triangles(pairs)
+
+
+def test_triangle_k5_complete(spark):
+    pairs = [(a, b) for a in range(5) for b in range(5) if a != b]
+    got = triangle_count(make_edges(spark, pairs)).first()["n_triangles"]
+    assert got == 10 == n_triangles(pairs)
+
+
+def test_triangle_hub_with_low_id(spark):
+    # Hub vertex 0 (lowest id, highest degree) connected to everyone; spokes
+    # form a ring. Low-id orientation would key all wedges on the hub; the
+    # degree-oriented plan must still return the exact count.
+    n = 30
+    pairs = [(0, i) for i in range(1, n)]
+    pairs += [(i, i % (n - 1) + 1) for i in range(1, n)]
+    got = triangle_count(make_edges(spark, pairs)).first()["n_triangles"]
+    assert got == n_triangles(pairs)
+
+
+def test_triangle_directed_both_ways_counts_once(spark):
+    # A directed 3-cycle and its reverse is still one undirected triangle.
+    pairs = [(1, 2), (2, 3), (3, 1), (2, 1), (3, 2), (1, 3)]
+    got = triangle_count(make_edges(spark, pairs)).first()["n_triangles"]
+    assert got == 1
+
+
+def test_two_hop_exact(spark):
+    # 1 -> {2, 3}; 2 -> {3, 4}; 3 -> {4}; so 2-hop(1) = {3, 4}
+    pairs = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    df = two_hop_count(make_edges(spark, pairs), mid_outdeg_cap=None)
+    got = {r["id"]: r["n_two_hop"] for r in df.collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_two_hop_cap_excludes_hub_mid(spark):
+    # mid 9 has out-degree 3 (> cap 2): paths through it must not count.
+    pairs = [(1, 9), (9, 2), (9, 3), (9, 4), (1, 5), (5, 6)]
+    df = two_hop_count(make_edges(spark, pairs), mid_outdeg_cap=2)
+    got = {r["id"]: r["n_two_hop"] for r in df.collect()}
+    assert got == {1: 1}  # only 1 -> 5 -> 6 transits
+
+    exact = two_hop_count(make_edges(spark, pairs), mid_outdeg_cap=None)
+    got_exact = {r["id"]: r["n_two_hop"] for r in exact.collect()}
+    assert got_exact == {1: 4}
