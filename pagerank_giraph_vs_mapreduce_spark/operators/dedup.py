@@ -247,6 +247,87 @@ def simhash(
     return arr.select("id", sig.alias("simhash"))
 
 
+SIMHASH_PROBE_BLOCKS = 4
+
+
+def _simhash_blocks(bits: int = SIMHASH_BITS, n_blocks: int = SIMHASH_PROBE_BLOCKS):
+    """Contiguous (offset, width) blocks partitioning the signature bits."""
+    base, rem = divmod(bits, n_blocks)
+    blocks, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        blocks.append((off, w))
+        off += w
+    return blocks
+
+
+def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """All pairs from a ``(id, simhash)`` DataFrame with Hamming distance
+    ≤ ``max_hamming`` — EXACT recall via pigeonhole multi-probe blocking.
+
+    The signature is split into ``SIMHASH_PROBE_BLOCKS`` contiguous blocks;
+    a pair within hamming ``h ≤ 2*n_blocks - 1`` must have some block with
+    ≤ 1 differing bit (all-blocks-≥2 needs ≥ 2*n_blocks errors). Side A
+    emits each block's exact key; side B emits the exact key plus every
+    1-bit flip of it, so the equi-join on (block, key) finds every such
+    pair — the multi-probe analog of MinHash banding, vs the old
+    single-high-block join that missed ~2/3 of hamming≤6 pairs. Candidates
+    are deduped before the exact hamming filter, so the result equals the
+    all-pairs answer (the oracle checks against literally that).
+
+    Blow-up: B emits ``n_blocks + bits`` rows per doc (35 for 31 bits);
+    bucket join fan-out is governed by block width (~8 bits here — fine to
+    ~1e6 docs; for web scale widen the signature to 64 bits and use 16-bit
+    blocks per Manku et al.'s "Detecting Near-Duplicates for Web Crawling").
+    """
+    if max_hamming > 2 * SIMHASH_PROBE_BLOCKS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exact-recall bound "
+            f"{2 * SIMHASH_PROBE_BLOCKS - 1} of {SIMHASH_PROBE_BLOCKS}-block "
+            "1-bit-flip probing"
+        )
+    blocks = _simhash_blocks()
+
+    def block_key(i: int) -> Column:
+        off, w = blocks[i]
+        return F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+
+    exact_keys = [
+        F.struct(F.lit(i).alias("blk"), block_key(i).alias("key"))
+        for i in range(len(blocks))
+    ]
+    probe_keys = list(exact_keys)
+    for i, (_, w) in enumerate(blocks):
+        probe_keys += [
+            F.struct(
+                F.lit(i).alias("blk"),
+                block_key(i).bitwiseXOR(F.lit(1 << j)).alias("key"),
+            )
+            for j in range(w)
+        ]
+    a = sigs.select(
+        F.col("id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        F.explode(F.array(*exact_keys)).alias("pk"),
+    ).select("id_a", "sh_a", "pk.blk", "pk.key")
+    b = sigs.select(
+        F.col("id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        F.explode(F.array(*probe_keys)).alias("pk"),
+    ).select("id_b", "sh_b", "pk.blk", "pk.key")
+    cands = (
+        a.join(b, ["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -254,25 +335,8 @@ def simhash_near_dups(
     max_hamming: int = 6,
     shingle_len: int = 5,
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance ≤ ``max_hamming``.
-
-    Pair generation joins on the high 16 bits of the signature as a cheap
-    block (near-dups almost always agree there), keeping the self-join off
-    the full cross product; at very large N switch to multi-probe blocks.
-    """
+    """Pairs with SimHash Hamming distance ≤ ``max_hamming`` — exact
+    (equivalent to the all-pairs answer) via multi-probe pigeonhole
+    blocking; see ``simhash_pairs_from_sigs``."""
     s = simhash(df, id_col, text_col, shingle_len)
-    block = F.shiftright(F.col("simhash"), 15)
-    a = s.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), block.alias("blk"))
-    b = s.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), block.alias("blk"))
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(
-                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return simhash_pairs_from_sigs(s, max_hamming)

@@ -182,6 +182,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_near_dups",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIMHASH_SQL}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM simh a JOIN simh b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
+)
+def dedup_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 6. The Spark plan blocks with
+    multi-probe pigeonhole banding (exact for this radius — operators/
+    dedup.py:simhash_pairs_from_sigs); the oracle is the literal all-pairs
+    comparison, so this row checks RECALL of the blocking, not just
+    agreement with it."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    df = simhash_near_dups(
+        _docs2(spark, sf_dir), "doc_id", "text", max_hamming=6,
+        shingle_len=SHINGLE_LEN,
+    )
+    return df.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle=f"""WITH docs2 AS (
   SELECT doc_id, text FROM documents WHERE doc_id < 60),

@@ -100,6 +100,7 @@ _PRIORITY = (
     "g_triangle_count",
     "g_two_hop_count",
     "dedup_simhash",
+    "dedup_simhash_near_dups",
     # green-in-r01 sentinels, one per family, to catch regressions
     "g_pagerank_k3",
     "g_vertex_universe",

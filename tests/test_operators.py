@@ -137,3 +137,73 @@ def test_multimodal_plumbing(spark):
     assert feats[1]["byte_mean"] == pytest.approx((65 + 66) / 2)
     assert feats[2]["n_bytes"] == 0
     assert feats[2]["first_byte"] == -1
+
+
+def _sig_df(spark, sigs):
+    return spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(sigs)], "id bigint, simhash long"
+    )
+
+
+def test_simhash_multiprobe_recall_high_block_flips(spark):
+    """Pairs whose differing bits all land in the high bits — which a
+    single high-block join misses — must be found (pigeonhole probing is
+    exact for hamming <= 7)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+
+    base = 0b1010110011100101101011001110010  # arbitrary 31-bit value
+    flips_high = (1 << 30) | (1 << 28) | (1 << 25) | (1 << 20) | (1 << 17) | (1 << 16)
+    flips_split = (1 << 30) | (1 << 22) | (1 << 14) | (1 << 7) | (1 << 3) | 1
+    far = base ^ 0x7FFF00FF  # hamming 20 — must NOT be reported
+    sigs = [base, base ^ flips_high, base ^ flips_split, far]
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_from_sigs(_sig_df(spark, sigs), 6).collect()
+    }
+    assert got[(0, 1)] == 6
+    assert got[(0, 2)] == 6
+    assert (0, 3) not in got
+    assert (1, 3) not in got
+
+
+def test_simhash_multiprobe_recall_exhaustive_random(spark):
+    """Random signatures with planted <=6-bit perturbations: blocking must
+    equal the brute-force all-pairs answer exactly."""
+    import itertools
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+
+    rng = random.Random(7)
+    sigs = []
+    for _ in range(40):
+        s = rng.getrandbits(31)
+        sigs.append(s)
+        h = rng.randint(0, 6)
+        flip = 0
+        for b in rng.sample(range(31), h):
+            flip |= 1 << b
+        sigs.append(s ^ flip)
+    expect = {
+        (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+        for i, j in itertools.combinations(range(len(sigs)), 2)
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 6
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_from_sigs(_sig_df(spark, sigs), 6).collect()
+    }
+    assert got == expect
+
+
+def test_simhash_multiprobe_rejects_radius_beyond_bound(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+
+    with pytest.raises(ValueError):
+        simhash_pairs_from_sigs(_sig_df(spark, [0, 1]), max_hamming=8)
