@@ -92,6 +92,43 @@ def hyperplane_bucket(
     )
 
 
+def multitable_buckets(
+    emb: DataFrame,
+    planes: DataFrame,
+    bits_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table hyperplane LSH: one (id, tbl, bucket) row per hash table.
+
+    ``planes`` is (plane_id, embedding) with consecutive plane_ids; table
+    t owns planes [t*b, (t+1)*b). L tables of b bits trade candidate-set
+    size for recall: a neighbor at angle theta collides in one table with
+    p = (1 - theta/pi)^b, and across L tables recall is 1 - (1 - p)^L —
+    the knob the single-bucket variant lacks. At scale the (tbl, bucket)
+    pair is the shuffle/bucketing key and each table's candidate join is
+    an equi-join, never a cross product.
+    """
+    b = bits_per_table
+    p = F.broadcast(
+        planes.select(F.col("plane_id"), _as_double(F.col(vec_col)).alias("pv"))
+    )
+    signs = emb.crossJoin(p).select(
+        F.col(id_col),
+        F.col("plane_id"),
+        F.when(_dot(_as_double(F.col(vec_col)), F.col("pv")) > 0, 1)
+        .otherwise(0)
+        .alias("bit"),
+    )
+    return signs.groupBy(
+        id_col, F.expr(f"plane_id DIV {b}").cast("int").alias("tbl")
+    ).agg(
+        F.sum(F.expr(f"shiftleft(bit, cast(plane_id % {b} as int))"))
+        .cast("long")
+        .alias("bucket")
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

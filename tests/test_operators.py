@@ -207,3 +207,46 @@ def test_simhash_multiprobe_rejects_radius_beyond_bound(spark):
 
     with pytest.raises(ValueError):
         simhash_pairs_from_sigs(_sig_df(spark, [0, 1]), max_hamming=8)
+
+
+def test_ann_recall_operating_point(spark):
+    """The declared multi-table LSH operating point must hold on the
+    oracle-scale data: mean recall@10 >= 0.9 while actually pruning
+    (candidate set < full table for at least one query)."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.similarity_queries import (
+        ANN_QIDS,
+        MT_BITS,
+        MT_PLANE_BASE,
+        MT_TABLES,
+        sim_ann_recall,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        multitable_buckets,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = sim_ann_recall(spark, sf).collect()
+    recalls = {r["qid"]: r["recall_at_k"] for r in rows}
+    assert set(recalls) == set(ANN_QIDS)
+    assert sum(recalls.values()) / len(recalls) >= 0.9
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    planes = emb.filter(
+        (F.col("vec_id") >= MT_PLANE_BASE)
+        & (F.col("vec_id") < MT_PLANE_BASE + MT_BITS * MT_TABLES)
+    ).select((F.col("vec_id") - MT_PLANE_BASE).alias("plane_id"), "embedding")
+    bk = multitable_buckets(emb, planes, MT_BITS)
+    qbk = bk.filter(F.col("vec_id").isin(*ANN_QIDS)).select(
+        F.col("vec_id").alias("qid"), "tbl", "bucket"
+    )
+    cand_sizes = (
+        bk.join(qbk, ["tbl", "bucket"])
+        .select("qid", "vec_id")
+        .distinct()
+        .groupBy("qid")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] < n for r in cand_sizes)
