@@ -27,13 +27,25 @@ def salted_join(
 
     The (large, skewed) ``left`` gets a random salt per row; the (smaller)
     ``right`` is replicated salt_n times — so each hot key's rows land on
-    salt_n different reducers instead of one. Output columns match a plain
-    ``left.join(right, key, how)``.
+    salt_n different reducers instead of one. Output matches a plain
+    ``left.join(right, key, how)`` for ``how`` in {inner, left, left_semi,
+    left_anti, cross}; right/full outer joins are rejected, because the
+    replicated right side would emit every unmatched right row salt_n
+    times (deduplicating them needs a second shuffle — at that point use
+    AQE's skew-join handling instead).
 
     The salt uses a hash of the row's full content rather than rand() so
     results stay deterministic and retry-safe (a rand() salt changes on
     task retry, corrupting joins under speculative execution).
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side duplicates unmatched right rows under right/full "
+            "outer joins"
+        )
     lsalt = left.withColumn(
         "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt_n)).cast("int")
     )

@@ -85,14 +85,25 @@ def binned_range_join(
 
     ``bin_width`` should be >= the typical interval length so replication
     stays near 2×; the bin column is the natural partitioning key at scale.
+
+    Bin ids use exact integer floor division (DIV corrected for negative
+    remainders): floor-consistent for negative values and exact for all
+    64-bit inputs — double division + cast('long') truncates toward zero
+    (splitting a negative point from its containing interval) and loses
+    exactness past 2^53. Spark's `/` always returns double, so even
+    floor(a / b) on longs is not safe; DIV is integer but truncating.
     """
-    p = points.withColumn("_bin", (F.col(point_col) / bin_width).cast("long"))
+    w = int(bin_width)
+
+    def _bin(c: str):
+        q = F.expr(f"CAST({c} AS BIGINT) DIV {w}")
+        r = F.expr(f"CAST({c} AS BIGINT) % {w}")
+        return F.when(r < 0, q - 1).otherwise(q).cast("long")
+
+    p = points.withColumn("_bin", _bin(point_col))
     i = intervals.withColumn(
         "_bins",
-        F.sequence(
-            (F.col(start_col) / bin_width).cast("long"),
-            (F.col(end_col) / bin_width).cast("long"),
-        ),
+        F.sequence(_bin(start_col), _bin(end_col)),
     ).withColumn("_bin", F.explode("_bins")).drop("_bins")
     return (
         p.join(i, "_bin")

@@ -190,12 +190,19 @@ def run_foreach_batch_upsert(
     return seen
 
 
-def run_to_memory_sink(stream: DataFrame, name: str) -> None:
-    """Drain all available input into an in-memory table (test harness)."""
+def run_to_memory_sink(
+    stream: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drain all available input into an in-memory table (test harness).
+
+    ``output_mode='append'`` (default) works for the module's projection/
+    dedup/join streams; pass ``'complete'`` for aggregation streams —
+    complete mode on a non-aggregating stream is an AnalysisException.
+    """
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

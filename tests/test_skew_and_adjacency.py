@@ -51,3 +51,20 @@ def test_read_adjacency_giraph_format(spark, tmp_path):
     pr = {r["id"]: r["pr"] for r in res.ranks.collect()}
     assert 3 in pr  # isolated vertex ranked (as dangling)
     g.unpersist()
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    right = spark.createDataFrame([(1, "x")], "k bigint, tag string")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, "k", how=how)
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    right = spark.createDataFrame([(1, "x")], "k bigint, tag string")
+    rows = {(r["k"], r["v"], r["tag"]) for r in salted_join(left, right, "k", how="left").collect()}
+    assert rows == {(1, "a", "x"), (2, "b", None)}

@@ -22,7 +22,9 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, str(src))
     assert stream.isStreaming
     run_to_memory_sink(
-        streaming_tumbling_counts(stream, 900, watermark="10 hours"), "stream_tumble"
+        streaming_tumbling_counts(stream, 900, watermark="10 hours"),
+        "stream_tumble",
+        output_mode="complete",
     )
     got = {
         (r["ws"], r["event_type"]): r["n"]

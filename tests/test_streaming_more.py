@@ -26,7 +26,7 @@ def _stream_src(sf_dir, tmp_path, copies=1):
 
 def test_streaming_sliding_equals_batch(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, _stream_src(sf_dir, tmp_path))
-    run_to_memory_sink(streaming_sliding_counts(stream), "s_slide")
+    run_to_memory_sink(streaming_sliding_counts(stream), "s_slide", output_mode="complete")
     got = {(r["ws"], r["n"]) for r in spark.sql("SELECT ws, n FROM s_slide").collect()}
     want = {
         (r["ws"], r["n"]) for r in sliding(load_events(spark, sf_dir)).collect()
@@ -36,7 +36,7 @@ def test_streaming_sliding_equals_batch(spark, sf_dir, tmp_path):
 
 def test_streaming_session_equals_batch(spark, sf_dir, tmp_path):
     stream = read_events_stream(spark, _stream_src(sf_dir, tmp_path))
-    run_to_memory_sink(streaming_session_counts(stream), "s_sess")
+    run_to_memory_sink(streaming_session_counts(stream), "s_sess", output_mode="complete")
     got = {
         (r["user_id"], r["session_start"], r["n_events"])
         for r in spark.sql("SELECT * FROM s_sess").collect()

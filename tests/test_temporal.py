@@ -68,3 +68,19 @@ def test_binned_range_join_equals_plain_join(spark):
     }
     assert binned == plain
     assert len(plain) > 0
+
+
+def test_binned_range_join_negative_domain(spark):
+    """Floor-consistent binning: negative points must match intervals that
+    contain them (truncate-toward-zero binning split them across bins)."""
+    points = spark.createDataFrame(
+        [(1, -75), (2, -50), (3, -1), (4, -101), (5, 0)], "pid bigint, p bigint"
+    )
+    intervals = spark.createDataFrame(
+        [(7, -100, 0), (8, 0, 100)], "iid bigint, s bigint, e bigint"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in binned_range_join(points, intervals, "p", "s", "e", 50).collect()
+    )
+    assert got == [(1, 7), (2, 7), (3, 7), (5, 8)]
