@@ -55,6 +55,15 @@ class IterationStats:
     dangling_sum: float
     total_pr: float
     seconds: float
+    # Per-phase split within the superstep (the MR PerformanceMonitor
+    # setup/map/reduce analog, MR/PerformanceMonitor.java:49-79):
+    # plan = driver-side DataFrame/Catalyst construction;
+    # compute = scatter+gather+update materialization (only nonzero under
+    # phase_timing=True, which makes the checkpoint eager);
+    # stats = the global aggregate action (fused with compute when lazy).
+    plan_seconds: float = 0.0
+    compute_seconds: float = 0.0
+    stats_seconds: float = 0.0
 
 
 @dataclass
@@ -64,6 +73,9 @@ class PageRankResult:
     iterations: int
     converged: bool
     history: list[IterationStats] = field(default_factory=list)
+    # Graph build + rank init wall time — the reference's Setup phase
+    # (Giraph's 19.06 s graph load on web-Google, README.md:228).
+    build_seconds: float = 0.0
 
 
 def pagerank(
@@ -74,12 +86,20 @@ def pagerank(
     min_iter: int = 5,
     graph: GraphTables | None = None,
     initial_ranks: DataFrame | None = None,
+    phase_timing: bool = False,
 ) -> PageRankResult:
     """Run PageRank over edges(src, dst); returns ranks + convergence history.
 
     Arg contract mirrors the reference CLI ``<in> <out> [maxIter] [damping]
     [threshold] [minIter]`` (MR/PageRankDriver.java:64-71; experiments use
     maxIter=100, threshold=1e-8, README.md:125-128).
+
+    ``phase_timing=True`` makes the per-superstep checkpoint eager so the
+    scatter/gather/update materialization and the stats aggregate are
+    timed as separate phases (the MR map-vs-reduce wall split,
+    MR/PerformanceMonitor.java:49-79) — at the cost of a second job per
+    superstep that rescans the materialized V rows; leave False on the
+    performance path, where both fuse into one action.
 
     ``initial_ranks`` (id, pr) resumes from previously materialized state —
     e.g. an R2 state file written by sources/statefile.py or by the
@@ -89,6 +109,7 @@ def pagerank(
     MR's documented 3.7× slowdown. Vertices missing from the provided state
     are seeded uniformly at 1/N.
     """
+    t_setup = time.monotonic()
     own_graph = graph is None
     g = graph or build_graph(edges)
     n = g.n_vertices
@@ -122,6 +143,7 @@ def pagerank(
         F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum")
     ).first()
     dangling_sum = float(first["dsum"] or 0.0)
+    build_seconds = time.monotonic() - t_setup
 
     history: list[IterationStats] = []
     converged = False
@@ -159,14 +181,19 @@ def pagerank(
         )
         # Lazy localCheckpoint truncates the logical plan immediately (the
         # returned DF is LogicalRDD-backed) while deferring materialization
-        # to the stats aggregate below — ONE action per superstep.
-        new = new.localCheckpoint(eager=False)
+        # to the stats aggregate below — ONE action per superstep. Under
+        # phase_timing the checkpoint is eager instead, splitting the wall
+        # time into a compute job and a stats job.
+        t_plan = time.monotonic()
+        new = new.localCheckpoint(eager=phase_timing)
+        t_compute = time.monotonic()
 
         stats = new.agg(
             F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("diff"),
             F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum"),
             F.sum("pr").alias("total"),
         ).first()
+        t_stats = time.monotonic()
 
         ranks.unpersist()
         ranks = new.select("id", "pr", "dangling")
@@ -180,6 +207,9 @@ def pagerank(
                 dangling_sum=dangling_sum,
                 total_pr=float(stats["total"] or 0.0),
                 seconds=time.monotonic() - t0,
+                plan_seconds=t_plan - t0,
+                compute_seconds=(t_compute - t_plan) if phase_timing else 0.0,
+                stats_seconds=t_stats - t_compute,
             )
         )
         if iterations >= min_iter and avg_diff <= tol:
@@ -189,7 +219,9 @@ def pagerank(
     result = ranks.select("id", "pr")
     if own_graph:
         g.unpersist()
-    return PageRankResult(result, n, iterations, converged, history)
+    return PageRankResult(
+        result, n, iterations, converged, history, build_seconds=build_seconds
+    )
 
 
 def personalized_pagerank(

@@ -41,8 +41,15 @@ def main(argv: list[str]) -> int:
             print(f"error: input path not found: {inp}")
             return 1
         raise
+    # phase_timing mirrors the reference drivers, which always record the
+    # per-iteration map/reduce (MR) / per-superstep (Giraph) wall split.
     result = pagerank(
-        edges, damping=damping, max_iter=max_iter, tol=threshold, min_iter=min_iter
+        edges,
+        damping=damping,
+        max_iter=max_iter,
+        tol=threshold,
+        min_iter=min_iter,
+        phase_timing=True,
     )
     write_final_scores(result.ranks, f"{out}/final_scores", coalesce=1)
     write_top_k(result.ranks, f"{out}/top_50", k=50)

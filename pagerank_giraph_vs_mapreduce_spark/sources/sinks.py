@@ -48,12 +48,31 @@ def write_top_k(ranks: DataFrame, path: str, k: int = 50) -> None:
 
 
 def write_timings_csv(result: PageRankResult, path: str) -> None:
-    """O1/S9: driver-side metrics dict → ``Phase,Duration_ms`` CSV."""
+    """O1/S9: driver-side metrics dict → ``Phase,Duration_ms`` CSV.
+
+    Mirrors the reference's per-phase rows: a Setup row (graph build —
+    Giraph setup timing, GI/PageRankMasterCompute.java:59-64) and, per
+    superstep, the total plus its plan/compute/stats split (the MR
+    setup/map/reduce wall report, MR/PerformanceMonitor.java:49-99).
+    compute rows appear only when the kernel ran with phase_timing=True;
+    on the fused fast path compute is part of the stats action.
+    """
+
+    def ms(s: float) -> float:
+        return round(s * 1000.0, 3)
+
     with open(path, "w", newline="") as fh:
         w = csv.writer(fh)
         w.writerow(["Phase", "Duration_ms"])
+        w.writerow(["Setup", ms(result.build_seconds)])
         for it in result.history:
-            w.writerow([f"Superstep_{it.iteration}", round(it.seconds * 1000.0, 3)])
+            w.writerow([f"Superstep_{it.iteration}", ms(it.seconds)])
+            w.writerow([f"Superstep_{it.iteration}_plan", ms(it.plan_seconds)])
+            if it.compute_seconds:
+                w.writerow(
+                    [f"Superstep_{it.iteration}_compute", ms(it.compute_seconds)]
+                )
+            w.writerow([f"Superstep_{it.iteration}_stats", ms(it.stats_seconds)])
 
 
 def compact_parquet(

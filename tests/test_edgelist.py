@@ -73,4 +73,19 @@ def test_cli_end_to_end(spark, tmp_path):
 
     timings = open(f"{out}/_timings.csv").read().splitlines()
     assert timings[0] == "Phase,Duration_ms"
-    assert len(timings) > 1
+    phases = [l.split(",")[0] for l in timings[1:]]
+    # Per-phase split mirroring the reference's performance report:
+    # Setup + per-superstep total/plan/compute/stats rows.
+    assert phases[0] == "Setup"
+    assert "Superstep_1" in phases
+    assert "Superstep_1_plan" in phases
+    assert "Superstep_1_compute" in phases  # CLI runs with phase_timing=True
+    assert "Superstep_1_stats" in phases
+    by_phase = {l.split(",")[0]: float(l.split(",")[1]) for l in timings[1:]}
+    # The split phases must account for (most of) the superstep total.
+    parts = (
+        by_phase["Superstep_1_plan"]
+        + by_phase["Superstep_1_compute"]
+        + by_phase["Superstep_1_stats"]
+    )
+    assert 0 < parts <= by_phase["Superstep_1"] * 1.01
