@@ -129,6 +129,56 @@ def main() -> int:
         extras["pagerank_iter15_sec"] = round(secs[-1], 3)
         extras["pagerank_iter_median_sec"] = round(mid, 3)
 
+    def synth_powerlaw(n_v: int, n_e: int, seed: int = 1):
+        """Deterministic web-graph-shaped synthetic edges: uniform-ish src
+        (out-deg ~ n_e/n_v), zipf-ish dst via inverse-transform u^2.5 —
+        top-hub in-degree ~ n_e * n_v^-0.4, matching the reference
+        datasets' heavy in-degree skew (README.md:410-414)."""
+        from pyspark.sql import functions as F
+
+        e = spark.range(n_e)
+        return e.select(
+            (F.abs(F.xxhash64(F.col("id"), F.lit(seed))) % n_v).alias("src"),
+            F.floor(
+                n_v
+                * F.pow(
+                    (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % 1_000_000 + 1)
+                    / 1_000_000.0,
+                    F.lit(2.5),
+                )
+            )
+            .cast("long")
+            .alias("dst"),
+        )
+
+    def run_pagerank_s1scale() -> None:
+        """Reference S1 scale (web-Google: 875k V / 5.1M E, README.md:116-120):
+        15 forced supersteps on a same-shape synthetic graph. The baseline
+        comparable is Giraph's ~1.2 s/superstep on this dataset
+        (README.md:228); target <= 2x that."""
+        res = pagerank(
+            synth_powerlaw(875_713, 5_105_039), max_iter=15, tol=-1.0, min_iter=0
+        )
+        secs = [h.seconds for h in res.history]
+        extras["pagerank_s1scale_n_vertices"] = res.n_vertices
+        extras["pagerank_s1scale_build_sec"] = round(res.build_seconds, 3)
+        extras["pagerank_s1scale_sec_per_iter"] = round(sum(secs) / len(secs), 3)
+        extras["pagerank_s1scale_iter_median_sec"] = round(
+            sorted(secs)[len(secs) // 2], 3
+        )
+        extras["pagerank_s1scale_iter1_sec"] = round(secs[0], 3)
+        extras["pagerank_s1scale_iter15_sec"] = round(secs[-1], 3)
+
+    def run_triangle_skewed() -> None:
+        """Degree-oriented triangle counting on a 100k-V/1M-E power-law
+        graph (top-hub in-degree ~10k): the id-oriented plan would key
+        C(hub_deg, 2) wedges on one task; degree orientation bounds the
+        per-task wedge load at O(sqrt E)."""
+        from pagerank_giraph_vs_mapreduce_spark.graph.motifs import triangle_count
+
+        row = triangle_count(synth_powerlaw(100_000, 1_000_000, seed=7)).first()
+        extras["triangle_skewed_n_triangles"] = row["n_triangles"]
+
     def run_wcc_large() -> None:
         """Second kernel at scale: 3 label-propagation supersteps on the
         200k-vertex graph (symmetrized ~4.8M directed edges)."""
@@ -154,6 +204,8 @@ def main() -> int:
     timed("pagerank_skewed_3iter", run_pagerank_skewed)
     timed("pagerank_large_3iter", run_pagerank_large)
     timed("pagerank_flatness_15iter", run_pagerank_flatness)
+    timed("pagerank_s1scale_15iter", run_pagerank_s1scale)
+    timed("triangle_skewed_100k", run_triangle_skewed)
     timed("wcc_large_3iter", run_wcc_large)
     timed("bfs_large_4hop", run_bfs_large)
     for q in (

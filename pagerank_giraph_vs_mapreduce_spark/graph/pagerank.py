@@ -207,7 +207,10 @@ def pagerank(
                 dangling_sum=dangling_sum,
                 total_pr=float(stats["total"] or 0.0),
                 seconds=time.monotonic() - t0,
-                plan_seconds=t_plan - t0,
+                # The lazy localCheckpoint call is driver-side physical
+                # planning (plan truncation forces Catalyst optimization),
+                # so it counts as plan time unless eager made it compute.
+                plan_seconds=(t_plan if phase_timing else t_compute) - t0,
                 compute_seconds=(t_compute - t_plan) if phase_timing else 0.0,
                 stats_seconds=t_stats - t_compute,
             )

@@ -68,8 +68,11 @@ def bfs_distances(edges: DataFrame, source: int, max_hops: int = 10) -> BfsResul
         )
         # Lazy localCheckpoint both truncates lineage and stores the RDD —
         # the count below is the hop's single action and materializes it.
+        # Counting this hop's rows directly on the checkpointed frame keeps
+        # the bookkeeping correct even if a hop re-executes (the previous
+        # history-sum subtraction assumed exactly-once accounting).
         new_dist = dist.unionAll(reached).localCheckpoint(eager=False)
-        n_new = new_dist.count() - sum(f for _, f, _ in history) - 1
+        n_new = new_dist.filter(F.col("dist") == hop).count()
         dist.unpersist()
         dist = new_dist
         frontier = dist.filter(F.col("dist") == hop).select("id")

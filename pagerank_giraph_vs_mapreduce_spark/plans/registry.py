@@ -102,15 +102,16 @@ _PRIORITY = (
     "dedup_simhash",
     "dedup_simhash_near_dups",
     # green-in-r01 sentinels, one per family, to catch regressions
+    # (ordered by information value in case the gate's cap truncates)
     "g_pagerank_k3",
-    "g_vertex_universe",
-    "g_graph_counts",
-    "g_scatter_contribs",
+    "dedup_minhash_near_dups",
     "rel_q1_pricing",
     "rel_join_q3",
+    "g_vertex_universe",
+    "g_graph_counts",
     "rel_win_rank",
     "dedup_exact",
-    "dedup_minhash_near_dups",
+    "g_scatter_contribs",
 )
 
 

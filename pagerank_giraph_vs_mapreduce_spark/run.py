@@ -17,6 +17,7 @@ from pagerank_giraph_vs_mapreduce_spark.session import get_spark
 from pagerank_giraph_vs_mapreduce_spark.sources.edgelist import read_edgelist
 from pagerank_giraph_vs_mapreduce_spark.sources.sinks import (
     write_final_scores,
+    write_performance_report,
     write_timings_csv,
     write_top_k,
 )
@@ -54,6 +55,7 @@ def main(argv: list[str]) -> int:
     write_final_scores(result.ranks, f"{out}/final_scores", coalesce=1)
     write_top_k(result.ranks, f"{out}/top_50", k=50)
     write_timings_csv(result, f"{out}/_timings.csv")
+    write_performance_report(result, f"{out}/performance_report.txt")
     print(
         f"pagerank: N={result.n_vertices} iterations={result.iterations} "
         f"converged={result.converged}"

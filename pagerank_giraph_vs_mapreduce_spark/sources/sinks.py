@@ -75,6 +75,35 @@ def write_timings_csv(result: PageRankResult, path: str) -> None:
             w.writerow([f"Superstep_{it.iteration}_stats", ms(it.stats_seconds)])
 
 
+def write_performance_report(result: PageRankResult, path: str) -> None:
+    """S9: human-readable run report — the ``performance_report.txt``
+    analog (MR/PerformanceMonitor.java:83-99: named phases, per-iteration
+    breakdown, totals). Same numbers as _timings.csv, formatted for eyes.
+    """
+    hist = result.history
+    total_iter = sum(it.seconds for it in hist)
+    lines = [
+        "PageRank Performance Report",
+        "===========================",
+        f"vertices:            {result.n_vertices}",
+        f"iterations:          {result.iterations}"
+        f" ({'converged' if result.converged else 'max-iterations reached'})",
+        f"setup (graph build): {result.build_seconds * 1000.0:10.1f} ms",
+        f"iteration total:     {total_iter * 1000.0:10.1f} ms",
+        f"wall total:          {(result.build_seconds + total_iter) * 1000.0:10.1f} ms",
+        "",
+        "Iteration  Total_ms    Plan_ms Compute_ms  Stats_ms    AvgDiff      TotalPR",
+    ]
+    for it in hist:
+        lines.append(
+            f"{it.iteration:>9}  {it.seconds * 1000.0:8.1f}  "
+            f"{it.plan_seconds * 1000.0:9.1f}  {it.compute_seconds * 1000.0:9.1f}  "
+            f"{it.stats_seconds * 1000.0:8.1f}  {it.avg_diff:.3e}  {it.total_pr:.9f}"
+        )
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
 def compact_parquet(
     spark,
     in_dir: str,

@@ -89,3 +89,8 @@ def test_cli_end_to_end(spark, tmp_path):
         + by_phase["Superstep_1_stats"]
     )
     assert 0 < parts <= by_phase["Superstep_1"] * 1.01
+
+    report = open(f"{out}/performance_report.txt").read()
+    assert "PageRank Performance Report" in report
+    assert "setup (graph build):" in report
+    assert "Iteration  Total_ms" in report
