@@ -169,6 +169,20 @@ def main() -> int:
         extras["pagerank_s1scale_iter1_sec"] = round(secs[0], 3)
         extras["pagerank_s1scale_iter15_sec"] = round(secs[-1], 3)
 
+    def run_pagerank_s3scale() -> None:
+        """Reference S3 scale (soc-LiveJournal1: 4.8M V / 69M E,
+        README.md:116-120) — the headline baseline comparison (MR 629 s
+        total / ~131 s per iteration; Giraph 170 s / ~17 s per superstep
+        on the 6-node cluster, README.md:252-253). 5 forced supersteps on
+        a same-shape synthetic graph."""
+        res = pagerank(
+            synth_powerlaw(4_847_571, 68_993_773), max_iter=5, tol=-1.0, min_iter=0
+        )
+        secs = [h.seconds for h in res.history]
+        extras["pagerank_s3scale_n_vertices"] = res.n_vertices
+        extras["pagerank_s3scale_build_sec"] = round(res.build_seconds, 3)
+        extras["pagerank_s3scale_sec_per_iter"] = round(sum(secs) / len(secs), 3)
+
     def run_triangle_skewed() -> None:
         """Degree-oriented triangle counting on a 100k-V/1M-E power-law
         graph (top-hub in-degree ~10k): the id-oriented plan would key
@@ -205,6 +219,7 @@ def main() -> int:
     timed("pagerank_large_3iter", run_pagerank_large)
     timed("pagerank_flatness_15iter", run_pagerank_flatness)
     timed("pagerank_s1scale_15iter", run_pagerank_s1scale)
+    timed("pagerank_s3scale_5iter", run_pagerank_s3scale)
     timed("triangle_skewed_100k", run_triangle_skewed)
     timed("wcc_large_3iter", run_wcc_large)
     timed("bfs_large_4hop", run_bfs_large)

@@ -71,11 +71,12 @@ def build_graph(
     n_vertices = vertices.count()
 
     outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # The dedup ⋈ outdeg equi-join on src already leaves its output hash-
+    # partitioned by src; an explicit repartition would be a third full
+    # E-row shuffle for the same distribution.
     links = dedup.join(outdeg, "src")
     if num_partitions:
         links = links.repartition(num_partitions, "src")
-    else:
-        links = links.repartition("src")
     links = links.persist(StorageLevel.MEMORY_AND_DISK)
     links.count()  # materialize before the loop starts
 

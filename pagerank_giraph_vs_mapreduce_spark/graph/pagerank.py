@@ -57,10 +57,12 @@ class IterationStats:
     seconds: float
     # Per-phase split within the superstep (the MR PerformanceMonitor
     # setup/map/reduce analog, MR/PerformanceMonitor.java:49-79):
-    # plan = driver-side DataFrame/Catalyst construction;
-    # compute = scatter+gather+update materialization (only nonzero under
-    # phase_timing=True, which makes the checkpoint eager);
-    # stats = the global aggregate action (fused with compute when lazy).
+    # plan = driver-side DataFrame construction;
+    # compute = the checkpoint call — physical planning plus AQE
+    #   query-stage materialization (most of the scatter/gather work on
+    #   large graphs; the full update materialization when phase_timing
+    #   makes the checkpoint eager);
+    # stats = the global aggregate action (finishes any deferred work).
     plan_seconds: float = 0.0
     compute_seconds: float = 0.0
     stats_seconds: float = 0.0
@@ -207,11 +209,13 @@ def pagerank(
                 dangling_sum=dangling_sum,
                 total_pr=float(stats["total"] or 0.0),
                 seconds=time.monotonic() - t0,
-                # The lazy localCheckpoint call is driver-side physical
-                # planning (plan truncation forces Catalyst optimization),
-                # so it counts as plan time unless eager made it compute.
-                plan_seconds=(t_plan if phase_timing else t_compute) - t0,
-                compute_seconds=(t_compute - t_plan) if phase_timing else 0.0,
+                # The lazy localCheckpoint call spans physical planning AND
+                # AQE query-stage materialization (.rdd on an adaptive plan
+                # executes intermediate shuffle stages synchronously), so on
+                # large graphs it is mostly compute; it lands in compute
+                # either way, with plan covering only DF construction.
+                plan_seconds=t_plan - t0,
+                compute_seconds=t_compute - t_plan,
                 stats_seconds=t_stats - t_compute,
             )
         )

@@ -54,8 +54,6 @@ def write_timings_csv(result: PageRankResult, path: str) -> None:
     Giraph setup timing, GI/PageRankMasterCompute.java:59-64) and, per
     superstep, the total plus its plan/compute/stats split (the MR
     setup/map/reduce wall report, MR/PerformanceMonitor.java:49-99).
-    compute rows appear only when the kernel ran with phase_timing=True;
-    on the fused fast path compute is part of the stats action.
     """
 
     def ms(s: float) -> float:
