@@ -41,6 +41,10 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> ComponentsResu
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition("src")
+        # Cache sorted by the join key: the per-superstep sort-merge join
+        # then reads the cache with neither an Exchange nor a Sort on the
+        # E-row side (cached outputOrdering is recognized).
+        .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vertices = sym.select(F.col("src").alias("id")).distinct()

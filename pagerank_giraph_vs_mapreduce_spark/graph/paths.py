@@ -45,6 +45,9 @@ def bfs_distances(edges: DataFrame, source: int, max_hops: int = 10) -> BfsResul
         edges.select("src", "dst")
         .distinct()
         .repartition("src")
+        # Sorted cache: if a hop's frontier is big enough for a sort-merge
+        # join, the E side needs neither Exchange nor Sort per hop.
+        .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
