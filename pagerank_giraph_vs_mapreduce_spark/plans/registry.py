@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "pagerank_giraph_vs_mapreduce_spark.plans.function_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.udf_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries",
+    "pagerank_giraph_vs_mapreduce_spark.plans.streaming_queries",
 )
 
 # The driver's correctness gate checks queries in registration order and (as of
@@ -96,6 +97,10 @@ _PRIORITY = (
     # temporal joins (all unchecked)
     "asof_click_purchase",
     "range_join_signup_errors",
+    # streaming surface, driven to end-of-input (new this round)
+    "stream_tumbling_15m",
+    "stream_session_30m",
+    "stream_dedup_counts",
     # changed this round (degree-oriented wedges / bounded fan-out / multi-probe)
     "g_triangle_count",
     "g_two_hop_count",
