@@ -247,6 +247,40 @@ def simhash(
     return arr.select("id", sig.alias("simhash"))
 
 
+SIMHASH64_BITS = 62  # two independent 31-bit rehashes
+
+
+def simhash_wide(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int = 5
+) -> DataFrame:
+    """62-bit SimHash per document — the web-scale fingerprint width
+    (Manku et al. use 64 bits): bits 0-30 from the seed-0 rehash, bits
+    31-61 from the independent seed-1 rehash. Wider signatures make the
+    multi-probe blocks 15-16 bits instead of 8, so near-dup candidate
+    buckets stay sparse at corpus sizes where 8-bit blocks would degrade
+    toward all-pairs. Same shuffle-free per-row shape as ``simhash``."""
+    arr = shingle_code_array(df, id_col, text_col, shingle_len).select(
+        "id",
+        F.transform("codes", lambda c: minhash_col(c, 0)).alias("h0"),
+        F.transform("codes", lambda c: minhash_col(c, 1)).alias("h1"),
+    )
+
+    def bit_sum(col: str, b: int) -> Column:
+        return F.aggregate(
+            F.col(col),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1),
+        )
+
+    sig: Column = F.lit(0).cast("long")
+    for b in range(31):
+        sig = sig + F.when(bit_sum("h0", b) > 0, F.lit(1 << b)).otherwise(0)
+    for b in range(SIMHASH64_BITS - 31):
+        sig = sig + F.when(bit_sum("h1", b) > 0, F.lit(1 << (31 + b))).otherwise(0)
+    return arr.select("id", sig.alias("simhash"))
+
+
 SIMHASH_PROBE_BLOCKS = 4
 
 
@@ -261,7 +295,9 @@ def _simhash_blocks(bits: int = SIMHASH_BITS, n_blocks: int = SIMHASH_PROBE_BLOC
     return blocks
 
 
-def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int = 6, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """All pairs from a ``(id, simhash)`` DataFrame with Hamming distance
     ≤ ``max_hamming`` — EXACT recall via pigeonhole multi-probe blocking.
 
@@ -276,9 +312,9 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
     all-pairs answer (the oracle checks against literally that).
 
     Blow-up: B emits ``n_blocks + bits`` rows per doc (35 for 31 bits);
-    bucket join fan-out is governed by block width (~8 bits here — fine to
-    ~1e6 docs; for web scale widen the signature to 64 bits and use 16-bit
-    blocks per Manku et al.'s "Detecting Near-Duplicates for Web Crawling").
+    bucket join fan-out is governed by block width — ~8 bits for the
+    31-bit signature (fine to ~1e6 docs), 15-16 bits for the 62-bit
+    ``simhash_wide`` signature (the Manku et al. web-scale shape).
     """
     if max_hamming > 2 * SIMHASH_PROBE_BLOCKS - 1:
         raise ValueError(
@@ -286,7 +322,7 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 6) -> DataFrame:
             f"{2 * SIMHASH_PROBE_BLOCKS - 1} of {SIMHASH_PROBE_BLOCKS}-block "
             "1-bit-flip probing"
         )
-    blocks = _simhash_blocks()
+    blocks = _simhash_blocks(bits)
 
     def block_key(i: int) -> Column:
         off, w = blocks[i]

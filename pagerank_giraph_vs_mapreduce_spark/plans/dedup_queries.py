@@ -208,6 +208,52 @@ def dedup_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+_bit_sums0 = ", ".join(
+    f"sum(CASE WHEN (h0 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(31)
+)
+_bit_sums1 = ", ".join(
+    f"sum(CASE WHEN (h1 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS t{b}"
+    for b in range(31)
+)
+_assemble64 = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(31)
+) + " + " + " + ".join(
+    f"CASE WHEN t{b} > 0 THEN {1 << (31 + b)} ELSE 0 END" for b in range(31)
+)
+SIMHASH64_SQL = f"""rehash2 AS (
+  SELECT id, {minhash_sql('code', 0)} AS h0, {minhash_sql('code', 1)} AS h1 FROM sh),
+perbit64 AS (SELECT id, {_bit_sums0}, {_bit_sums1} FROM rehash2 GROUP BY id),
+simh64 AS (SELECT id, CAST({_assemble64} AS BIGINT) AS simhash FROM perbit64)"""
+
+
+@query(
+    "dedup_simhash64_near_dups",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIMHASH64_SQL}
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM simh64 a JOIN simh64 b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""",
+)
+def dedup_simhash64_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """62-bit SimHash near-dups at hamming ≤ 6 — the web-scale fingerprint
+    width (15/16-bit multi-probe blocks keep candidate buckets sparse at
+    corpus sizes where the 31-bit signature's 8-bit blocks would degrade).
+    Oracle is the all-pairs comparison: a recall check, like the 31-bit
+    twin."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        SIMHASH64_BITS,
+        simhash_pairs_from_sigs,
+        simhash_wide,
+    )
+
+    s = simhash_wide(_docs2(spark, sf_dir), "doc_id", "text", SHINGLE_LEN)
+    df = simhash_pairs_from_sigs(s, max_hamming=6, bits=SIMHASH64_BITS)
+    return df.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""WITH docs2 AS (

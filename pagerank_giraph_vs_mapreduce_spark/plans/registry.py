@@ -106,6 +106,7 @@ _PRIORITY = (
     "g_two_hop_count",
     "dedup_simhash",
     "dedup_simhash_near_dups",
+    "dedup_simhash64_near_dups",
     # green-in-r01 sentinels, one per family, to catch regressions
     # (ordered by information value in case the gate's cap truncates)
     "g_pagerank_k3",

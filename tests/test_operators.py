@@ -250,3 +250,47 @@ def test_ann_recall_operating_point(spark):
         .collect()
     )
     assert all(r["count"] < n for r in cand_sizes)
+
+
+def test_simhash64_multiprobe_recall(spark):
+    """62-bit signatures: planted <=6-bit perturbations across the full
+    width (including bits >= 31) must all be found."""
+    import itertools
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        SIMHASH64_BITS,
+        simhash_pairs_from_sigs,
+    )
+
+    rng = random.Random(11)
+    sigs = []
+    for _ in range(30):
+        s = rng.getrandbits(62)
+        sigs.append(s)
+        flip = 0
+        for b in rng.sample(range(62), rng.randint(0, 6)):
+            flip |= 1 << b
+        sigs.append(s ^ flip)
+    expect = {
+        (i, j): bin(sigs[i] ^ sigs[j]).count("1")
+        for i, j in itertools.combinations(range(len(sigs)), 2)
+        if bin(sigs[i] ^ sigs[j]).count("1") <= 6
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_from_sigs(
+            _sig_df(spark, sigs), 6, bits=SIMHASH64_BITS
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_simhash_wide_identical_docs_equal(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import simhash_wide
+
+    t = "wide simhash agrees on identical inputs too"
+    d = docs_df(spark, [(1, t), (2, t)])
+    out = {r["id"]: r["simhash"] for r in simhash_wide(d, "doc_id", "text").collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < 2**62
