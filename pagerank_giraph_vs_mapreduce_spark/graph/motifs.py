@@ -74,6 +74,39 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def kcore_survivors(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """Vertices surviving ``rounds`` rounds of k-core peeling on the
+    undirected deduped graph (self-loops dropped): each round removes
+    vertices whose degree among current survivors is < k. With enough
+    rounds this converges to the k-core; a fixed round count keeps the
+    computation expressible as an unrolled SQL oracle (same discipline as
+    the fixed-k PageRank/WCC queries).
+
+    Scale shape: each round is one degree aggregation over the surviving
+    edge set (two semi-joins + groupBy — map-side combined); the edge
+    table is cached once and only shrinks. Returns (id BIGINT).
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionAll(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    survivors = sym.select(F.col("src").alias("id")).distinct()
+    for _ in range(rounds):
+        alive = sym.join(
+            survivors.select(F.col("id").alias("src")), "src", "left_semi"
+        ).join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
+        deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        survivors = deg.filter(F.col("d") >= k).select(F.col("src").alias("id"))
+    return survivors
+
+
 def two_hop_count(edges: DataFrame, mid_outdeg_cap: int | None = 64) -> DataFrame:
     """Distinct 2-hop neighborhood size per origin, transiting only
     intermediates with out-degree <= ``mid_outdeg_cap`` (``None`` = exact,

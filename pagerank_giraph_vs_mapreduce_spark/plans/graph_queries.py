@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
 from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+    kcore_survivors,
     triangle_count,
     two_hop_count,
 )
@@ -427,3 +428,40 @@ def g_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(cap=TWO_HOP_MID_OUTDEG_CAP)
     _, edges, _, _ = _graph_parts(spark, sf_dir)
     return two_hop_count(edges, mid_outdeg_cap=TWO_HOP_MID_OUTDEG_CAP)
+
+
+KCORE_K = 64
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [
+        f"""{GRAPH_CTES},
+sym AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst),
+v0 AS (SELECT DISTINCT src AS id FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT s.src AS id, count(*) AS d
+  FROM sym s JOIN v{i - 1} a ON s.src = a.id JOIN v{i - 1} b ON s.dst = b.id
+  GROUP BY s.src),
+v{i} AS (SELECT id FROM d{i} WHERE d >= {k})"""
+        )
+    parts.append(f"\nSELECT id FROM v{rounds}")
+    return "".join(parts)
+
+
+@query("g_kcore64_r4", oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS))
+def g_kcore64_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four rounds of 64-core peeling on the undirected deduped graph —
+    the degree-threshold iterative kernel (community-core extraction).
+    Fixed round count keeps it expressible as an unrolled SQL oracle;
+    implementation: graph/motifs.py:kcore_survivors (per-round degree
+    aggregation over the shrinking survivor set)."""
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    return kcore_survivors(edges, k=KCORE_K, rounds=KCORE_ROUNDS)

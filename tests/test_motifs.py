@@ -76,3 +76,16 @@ def test_two_hop_cap_excludes_hub_mid(spark):
     exact = two_hop_count(make_edges(spark, pairs), mid_outdeg_cap=None)
     got_exact = {r["id"]: r["n_two_hop"] for r in exact.collect()}
     assert got_exact == {1: 4}
+
+
+def test_kcore_peeling_cascade(spark):
+    """Triangle 1-2-3 survives 2-core peeling; the pendant chain peels
+    away over successive rounds (4 -> gone round 1; nothing else)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import kcore_survivors
+
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+    got = {r["id"] for r in kcore_survivors(make_edges(spark, pairs), k=2, rounds=4).collect()}
+    assert got == {1, 2, 3}
+    # one round only: 5 peels (degree 1), 4 still sees two neighbors
+    one = {r["id"] for r in kcore_survivors(make_edges(spark, pairs), k=2, rounds=1).collect()}
+    assert one == {1, 2, 3, 4}
