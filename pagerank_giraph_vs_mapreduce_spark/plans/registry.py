@@ -107,6 +107,7 @@ _PRIORITY = (
     "dedup_simhash",
     "dedup_simhash_near_dups",
     "dedup_simhash64_near_dups",
+    "g_kcore64_r4",
     # green-in-r01 sentinels, one per family, to catch regressions
     # (ordered by information value in case the gate's cap truncates)
     "g_pagerank_k3",
