@@ -35,3 +35,17 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir, tmp_path):
     want = {(r["ws"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want
     assert len(want) > 10
+
+
+def test_registered_streaming_query_runs(spark, sf_dir):
+    """The driver-facing streaming queries (plans/streaming_queries.py)
+    must run end-to-end from the registry on the small fixture."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    rows = QUERIES["stream_dedup_counts"](spark, sf_dir).collect()
+    assert rows  # every event_type present with a positive distinct count
+    assert all(r["n"] > 0 for r in rows)
