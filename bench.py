@@ -230,8 +230,12 @@ def main() -> int:
         "win_session_30m",
         "dedup_minhash_near_dups",
         "dedup_simhash",
+        "dedup_simhash64_near_dups",
         "sim_cosine_top10",
+        "sim_ann_recall",
         "text_fingerprint",
+        "g_kcore64_r4",
+        "stream_tumbling_15m",
         "g_pagerank_k3",
     ):
         timed(q, run_query(q))

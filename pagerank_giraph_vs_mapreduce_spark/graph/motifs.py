@@ -84,15 +84,15 @@ def kcore_survivors(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
 
     Scale shape: each round is one degree aggregation over the surviving
     edge set (two semi-joins + groupBy — map-side combined); the edge
-    table is cached once and only shrinks. Returns (id BIGINT).
+    table is cached once and only shrinks. The V-row survivor set is
+    materialized per round (eager localCheckpoint) — the same lineage
+    discipline as the PageRank loop; without it round r re-executes all
+    rounds before it. Returns (id BIGINT).
     """
+    noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
     sym = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .unionAll(
-            edges.filter(F.col("src") != F.col("dst")).select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+        noself.unionAll(
+            noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .persist()
@@ -103,7 +103,12 @@ def kcore_survivors(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
             survivors.select(F.col("id").alias("src")), "src", "left_semi"
         ).join(survivors.select(F.col("id").alias("dst")), "dst", "left_semi")
         deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        survivors = deg.filter(F.col("d") >= k).select(F.col("src").alias("id"))
+        survivors = (
+            deg.filter(F.col("d") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
     return survivors
 
 
