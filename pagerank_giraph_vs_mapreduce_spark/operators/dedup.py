@@ -220,6 +220,32 @@ def minhash_near_dups(
 SIMHASH_BITS = 31  # stays within the 31-bit universal hash range
 
 
+def _simhash_part(col: str, n_bits: int, bit_offset: int) -> str:
+    """SQL expr: sign-aggregate the hash array ``col`` into signature bits
+    [bit_offset, bit_offset + n_bits).
+
+    Single pass over the array with an array-of-counters accumulator
+    (bit b set iff 2 * count_of_set_bits > n). The per-bit-aggregate
+    formulation (n_bits separate array scans) generates an expression
+    tree that blows up whole-stage codegen — measured 15 s vs ~2 s on
+    the 62-bit signature at sf0.1.
+    """
+    cnts = (
+        f"aggregate({col}, transform(sequence(0, {n_bits - 1}), x -> 0),"
+        f" (acc, h) -> zip_with(acc,"
+        f" transform(sequence(0, {n_bits - 1}),"
+        f" b -> CAST(shiftright(h, CAST(b AS INT)) & 1 AS INT)),"
+        f" (x, y) -> x + y))"
+    )
+    return (
+        f"aggregate(zip_with({cnts}, sequence(0, {n_bits - 1}),"
+        f" (c, b) -> CASE WHEN 2 * c > size({col})"
+        f" THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT) + {bit_offset})"
+        f" ELSE CAST(0 AS BIGINT) END),"
+        f" CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, shingle_len: int = 5
 ) -> DataFrame:
@@ -227,24 +253,14 @@ def simhash(
     (weight +1 if bit b of the shingle hash is set).
 
     Computed entirely per-row over the code array (rehash via transform,
-    31 array-aggregate bit sums, assemble) — like the MinHash stage, a
+    one-pass counter-array sign aggregation) — like the MinHash stage, a
     narrow shuffle-free projection."""
     arr = shingle_code_array(df, id_col, text_col, shingle_len).select(
         "id", F.transform("codes", lambda c: minhash_col(c, 0)).alias("hs")
     )
-
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1),
-        )
-
-    sig: Column = F.lit(0).cast("long")
-    for b in range(SIMHASH_BITS):
-        sig = sig + F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(0)
-    return arr.select("id", sig.alias("simhash"))
+    return arr.select(
+        "id", F.expr(_simhash_part("hs", SIMHASH_BITS, 0)).alias("simhash")
+    )
 
 
 SIMHASH64_BITS = 62  # two independent 31-bit rehashes
@@ -264,21 +280,11 @@ def simhash_wide(
         F.transform("codes", lambda c: minhash_col(c, 0)).alias("h0"),
         F.transform("codes", lambda c: minhash_col(c, 1)).alias("h1"),
     )
-
-    def bit_sum(col: str, b: int) -> Column:
-        return F.aggregate(
-            F.col(col),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1),
-        )
-
-    sig: Column = F.lit(0).cast("long")
-    for b in range(31):
-        sig = sig + F.when(bit_sum("h0", b) > 0, F.lit(1 << b)).otherwise(0)
-    for b in range(SIMHASH64_BITS - 31):
-        sig = sig + F.when(bit_sum("h1", b) > 0, F.lit(1 << (31 + b))).otherwise(0)
-    return arr.select("id", sig.alias("simhash"))
+    sig = (
+        f"{_simhash_part('h0', 31, 0)}"
+        f" + {_simhash_part('h1', SIMHASH64_BITS - 31, 31)}"
+    )
+    return arr.select("id", F.expr(sig).alias("simhash"))
 
 
 SIMHASH_PROBE_BLOCKS = 4
@@ -322,6 +328,11 @@ def simhash_pairs_from_sigs(
             f"{2 * SIMHASH_PROBE_BLOCKS - 1} of {SIMHASH_PROBE_BLOCKS}-block "
             "1-bit-flip probing"
         )
+    # Materialize the signatures before the probe fan-out: Catalyst's
+    # projection collapsing would otherwise inline the (large, non-codegen
+    # higher-order) signature expression into every one of the ~n_blocks +
+    # bits probe-key expressions — recomputing each signature ~66x per row.
+    sigs = sigs.localCheckpoint(eager=False)
     blocks = _simhash_blocks(bits)
 
     def block_key(i: int) -> Column:
