@@ -193,6 +193,20 @@ def main() -> int:
         row = triangle_count(synth_powerlaw(100_000, 1_000_000, seed=7)).first()
         extras["triangle_skewed_n_triangles"] = row["n_triangles"]
 
+    def run_two_hop_skewed() -> None:
+        """Hub-capped two-hop counts on an out-degree-skewed graph
+        (reversed power-law: top hubs have ~10k out-edges). The cap
+        excludes hub intermediates, keeping the self-join fan-out linear
+        in E regardless of hub size."""
+        from pyspark.sql import functions as F
+
+        from pagerank_giraph_vs_mapreduce_spark.graph.motifs import two_hop_count
+
+        rev = synth_powerlaw(100_000, 1_000_000, seed=7).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        extras["two_hop_skewed_rows"] = two_hop_count(rev, mid_outdeg_cap=64).count()
+
     def run_wcc_large() -> None:
         """Second kernel at scale: 3 label-propagation supersteps on the
         200k-vertex graph (symmetrized ~4.8M directed edges)."""
@@ -221,6 +235,7 @@ def main() -> int:
     timed("pagerank_s1scale_15iter", run_pagerank_s1scale)
     timed("pagerank_s3scale_5iter", run_pagerank_s3scale)
     timed("triangle_skewed_100k", run_triangle_skewed)
+    timed("two_hop_skewed_100k", run_two_hop_skewed)
     timed("wcc_large_3iter", run_wcc_large)
     timed("bfs_large_4hop", run_bfs_large)
     for q in (
