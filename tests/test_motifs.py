@@ -89,3 +89,62 @@ def test_kcore_peeling_cascade(spark):
     # one round only: 5 peels (degree 1), 4 still sees two neighbors
     one = {r["id"] for r in kcore_survivors(make_edges(spark, pairs), k=2, rounds=1).collect()}
     assert one == {1, 2, 3, 4}
+
+
+def test_motifs_random_graphs_vs_python(spark):
+    """Seeded random digraphs: triangle count, capped two-hop, and k-core
+    survivors must all match pure-python oracles."""
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import kcore_survivors
+
+    rng = random.Random(3)
+    for trial in range(4):
+        n = rng.randint(8, 20)
+        pairs = list(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(10, 60))
+            }
+        )
+        edges = make_edges(spark, pairs)
+
+        assert (
+            triangle_count(edges).first()["n_triangles"] == n_triangles(pairs)
+        ), f"triangles trial {trial}"
+
+        cap = rng.choice([2, 3, 100])
+        dedup = {(a, b) for a, b in pairs}
+        outdeg: dict[int, int] = {}
+        adj: dict[int, set[int]] = {}
+        for a, b in dedup:
+            outdeg[a] = outdeg.get(a, 0) + 1
+            adj.setdefault(a, set()).add(b)
+        want = {}
+        for s in adj:
+            reach = set()
+            for m in adj[s]:
+                if outdeg.get(m, 0) <= cap:
+                    reach |= adj.get(m, set())
+            if reach:
+                want[s] = len(reach)
+        got = {
+            r["id"]: r["n_two_hop"]
+            for r in two_hop_count(edges, mid_outdeg_cap=cap).collect()
+        }
+        assert got == want, f"two_hop trial {trial} cap {cap}"
+
+        k = rng.choice([1, 2, 3])
+        und = {tuple(sorted((a, b))) for a, b in dedup if a != b}
+        uadj: dict[int, set[int]] = {}
+        for u, v in und:
+            uadj.setdefault(u, set()).add(v)
+            uadj.setdefault(v, set()).add(u)
+        surv = set(uadj)
+        for _ in range(3):
+            surv = {x for x in surv if len(uadj[x] & surv) >= k}
+        got_k = {
+            r["id"]
+            for r in kcore_survivors(edges, k=k, rounds=3).collect()
+        }
+        assert got_k == surv, f"kcore trial {trial} k {k}"
