@@ -164,6 +164,69 @@ def ivf_assign(
     )
 
 
+def kmeans_fit(
+    emb: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means refinement of an initial codebook —
+    the distributed IVF-training step (assignment by max dot product,
+    update by element-wise mean of assigned vectors; empty cells keep
+    their previous centroid).
+
+    Determinism discipline (so a SQL oracle can replay it exactly):
+    assignment ranks on round(dot, 6) with centroid-id tie-break (same
+    as ivf_assign); means are computed as exact DECIMAL sums divided by
+    counts and rounded to 9 dp before the next iteration's dot products.
+
+    Scale shape per iteration: one broadcast-join argmax over N rows
+    (window by vector id on a k-row broadcast — no N-row shuffle beyond
+    the window), then posexplode to (cell, dim) rows and one map-side-
+    combined aggregation of k*dim cells. The codebook stays tiny and
+    driver-free. Returns (centroid_id, embedding ARRAY<DOUBLE>).
+    """
+    c = centroids.select(
+        F.col(centroid_id), _as_double(F.col(vec_col)).alias(vec_col)
+    )
+    for _ in range(iters):
+        assign = ivf_assign(emb, c, id_col, vec_col, centroid_id)
+        upd = (
+            emb.join(assign, id_col)
+            .select(centroid_id, F.posexplode(_as_double(F.col(vec_col))))
+            .groupBy(centroid_id, "pos")
+            .agg(
+                # exact decimal sum -> double, then IEEE division + 9-dp
+                # round: bit-identical in Spark and the SQL oracle
+                # (decimal/decimal division scale rules differ between
+                # engines; double division does not).
+                F.round(
+                    F.sum(F.col("col").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("val")
+            )
+            .groupBy(centroid_id)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s.val,
+                ).alias("upd_emb")
+            )
+        )
+        c = (
+            c.join(upd, centroid_id, "left")
+            .select(
+                centroid_id,
+                F.coalesce(F.col("upd_emb"), F.col(vec_col)).alias(vec_col),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return c
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     query: DataFrame,

@@ -57,6 +57,7 @@ _PRIORITY = (
     "dedup_embedding_cosine",
     "sim_lsh_ann_top5",
     "sim_ann_recall",
+    "sim_kmeans_2iter",
     # text analysis (all unchecked in r01)
     "text_token_stats",
     "text_quality",

@@ -197,6 +197,63 @@ def sim_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+KMEANS_ITERS = 2
+
+
+def _kmeans_oracle(iters: int) -> str:
+    """Unrolled Lloyd iterations: assignment by round(dot, 6) argmax with
+    centroid-id tie-break; update = exact-decimal-sum mean rounded to
+    9 dp; empty cells carry the previous centroid."""
+    parts = [
+        f"""WITH c0 AS (
+  SELECT vec_id - 10 AS cid, embedding::DOUBLE[] AS emb FROM embeddings
+  WHERE vec_id BETWEEN 10 AND {10 + N_CENTROIDS - 1})"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"c{i - 1}"
+        dot = _DOT.format(a="e.embedding", b=f"c.emb")
+        parts.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({dot}, 6) DESC, c.cid) AS rn
+    FROM embeddings e, {p} c) WHERE rn = 1),
+u{i} AS (
+  SELECT a.cid, r.pos - 1 AS pos,
+         round(CAST(sum(CAST(e.embedding[r.pos]::DOUBLE AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 9) AS val
+  FROM a{i} a JOIN embeddings e ON e.vec_id = a.vec_id,
+       unnest(range(1, len(e.embedding) + 1)) AS r(pos)
+  GROUP BY a.cid, r.pos),
+c{i} AS (
+  SELECT p.cid, coalesce(n.emb, p.emb) AS emb
+  FROM {p} p LEFT JOIN (
+    SELECT cid, list(val ORDER BY pos) AS emb FROM u{i} GROUP BY cid) n
+  ON n.cid = p.cid)"""
+        )
+    parts.append(
+        f"""
+SELECT c.cid AS centroid_id, r.pos - 1 AS pos, c.emb[r.pos] AS val
+FROM c{iters} c, unnest(range(1, len(c.emb) + 1)) AS r(pos)"""
+    )
+    return "".join(parts)
+
+
+@query("sim_kmeans_2iter", oracle=_kmeans_oracle(KMEANS_ITERS))
+def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations refining the 8-vector data-derived codebook —
+    the distributed IVF-training step (operators/similarity.py:kmeans_fit).
+    Output is the final codebook exploded to (centroid_id, pos, val) rows
+    so the hash comparison is array-layout-independent."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fit = kmeans_fit(emb, _centroids(spark, sf_dir), iters=KMEANS_ITERS)
+    return fit.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
+
+
 # Recall@k measurement: multi-table LSH ANN vs brute-force ground truth,
 # computed in-plan over 5 query vectors. Parameters chosen for measured mean
 # recall >= 0.9 on the sf0.01 embeddings (b=4 bits x L=16 tables -> 0.90 at

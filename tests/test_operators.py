@@ -294,3 +294,24 @@ def test_simhash_wide_identical_docs_equal(spark):
     out = {r["id"]: r["simhash"] for r in simhash_wide(d, "doc_id", "text").collect()}
     assert out[1] == out[2]
     assert 0 <= out[1] < 2**62
+
+
+def test_kmeans_fit_recovers_clusters(spark):
+    """Two tight clusters + off-center init: two Lloyd iterations must
+    move the centroids to the cluster means."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import kmeans_fit
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3) * 0.1, 0.0]))
+        rows.append((100 + i, [0.0, 10.0 + (i % 3) * 0.1]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    init = spark.createDataFrame(
+        [(0, [8.0, 1.0]), (1, [1.0, 8.0])],
+        "centroid_id bigint, embedding array<float>",
+    )
+    fit = {r["centroid_id"]: r["embedding"] for r in kmeans_fit(emb, init, iters=2).collect()}
+    assert fit[0][0] == pytest.approx(10.09, abs=1e-6)
+    assert fit[0][1] == pytest.approx(0.0, abs=1e-9)
+    assert fit[1][1] == pytest.approx(10.09, abs=1e-6)
+    assert fit[1][0] == pytest.approx(0.0, abs=1e-9)
