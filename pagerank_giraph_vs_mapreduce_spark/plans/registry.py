@@ -58,6 +58,7 @@ _PRIORITY = (
     "sim_lsh_ann_top5",
     "sim_ann_recall",
     "sim_kmeans_2iter",
+    "sim_ivf_trained_top5",
     # text analysis (all unchecked in r01)
     "text_token_stats",
     "text_quality",

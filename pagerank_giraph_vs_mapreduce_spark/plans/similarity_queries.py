@@ -200,7 +200,7 @@ def sim_lsh_ann_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_ITERS = 2
 
 
-def _kmeans_oracle(iters: int) -> str:
+def _kmeans_ctes(iters: int) -> str:
     """Unrolled Lloyd iterations: assignment by round(dot, 6) argmax with
     centroid-id tie-break; update = exact-decimal-sum mean rounded to
     9 dp; empty cells carry the previous centroid."""
@@ -233,12 +233,16 @@ c{i} AS (
     SELECT cid, list(val ORDER BY pos) AS emb FROM u{i} GROUP BY cid) n
   ON n.cid = p.cid)"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle(iters: int) -> str:
+    return (
+        _kmeans_ctes(iters)
+        + f"""
 SELECT c.cid AS centroid_id, r.pos - 1 AS pos, c.emb[r.pos] AS val
 FROM c{iters} c, unnest(range(1, len(c.emb) + 1)) AS r(pos)"""
     )
-    return "".join(parts)
 
 
 @query("sim_kmeans_2iter", oracle=_kmeans_oracle(KMEANS_ITERS))
@@ -252,6 +256,42 @@ def sim_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     fit = kmeans_fit(emb, _centroids(spark, sf_dir), iters=KMEANS_ITERS)
     return fit.select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
+
+
+_TRAINED_ASSIGN = f"""aT AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({_DOT.format(a='e.embedding', b='c.emb')}, 6) DESC,
+                                       c.cid) AS rn
+    FROM embeddings e, c{KMEANS_ITERS} c) WHERE rn = 1)"""
+
+
+@query(
+    "sim_ivf_trained_top5",
+    oracle=f"""{_kmeans_ctes(KMEANS_ITERS)},
+{_TRAINED_ASSIGN},
+q AS (SELECT e.embedding, a.cid AS qc FROM embeddings e
+      JOIN aT a ON e.vec_id = a.vec_id WHERE e.vec_id = {QUERY_ID})
+SELECT e.vec_id, round({_sql_cos('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings e JOIN aT a ON e.vec_id = a.vec_id, q
+WHERE a.cid = q.qc
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+)
+def sim_ivf_trained_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF: train the codebook with two Lloyd iterations, then
+    ANN-probe the query's trained cell — the full train->index->probe
+    composition (kmeans_fit + ivf_cosine_topk)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        ivf_cosine_topk,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    fit = kmeans_fit(emb, _centroids(spark, sf_dir), iters=KMEANS_ITERS)
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    top = ivf_cosine_topk(emb, q, fit, k=5)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 # Recall@k measurement: multi-table LSH ANN vs brute-force ground truth,
