@@ -248,6 +248,7 @@ def main() -> int:
         "dedup_simhash64_near_dups",
         "sim_cosine_top10",
         "sim_ann_recall",
+        "sim_kmeans_2iter",
         "text_fingerprint",
         "g_kcore64_r4",
         "stream_tumbling_15m",
