@@ -54,19 +54,28 @@ def sql_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sql_array_agg",
-    oracle="""SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenums,
+    oracle="""SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS linenums,
        CAST(len(list(l_linenumber)) AS INT) AS n_lines
 FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey""",
 )
 def sql_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation + sort (order-insensitive via array_sort)."""
+    """Array aggregation + sort (order-insensitive via array_sort). The
+    aggregation stays an ARRAY in-plan; only the output boundary serializes
+    it to a canonical comma string so the driver's pandas canonicalizer can
+    hash it (list cells are unhashable in pandas)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") < 100)
         .groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_linenumber")).alias("linenums"),
+            F.array_sort(F.collect_list("l_linenumber")).alias("linenums_arr"),
             F.count(F.lit(1)).cast("int").alias("n_lines"),
+        )
+        .select(
+            "l_orderkey",
+            F.concat_ws(",", "linenums_arr").alias("linenums"),
+            "n_lines",
         )
     )
 
@@ -80,7 +89,7 @@ SELECT l_orderkey,
        parts[1] AS first_part,
        CAST(len(parts) AS INT) AS n_parts,
        CAST(list_contains(parts, 1) AS BOOLEAN) AS has_part_1,
-       list_sum(list_transform(parts, x -> x % 10)) AS mod_sum
+       CAST(list_sum(list_transform(parts, x -> x % 10)) AS BIGINT) AS mod_sum
 FROM arrs""",
 )
 def sql_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,19 +171,22 @@ def edge_parse_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
   FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
 SELECT l_orderkey,
-  list_filter(parts, x -> x % 2 = 0) AS evens,
+  array_to_string(list_filter(parts, x -> x % 2 = 0), ',') AS evens,
   CAST(len(list_filter(parts, x -> x > 1000)) > 0 AS BOOLEAN) AS any_big,
   CAST(len(list_filter(parts, x -> x <= 0)) = 0 AS BOOLEAN) AS all_positive,
-  list_transform(range(1, CAST(len(parts) AS BIGINT) + 1),
-                 i -> parts[CAST(i AS INT)]
-                      + parts[CAST(len(parts) AS INT) - CAST(i AS INT) + 1]
-  ) AS palindrome_sum
+  array_to_string(
+    list_transform(range(1, CAST(len(parts) AS BIGINT) + 1),
+                   i -> parts[CAST(i AS INT)]
+                        + parts[CAST(len(parts) AS INT) - CAST(i AS INT) + 1]
+  ), ',') AS palindrome_sum
 FROM arrs""",
 )
 def sql_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: filter / exists / forall / zip_with
     (with reverse). All lambda bodies run JVM-side inside codegen — the
-    whole point vs a Python UDF doing the same list work."""
+    whole point vs a Python UDF doing the same list work. Array-valued
+    outputs are serialized to canonical comma strings at the output
+    boundary only (pandas cannot hash list cells in the driver check)."""
     li = load_table(spark, sf_dir, "lineitem")
     arrs = (
         li.filter(F.col("l_orderkey") < 100)
@@ -183,11 +195,11 @@ def sql_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return arrs.select(
         "l_orderkey",
-        F.filter("parts", lambda x: x % 2 == 0).alias("evens"),
+        F.concat_ws(",", F.filter("parts", lambda x: x % 2 == 0)).alias("evens"),
         F.exists("parts", lambda x: x > 1000).alias("any_big"),
         F.forall("parts", lambda x: x > 0).alias("all_positive"),
-        F.zip_with(
-            "parts", F.reverse("parts"), lambda x, y: x + y
+        F.concat_ws(
+            ",", F.zip_with("parts", F.reverse("parts"), lambda x, y: x + y)
         ).alias("palindrome_sum"),
     )
 

@@ -98,9 +98,9 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""SELECT doc_id,
   md5(text) AS fp_md5,
-  list_sum(list_transform(range(1, length(text) + 1),
+  CAST(list_sum(list_transform(range(1, length(text) + 1),
            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)
-                * ((i % 64) + 1))) % 1000000007 AS fp_checksum
+                * ((i % 64) + 1))) % 1000000007 AS BIGINT) AS fp_checksum
 FROM documents""",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
