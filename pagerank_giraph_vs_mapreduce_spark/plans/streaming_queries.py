@@ -22,27 +22,16 @@ from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
 from pagerank_giraph_vs_mapreduce_spark.streaming.events_stream import (
-    EVENTS_SCHEMA,
+    read_events_stream,
 )
 
 _DSUM_VALUE = "CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE) AS sum_value"
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events table (single parquet file selected by glob)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return raw.select(
-        "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
-        "user_id",
-        "event_type",
-        "value",
-    )
+    """Stream the events table (single parquet file selected by glob);
+    ts normalization is schema-adaptive in read_events_stream."""
+    return read_events_stream(spark, sf_dir, glob="events.parquet")
 
 
 def _drain(stream: DataFrame, output_mode: str) -> DataFrame:

@@ -51,17 +51,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to a microsecond TIMESTAMP.
 
-    The testdata writes ``ts`` as INT64 TIMESTAMP(NANOS), which Spark's
-    vectorized parquet reader rejects outright; ``nanosAsLong`` reads the
-    raw nanos and we floor-divide to micros — exactly the truncation DuckDB
-    applies when casting TIMESTAMP_NS to its micro-precision TIMESTAMP, so
-    event-time queries stay oracle-comparable. ``ts_us`` (BIGINT micros) is
-    kept for arithmetic that must avoid engine-specific epoch functions.
+    The testdata generations have written ``ts`` two ways, so the loader
+    adapts to the file's physical schema:
+
+    - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+      ``nanosAsLong`` reads the raw nanos and we floor-divide to micros —
+      exactly the truncation DuckDB applies when casting TIMESTAMP_NS to
+      its micro-precision TIMESTAMP.
+    - TIMESTAMP(MICROS) (isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ;
+      with the session timezone pinned to UTC the NTZ→LTZ cast is an
+      identity on the epoch value, so ``unix_micros`` yields the same
+      number DuckDB's ``epoch_us(ts)`` does.
+
+    Either way the output schema is identical: ``ts_us`` (BIGINT micros,
+    for arithmetic that must avoid engine-specific epoch functions) and
+    ``ts`` (micro-precision TIMESTAMP), keeping event-time queries
+    oracle-comparable.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV — a double `/` would lose precision on ~1.7e18 nanos
-    ts_us = F.expr("ts DIV 1000")
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        # raw nanos: integer DIV — a double `/` would lose precision on
+        # ~1.7e18 nanos
+        ts_us = F.expr("ts DIV 1000")
+    else:
+        ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     return raw.select(
         "event_id",
         ts_us.alias("ts_us"),

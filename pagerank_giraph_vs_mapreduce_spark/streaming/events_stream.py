@@ -20,25 +20,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos, as in the parquet
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def read_events_stream(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """File-source stream of events parquet part files.
 
-
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
-    """File-source stream of events parquet part files."""
+    The stream source requires an explicit schema; we take it from a
+    metadata-only batch read of the same path so the normalization adapts
+    to either generation of the testdata (INT64 TIMESTAMP(NANOS) read as
+    raw-nanos LONG, or TIMESTAMP(MICROS) read as TIMESTAMP_NTZ) and the
+    output ``ts`` matches sources.tables.load_events exactly — the batch/
+    stream twin equality the tests assert depends on it. ``glob`` narrows
+    a directory source to matching file names.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    batch = spark.read
+    reader = spark.readStream
+    if glob:
+        batch = batch.option("pathGlobFilter", glob)
+        reader = reader.option("pathGlobFilter", glob)
+    physical = batch.parquet(path).schema
+    raw = reader.schema(physical).parquet(path)
+    if isinstance(physical["ts"].dataType, T.LongType):
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        # NTZ micros; session tz is UTC so the LTZ cast preserves the epoch
+        ts = F.col("ts").cast("timestamp")
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"),
+        ts.alias("ts"),
         "user_id",
         "event_type",
         "value",
