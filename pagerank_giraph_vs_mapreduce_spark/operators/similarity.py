@@ -135,32 +135,44 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its max-dot-product
-    centroid (deterministic tie-break on centroid id).
+    centroid (deterministic tie-break: round(dot, 6) desc, centroid id asc).
 
-    ``centroids`` is small (broadcast); a trained k-means codebook slots in
-    unchanged — here tests/oracles use data-derived centroids. At scale the
-    assignment is a narrow map; writing the table partitioned by
-    ``centroid_id`` turns probe-time reads into partition pruning.
+    Shuffle-free by construction: the (tiny) codebook is collapsed into ONE
+    broadcast row holding ``array<struct<cid, cv>>``, and the argmax is a
+    per-row higher-order expression (``transform`` + ``array_max`` over
+    ``struct(dot, -cid)``) — no window, no N×k row fan-out, zero exchanges
+    on the N-row side. At 100 TB this is a narrow map over the scan;
+    writing the table partitioned by ``centroid_id`` turns probe-time reads
+    into partition pruning.
+
+    ``keep`` carries extra ``emb`` columns through (e.g. the vector itself),
+    so callers that need (id, centroid, vec) avoid a join back onto ``emb``.
     """
-    c = F.broadcast(
-        centroids.select(F.col(centroid_id), _as_double(F.col(vec_col)).alias("cv"))
+    cbook = F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col(centroid_id).alias("cid"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            ).alias("c")
+        ).agg(F.array_sort(F.collect_list("c")).alias("cbook"))
     )
-    scored = emb.crossJoin(c).select(
+    vec_d = _as_double(F.col(vec_col))
+    # (round(dot,6), -cid) pairs: array_max picks max dot, then max(-cid)
+    # == min cid — identical ordering to the SQL oracle's row_number.
+    scored_arr = F.transform(
+        F.col("cbook"),
+        lambda c: F.struct(
+            F.round(_dot(vec_d, c["cv"]), 6).alias("dot"),
+            (-c["cid"]).alias("ncid"),
+        ),
+    )
+    return emb.crossJoin(cbook).select(
         F.col(id_col),
-        F.col(centroid_id),
-        _dot(_as_double(F.col(vec_col)), F.col("cv")).alias("dot"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc(F.round("dot", 6)), F.asc(centroid_id)
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, centroid_id)
+        (-F.array_max(scored_arr)["ncid"]).alias(centroid_id),
+        *keep,
     )
 
 
@@ -182,20 +194,20 @@ def kmeans_fit(
     as ivf_assign); means are computed as exact DECIMAL sums divided by
     counts and rounded to 9 dp before the next iteration's dot products.
 
-    Scale shape per iteration: one broadcast-join argmax over N rows
-    (window by vector id on a k-row broadcast — no N-row shuffle beyond
-    the window), then posexplode to (cell, dim) rows and one map-side-
-    combined aggregation of k*dim cells. The codebook stays tiny and
-    driver-free. Returns (centroid_id, embedding ARRAY<DOUBLE>).
+    Scale shape per iteration: a shuffle-free per-row argmax against the
+    broadcast codebook (the vector column rides along via ``keep``, so
+    there is no join back onto ``emb``), then posexplode to (cell, dim)
+    rows and one map-side-combined aggregation of k*dim cells — exactly
+    one exchange per iteration. The codebook stays tiny and driver-free.
+    Returns (centroid_id, embedding ARRAY<DOUBLE>).
     """
     c = centroids.select(
         F.col(centroid_id), _as_double(F.col(vec_col)).alias(vec_col)
     )
     for _ in range(iters):
-        assign = ivf_assign(emb, c, id_col, vec_col, centroid_id)
+        assigned = ivf_assign(emb, c, id_col, vec_col, centroid_id, keep=(vec_col,))
         upd = (
-            emb.join(assign, id_col)
-            .select(centroid_id, F.posexplode(_as_double(F.col(vec_col))))
+            assigned.select(centroid_id, F.posexplode(_as_double(F.col(vec_col))))
             .groupBy(centroid_id, "pos")
             .agg(
                 # exact decimal sum -> double, then IEEE division + 9-dp
@@ -235,14 +247,18 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: score only vectors in the query's coarse cell (nprobe=1)."""
-    assign = ivf_assign(emb, centroids, id_col, vec_col)
+    """IVF ANN: score only vectors in the query's coarse cell (nprobe=1).
+
+    Candidate pruning is shuffle-free: the assignment rides the scan
+    (``keep=vec``), the query's cell is a 1-row broadcast, so the whole
+    probe is scan → filter → top-k (TakeOrderedAndProject).
+    """
+    assign = ivf_assign(emb, centroids, id_col, vec_col, keep=(vec_col,))
     q_assign = ivf_assign(query, centroids, id_col, vec_col).select(
         F.col("centroid_id").alias("qc")
     )
     candidates = (
-        emb.join(assign, id_col)
-        .crossJoin(F.broadcast(q_assign))
+        assign.crossJoin(F.broadcast(q_assign))
         .filter(F.col("centroid_id") == F.col("qc"))
         .select(id_col, vec_col)
     )
