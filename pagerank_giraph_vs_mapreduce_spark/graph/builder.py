@@ -71,10 +71,14 @@ def build_graph(
     n_vertices = vertices.count()
 
     outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # The dedup ⋈ outdeg equi-join on src already leaves its output hash-
-    # partitioned by src; an explicit repartition would be a third full
-    # E-row shuffle for the same distribution.
-    links = dedup.join(outdeg, "src")
+    # The dedup ⋈ outdeg equi-join on src leaves its output hash-partitioned
+    # by src ONLY if it is planned as a shuffle join; outdeg is a small V-row
+    # aggregate that Catalyst/AQE may broadcast, which would silently leave
+    # the cache partitioned by distinct()'s (src, dst) key and re-shuffle the
+    # E-row side every superstep. The shuffle_hash hint pins the shuffle-by-
+    # src distribution (a repartition('src') would add a third E-row shuffle
+    # for the same result).
+    links = dedup.join(outdeg.hint("shuffle_hash"), "src")
     if num_partitions:
         links = links.repartition(num_partitions, "src")
     links = links.persist(StorageLevel.MEMORY_AND_DISK)
