@@ -469,14 +469,18 @@ WHERE o_totalprice > (
 )
 def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold computed via exact decimal sum so both engines derive the
-    bit-identical average (a plain double avg is order-dependent)."""
+    bit-identical average (a plain double avg is order-dependent). The
+    scalar is a broadcast 1-row crossJoin, keeping the whole query one
+    lazy plan (no driver action) and letting Spark share the scan."""
     o = load_table(spark, sf_dir, "orders")
-    row = o.agg(
+    avg = o.agg(
         (F.sum(F.col("o_totalprice").cast("decimal(38,12)")).cast("double")
-         / F.count(F.lit(1))).alias("avg")
-    ).first()
-    return o.filter(F.col("o_totalprice") > row["avg"]).agg(
-        F.count(F.lit(1)).alias("n_above_avg")
+         / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
     )
 
 
