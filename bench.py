@@ -51,8 +51,13 @@ def main() -> int:
         timings[name] = round(time.monotonic() - t0, 3)
         # Isolate entries: leftover cached tables from one entry otherwise
         # squeeze the next one's working set (measured: +2-3x variance on
-        # the iterative kernels when prior runs' caches linger).
+        # the iterative kernels when prior runs' caches linger), and a JVM
+        # GC between entries keeps one entry's garbage from inflating the
+        # next entry's pauses. Residual cross-talk is ~±10% on sub-second
+        # entries (suite shares one JVM); solo re-runs are the arbiter for
+        # any regression within that band.
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     def run_query(name: str):
         return lambda: QUERIES[name](spark, sf_dir).count()
@@ -139,13 +144,17 @@ def main() -> int:
         e = spark.range(n_e)
         return e.select(
             (F.abs(F.xxhash64(F.col("id"), F.lit(seed))) % n_v).alias("src"),
-            F.floor(
-                n_v
-                * F.pow(
-                    (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % 1_000_000 + 1)
-                    / 1_000_000.0,
-                    F.lit(2.5),
-                )
+            # u in (0, 1]: clamp so u == 1.0 maps to n_v - 1, not n_v.
+            F.least(
+                F.lit(n_v - 1),
+                F.floor(
+                    n_v
+                    * F.pow(
+                        (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % 1_000_000 + 1)
+                        / 1_000_000.0,
+                        F.lit(2.5),
+                    )
+                ),
             )
             .cast("long")
             .alias("dst"),
@@ -182,6 +191,30 @@ def main() -> int:
         extras["pagerank_s3scale_n_vertices"] = res.n_vertices
         extras["pagerank_s3scale_build_sec"] = round(res.build_seconds, 3)
         extras["pagerank_s3scale_sec_per_iter"] = round(sum(secs) / len(secs), 3)
+
+    def run_pagerank_s3scale_converged() -> None:
+        """The reference's actual headline workload: S3 scale TO CONVERGENCE
+        (d=0.85, threshold 1e-8 on avg |delta|, min 5 iterations —
+        README.md:125-128). Giraph's comparable is 170 s total / ~10
+        supersteps on the 6-node cluster (README.md:252-253). Records total
+        wall, iteration count, and first/median/last per-iter cost — the
+        flatness evidence over a full run, not a 5-superstep slice."""
+        res = pagerank(
+            synth_powerlaw(4_847_571, 68_993_773),
+            damping=0.85,
+            max_iter=100,
+            tol=1e-8,
+            min_iter=5,
+        )
+        secs = [h.seconds for h in res.history]
+        extras["pagerank_s3conv_iterations"] = res.iterations
+        extras["pagerank_s3conv_build_sec"] = round(res.build_seconds, 3)
+        extras["pagerank_s3conv_sec_per_iter"] = round(sum(secs) / len(secs), 3)
+        extras["pagerank_s3conv_iter1_sec"] = round(secs[0], 3)
+        extras["pagerank_s3conv_iter_median_sec"] = round(
+            sorted(secs)[len(secs) // 2], 3
+        )
+        extras["pagerank_s3conv_iter_last_sec"] = round(secs[-1], 3)
 
     def run_triangle_skewed() -> None:
         """Degree-oriented triangle counting on a 100k-V/1M-E power-law
@@ -234,6 +267,7 @@ def main() -> int:
     timed("pagerank_flatness_15iter", run_pagerank_flatness)
     timed("pagerank_s1scale_15iter", run_pagerank_s1scale)
     timed("pagerank_s3scale_5iter", run_pagerank_s3scale)
+    timed("pagerank_s3scale_converged", run_pagerank_s3scale_converged)
     timed("triangle_skewed_100k", run_triangle_skewed)
     timed("two_hop_skewed_100k", run_two_hop_skewed)
     timed("wcc_large_3iter", run_wcc_large)
