@@ -419,13 +419,13 @@ def g_two_hop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The unbounded self-join materializes Sigma in(m)*out(m) rows, which a
     single hub intermediate makes quadratic; bounding transit to mids with
-    outdeg <= {cap} caps per-mid fan-out at in(m)*{cap} and keeps the plan
-    linear in E. The cap is declared semantics (friend-of-friend through
-    broadcast hubs is rarely the intended signal) and the oracle applies
-    the identical predicate. countDistinct's partial map-side dedup bounds
-    shuffle volume by distinct (src, dst2) pairs per partition.
-    Implementation: graph/motifs.py:two_hop_count.
-    """.format(cap=TWO_HOP_MID_OUTDEG_CAP)
+    outdeg <= TWO_HOP_MID_OUTDEG_CAP caps per-mid fan-out at in(m)*cap and
+    keeps the plan linear in E. The cap is declared semantics
+    (friend-of-friend through broadcast hubs is rarely the intended signal)
+    and the oracle applies the identical predicate. countDistinct's partial
+    map-side dedup bounds shuffle volume by distinct (src, dst2) pairs per
+    partition. Implementation: graph/motifs.py:two_hop_count.
+    """
     _, edges, _, _ = _graph_parts(spark, sf_dir)
     return two_hop_count(edges, mid_outdeg_cap=TWO_HOP_MID_OUTDEG_CAP)
 

@@ -171,7 +171,7 @@ def edge_parse_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
   FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey)
 SELECT l_orderkey,
-  array_to_string(list_filter(parts, x -> x % 2 = 0), ',') AS evens,
+  coalesce(array_to_string(list_filter(parts, x -> x % 2 = 0), ','), '') AS evens,
   CAST(len(list_filter(parts, x -> x > 1000)) > 0 AS BOOLEAN) AS any_big,
   CAST(len(list_filter(parts, x -> x <= 0)) = 0 AS BOOLEAN) AS all_positive,
   array_to_string(

@@ -209,7 +209,7 @@ def test_simhash_multiprobe_rejects_radius_beyond_bound(spark):
         simhash_pairs_from_sigs(_sig_df(spark, [0, 1]), max_hamming=8)
 
 
-def test_ann_recall_operating_point(spark):
+def test_ann_recall_operating_point(spark, sf_oracle_dir):
     """The declared multi-table LSH operating point must hold on the
     oracle-scale data: mean recall@10 >= 0.9 while actually pruning
     (candidate set < full table for at least one query)."""
@@ -225,7 +225,7 @@ def test_ann_recall_operating_point(spark):
     )
     from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.01"
+    sf = sf_oracle_dir
     rows = sim_ann_recall(spark, sf).collect()
     recalls = {r["qid"]: r["recall_at_k"] for r in rows}
     assert set(recalls) == set(ANN_QIDS)
