@@ -44,8 +44,14 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    # Solo mode: `python bench.py <entry> [...]` runs only the named
+    # entries in a fresh session — the arbiter for in-suite regressions
+    # within the shared-JVM cross-talk band (see timed()).
+    only = set(sys.argv[1:])
 
     def timed(name: str, fn) -> None:
+        if only and name not in only:
+            return
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -278,6 +284,7 @@ def main() -> int:
         "rel_win_rank",
         "win_session_30m",
         "dedup_minhash_near_dups",
+        "pipeline_curation",
         "dedup_simhash",
         "dedup_simhash64_near_dups",
         "sim_cosine_top10",

@@ -1,0 +1,128 @@
+"""End-to-end corpus curation: the composite pipeline a training-data
+engine actually runs over raw documents — per-row signal extraction,
+language + quality gating, exact dedup, near-dup removal, and a funnel
+accounting of what each stage dropped.
+
+This composes the already-audited building blocks (operators/text.py
+signal expressions, operators/dedup.py MinHash-LSH) into ONE lazy plan:
+
+  stage 1  signals   narrow per-row map (lang vote, quality, token count)
+                     — codegen'd, shuffle-free, scan-bound at 100 TB
+  stage 2  gate      pushed-down filter on the stage-1 expressions
+  stage 3  exact     hash-agg on md5(text) keeping min id (map-side
+                     partial agg), then an id-equi-join back to rows
+  stage 4  near-dup  MinHash signatures -> banded LSH bucket join ->
+                     exact-Jaccard verify on candidates only; drop the
+                     higher id of every pair >= threshold (greedy,
+                     deterministic, SQL-expressible — NOT connected
+                     components, which would need an iterative kernel)
+
+Scale posture: the only E-row-like shuffles are the md5 agg, the LSH
+bucket join and the candidate-routed intersection counts — all equi-keyed
+and AQE-splittable; no stage is all-pairs. The funnel is four 1-row
+aggregates broadcast-crossJoined, so the whole report is one job with no
+driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+    minhash_near_dups,
+)
+from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+    lang_pred_col,
+    quality_col,
+    token_count_col,
+)
+
+
+def curation_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stage 1: per-row curation signals in a single narrow select."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_pred_col(t).alias("lang_pred"),
+        quality_col(t).alias("quality"),
+        token_count_col(t).alias("n_tokens"),
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_threshold: float = 0.8,
+    n_hashes: int = 24,
+    shingle_len: int = 5,
+    bands: int = 4,
+) -> DataFrame:
+    """Full curation pipeline; returns surviving (id, lang_pred, quality,
+    n_tokens) rows. See module docstring for the stage/shuffle anatomy."""
+    gated = curation_signals(df, id_col, text_col).filter(
+        (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
+    )
+    # Exact dedup: survivor id = min id per content hash. The agg output is
+    # tiny relative to the corpus (one row per distinct content), so the
+    # join back is on the unique id key.
+    keep = gated.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    exact = gated.join(keep.select(id_col), id_col)
+    # Near-dup removal among exact survivors: drop the higher id of every
+    # pair at or above the Jaccard threshold.
+    pairs = minhash_near_dups(
+        exact.select(id_col, text_col),
+        id_col,
+        text_col,
+        threshold=near_threshold,
+        n_hashes=n_hashes,
+        shingle_len=shingle_len,
+        bands=bands,
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return exact.join(drop, id_col, "left_anti").select(
+        id_col, "lang_pred", "quality", "n_tokens"
+    )
+
+
+def curation_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_threshold: float = 0.8,
+) -> DataFrame:
+    """1-row stage-by-stage funnel: input -> gated -> exact-deduped ->
+    final, as broadcast-crossJoined scalar aggregates (one lazy plan, no
+    driver actions)."""
+    gated = curation_signals(df, id_col, text_col).filter(
+        (F.col("lang_pred") == lang) & (F.col("quality") >= min_quality)
+    )
+    keep = gated.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    exact = gated.join(keep.select(id_col), id_col)
+    final = curate_corpus(
+        df,
+        id_col,
+        text_col,
+        lang=lang,
+        min_quality=min_quality,
+        near_threshold=near_threshold,
+    )
+    n_input = df.agg(F.count(F.lit(1)).alias("n_input"))
+    n_gated = gated.agg(F.count(F.lit(1)).alias("n_gated"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_final = final.agg(F.count(F.lit(1)).alias("n_final"))
+    return (
+        n_input.crossJoin(F.broadcast(n_gated))
+        .crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_final))
+    )

@@ -30,10 +30,15 @@ def _count_occurrences(text: Column, needle: str) -> Column:
     ).cast("long")
 
 
+def token_count_col(t: Column) -> Column:
+    """Whitespace token count as a reusable column expression."""
+    return _count_occurrences(t, " ") + 1
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Whitespace token count, byte/char lengths, average token length."""
     t = F.col(text_col)
-    n_tokens = (_count_occurrences(t, " ") + 1).alias("n_tokens")
+    n_tokens = token_count_col(t).alias("n_tokens")
     return df.select(
         F.col(id_col),
         F.length(t).cast("long").alias("n_chars_measured"),
@@ -44,6 +49,20 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / (_count_occurrences(t, " ") + 1),
             9,
         ).alias("avg_token_len"),
+    )
+
+
+def quality_col(t: Column) -> Column:
+    """The (fixed, arbitrary) quality score as a reusable expression."""
+    n_tokens = _count_occurrences(t, " ") + 1
+    stop_hits = _count_occurrences(t, " the ") + _count_occurrences(t, " a ")
+    digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    return F.round(
+        F.lit(1.0)
+        - digits / F.length(t)
+        - F.when(F.length(t) < 100, 0.5).otherwise(0.0)
+        + (stop_hits / n_tokens) * 0.1,
+        9,
     )
 
 
@@ -64,25 +83,20 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(stop_ratio, 9).alias("stopword_ratio"),
         F.round(digit_ratio, 9).alias("digit_ratio"),
         (F.length(t) < 100).alias("too_short"),
-        F.round(
-            F.lit(1.0)
-            - digit_ratio
-            - F.when(F.length(t) < 100, 0.5).otherwise(0.0)
-            + stop_ratio * 0.1,
-            9,
-        ).alias("quality"),
+        quality_col(t).alias("quality"),
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Stopword-marker voting: argmax over per-language marker hit counts,
-    ties broken by language code order ('unknown' when zero hits)."""
-    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+def lang_pred_col(t: Column) -> Column:
+    """Stopword-marker language vote as a reusable expression: argmax over
+    per-language marker hit counts, ties broken by language code order
+    ('unknown' when zero hits)."""
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
     scores = [
         (
             lang,
             sum(
-                (_count_occurrences(t, m) for m in markers),
+                (_count_occurrences(padded, m) for m in markers),
                 F.lit(0).cast("long"),
             ),
         )
@@ -92,7 +106,14 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pred: Column = F.lit("unknown")
     for lang, s in reversed(scores):
         pred = F.when((best > 0) & (s == best), lang).otherwise(pred)
-    return df.select(F.col(id_col), pred.alias("lang_pred"))
+    return pred
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-marker voting — see lang_pred_col."""
+    return df.select(
+        F.col(id_col), lang_pred_col(F.col(text_col)).alias("lang_pred")
+    )
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1,0 +1,141 @@
+"""Declared corpus-curation pipeline queries (operators/curation.py) with
+exact DuckDB oracles.
+
+The oracle composes the SAME SQL fragments the component queries already
+use — text signal expressions from plans/text_queries.py and the MinHash/
+LSH/Jaccard CTE chain from plans/dedup_queries.py — so the pipeline check
+certifies the composition, not a re-derivation.
+
+Input is ``docs3``: documents plus two planted duplicate classes that
+exercise both dedup stages —
+
+  +10000  verbatim copies of doc_id %% 10 == 0   (caught by exact dedup)
+  +20000  near-copies of doc_id %% 10 == 5 with ' zz' appended
+          (same md5? no — caught by MinHash at jaccard >= 0.8)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+    curate_corpus,
+    curation_funnel,
+)
+from pagerank_giraph_vs_mapreduce_spark.plans.dedup_queries import (
+    BANDED_SQL,
+    CAND_SQL,
+    JACCARD_SQL,
+    SHINGLES_SQL,
+    SIG_SQL,
+)
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.plans.text_queries import (
+    LANG_CASES_SQL,
+    LANG_GREATEST_SQL,
+    LANG_SCORES_SQL,
+    N_TOKENS_SQL,
+    QUALITY_SQL,
+)
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+LANG = "en"
+MIN_QUALITY = 0.5
+NEAR_THRESHOLD = 0.8
+
+# Pipeline CTE chain shared by both queries. The exact-dedup survivors are
+# named ``docs2`` because dedup_queries' SHINGLES_SQL/SIG_SQL fragments
+# shingle whatever relation carries that name.
+PIPELINE_CTES = f"""docs3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zz' AS text
+  FROM documents WHERE doc_id % 10 = 5),
+padded_docs AS (
+  SELECT doc_id, text, concat(' ', text, ' ') AS padded FROM docs3),
+scored AS (
+  SELECT doc_id, text,
+{LANG_SCORES_SQL},
+  greatest({LANG_GREATEST_SQL}) AS best
+  FROM padded_docs),
+sigs AS (
+  SELECT doc_id, text,
+    CASE WHEN best = 0 THEN 'unknown'
+{LANG_CASES_SQL}
+    ELSE 'unknown' END AS lang_pred,
+    {QUALITY_SQL} AS quality,
+    {N_TOKENS_SQL} AS n_tokens
+  FROM scored),
+gated AS (
+  SELECT * FROM sigs WHERE lang_pred = '{LANG}' AND quality >= {MIN_QUALITY}),
+keep AS (
+  SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+docs2 AS (
+  SELECT g.doc_id, g.text FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+{SHINGLES_SQL},
+{SIG_SQL},
+{BANDED_SQL},
+{CAND_SQL},
+{JACCARD_SQL},
+drop_ids AS (
+  SELECT DISTINCT id_b FROM jac WHERE jaccard >= {NEAR_THRESHOLD}),
+final AS (
+  SELECT g.doc_id, g.lang_pred, g.quality, g.n_tokens
+  FROM gated g
+  JOIN keep k ON g.doc_id = k.doc_id
+  LEFT JOIN drop_ids d ON g.doc_id = d.id_b
+  WHERE d.id_b IS NULL)"""
+
+
+def _docs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    verbatim = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    return docs.unionAll(verbatim).unionAll(near)
+
+
+@query(
+    "pipeline_curation",
+    oracle=f"WITH {PIPELINE_CTES}\nSELECT doc_id, lang_pred, quality, n_tokens FROM final",
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full curation pipeline: signal extraction -> lang/quality gate ->
+    exact dedup (min-id per md5) -> MinHash-LSH near-dup removal (drop the
+    higher id of every pair >= 0.8). Surviving docs with their signals."""
+    return curate_corpus(
+        _docs3(spark, sf_dir),
+        "doc_id",
+        "text",
+        lang=LANG,
+        min_quality=MIN_QUALITY,
+        near_threshold=NEAR_THRESHOLD,
+    )
+
+
+@query(
+    "pipeline_curation_funnel",
+    oracle=f"""WITH {PIPELINE_CTES}
+SELECT (SELECT count(*) FROM docs3) AS n_input,
+       (SELECT count(*) FROM gated) AS n_gated,
+       (SELECT count(*) FROM docs2) AS n_exact,
+       (SELECT count(*) FROM final) AS n_final""",
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row per-stage funnel (input/gated/exact/final counts) as one lazy
+    plan of broadcast-crossJoined scalar aggregates."""
+    return curation_funnel(
+        _docs3(spark, sf_dir),
+        "doc_id",
+        "text",
+        lang=LANG,
+        min_quality=MIN_QUALITY,
+        near_threshold=NEAR_THRESHOLD,
+    )

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "pagerank_giraph_vs_mapreduce_spark.plans.udf_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.streaming_queries",
+    "pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries",
 )
 
 # The driver's correctness gate checks queries in registration order with a
@@ -53,6 +54,9 @@ _QUERY_MODULES = (
 # graph kernel), then every r01-only row (2 rounds stale by r03). The five
 # most trivial stale rows sit last and may overflow into r04's budget.
 _PRIORITY = (
+    # new this round — the composite curation pipeline needs first rows
+    "pipeline_curation",
+    "pipeline_curation_funnel",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

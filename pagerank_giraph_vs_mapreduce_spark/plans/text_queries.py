@@ -39,20 +39,25 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query(
-    "text_quality",
-    oracle=f"""SELECT doc_id,
-  round(CAST({_occ_sql('text', ' the ')} + {_occ_sql('text', ' a ')} AS DOUBLE)
-        / ({_occ_sql('text', ' ')} + 1), 9) AS stopword_ratio,
-  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
-        / length(text), 9) AS digit_ratio,
-  length(text) < 100 AS too_short,
-  round(1.0
+# Reusable fragments (also composed by plans/pipeline_queries.py).
+N_TOKENS_SQL = f"{_occ_sql('text', ' ')} + 1"
+QUALITY_SQL = f"""round(1.0
         - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
           / length(text)
         - CASE WHEN length(text) < 100 THEN 0.5 ELSE 0.0 END
         + CAST({_occ_sql('text', ' the ')} + {_occ_sql('text', ' a ')} AS DOUBLE)
-          / ({_occ_sql('text', ' ')} + 1) * 0.1, 9) AS quality
+          / ({N_TOKENS_SQL}) * 0.1, 9)"""
+
+
+@query(
+    "text_quality",
+    oracle=f"""SELECT doc_id,
+  round(CAST({_occ_sql('text', ' the ')} + {_occ_sql('text', ' a ')} AS DOUBLE)
+        / ({N_TOKENS_SQL}), 9) AS stopword_ratio,
+  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        / length(text), 9) AS digit_ratio,
+  length(text) < 100 AS too_short,
+  {QUALITY_SQL} AS quality
 FROM documents""",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +77,11 @@ _lang_scores = ",\n".join(
     f"  {_lang_score_sql(lang)} AS s_{lang}" for lang in sorted(LANG_MARKERS)
 )
 _greatest = ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS))
+
+# Public aliases for composition (plans/pipeline_queries.py).
+LANG_SCORES_SQL = _lang_scores
+LANG_CASES_SQL = _lang_cases
+LANG_GREATEST_SQL = _greatest
 
 
 @query(

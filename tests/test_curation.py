@@ -1,0 +1,72 @@
+"""Curation-pipeline invariants on hand-built fixtures with known answers
+(operators/curation.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+    curate_corpus,
+    curation_funnel,
+    curation_signals,
+)
+
+# One long English doc (passes the quality gate: >= 100 chars, no digits),
+# reused as the base for planted duplicates.
+BASE = (
+    "the cat sat on the mat and the dog sat on the log while a bird "
+    "watched the scene and a fish swam in the bowl near the window sill"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_curate_removes_exact_and_near_dups_keeps_min_id(spark):
+    d = _df(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE),  # verbatim dup -> exact stage drops (keeps 1)
+            (3, BASE + " zz"),  # near dup of 1 -> minhash stage drops
+            (4, "el gato y los perros " * 8),  # fails lang gate (es)
+            (5, "short 123"),  # fails quality gate
+            (6, "the quick brown fox jumps over a lazy dog near the "
+                "riverbank while the sun sets behind a quiet old hill"),
+        ],
+    )
+    out = curate_corpus(d, "doc_id", "text", lang="en", min_quality=0.5)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 6]
+
+
+def test_curate_signal_columns_match_component_operators(spark):
+    d = _df(spark, [(1, BASE)])
+    row = curation_signals(d, "doc_id", "text").collect()[0]
+    assert row["lang_pred"] == "en"
+    assert row["n_tokens"] == len(BASE.split(" "))
+    assert row["quality"] > 0.5
+
+
+def test_funnel_counts_are_monotone_and_consistent(spark):
+    d = _df(
+        spark,
+        [(1, BASE), (2, BASE), (3, BASE + " zz"), (4, "short 123")],
+    )
+    row = curation_funnel(d, "doc_id", "text").collect()[0]
+    assert row["n_input"] == 4
+    assert row["n_input"] >= row["n_gated"] >= row["n_exact"] >= row["n_final"]
+    assert row["n_final"] == curate_corpus(d, "doc_id", "text").count()
+    assert row["n_final"] == 1  # only doc 1 survives
+
+
+def test_near_dup_drop_is_greedy_higher_id(spark):
+    # a < b < c chain: pairs (a,b), (a,c), (b,c) all >= threshold; greedy
+    # drops every id_b, keeping only the minimum id.
+    d = _df(
+        spark,
+        [(10, BASE), (11, BASE + " zz"), (12, BASE + " zz qq")],
+    )
+    out = curate_corpus(d, "doc_id", "text")
+    assert [r["doc_id"] for r in out.collect()] == [10]
