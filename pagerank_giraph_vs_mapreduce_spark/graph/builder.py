@@ -75,10 +75,14 @@ def build_graph(
     # by src ONLY if it is planned as a shuffle join; outdeg is a small V-row
     # aggregate that Catalyst/AQE may broadcast, which would silently leave
     # the cache partitioned by distinct()'s (src, dst) key and re-shuffle the
-    # E-row side every superstep. The shuffle_hash hint pins the shuffle-by-
-    # src distribution (a repartition('src') would add a third E-row shuffle
-    # for the same result).
-    links = dedup.join(outdeg.hint("shuffle_hash"), "src")
+    # E-row side every superstep. The merge hint pins the shuffle-by-src
+    # distribution AND leaves the cached output SORTED by src, so every
+    # superstep's links ⋈ ranks sort-merge join skips both the exchange and
+    # the sort on the E side. (shuffle_hash would pin the distribution too,
+    # but its unsorted output makes each superstep re-sort the E rows —
+    # measured 4x per-superstep cost at the 69M-edge scale; a
+    # repartition('src') would add a third E-row shuffle.)
+    links = dedup.join(outdeg.hint("merge"), "src")
     if num_partitions:
         links = links.repartition(num_partitions, "src")
     links = links.persist(StorageLevel.MEMORY_AND_DISK)
