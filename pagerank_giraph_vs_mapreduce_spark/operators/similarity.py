@@ -129,6 +129,22 @@ def multitable_buckets(
     )
 
 
+def _codebook(
+    centroids: DataFrame, vec_col: str, centroid_id: str
+) -> DataFrame:
+    """Collapse the (tiny) centroid table into ONE broadcast row holding
+    ``cbook: array<struct<cid, cv>>`` — the shuffle-free carrier for
+    per-row argmax/top-nprobe expressions."""
+    return F.broadcast(
+        centroids.select(
+            F.struct(
+                F.col(centroid_id).alias("cid"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            ).alias("c")
+        ).agg(F.array_sort(F.collect_list("c")).alias("cbook"))
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -151,14 +167,7 @@ def ivf_assign(
     ``keep`` carries extra ``emb`` columns through (e.g. the vector itself),
     so callers that need (id, centroid, vec) avoid a join back onto ``emb``.
     """
-    cbook = F.broadcast(
-        centroids.select(
-            F.struct(
-                F.col(centroid_id).alias("cid"),
-                _as_double(F.col(vec_col)).alias("cv"),
-            ).alias("c")
-        ).agg(F.array_sort(F.collect_list("c")).alias("cbook"))
-    )
+    cbook = _codebook(centroids, vec_col, centroid_id)
     vec_d = _as_double(F.col(vec_col))
     # (round(dot,6), -cid) pairs: array_max picks max dot, then max(-cid)
     # == min cid — identical ordering to the SQL oracle's row_number.
@@ -239,27 +248,59 @@ def kmeans_fit(
     return c
 
 
+def ivf_query_cells(
+    query: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """The query's ``nprobe`` nearest coarse cells as ONE row holding
+    ``qcells: array<cid>`` (ordered by round(dot,6) desc, cid asc — the
+    same tie-break as ivf_assign). Shuffle-free: sort + slice of the
+    broadcast codebook array per query row."""
+    cbook = _codebook(centroids, vec_col, centroid_id)
+    vec_d = _as_double(F.col(vec_col))
+    # ascending sort of (-dot, cid) == (dot desc, cid asc)
+    ranked = F.array_sort(
+        F.transform(
+            F.col("cbook"),
+            lambda c: F.struct(
+                (-F.round(_dot(vec_d, c["cv"]), 6)).alias("ndot"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    return query.crossJoin(cbook).select(
+        F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cid"]).alias(
+            "qcells"
+        )
+    )
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     query: DataFrame,
     centroids: DataFrame,
     k: int = 10,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: score only vectors in the query's coarse cell (nprobe=1).
+    """IVF ANN: score only vectors in the query's ``nprobe`` nearest coarse
+    cells — the standard recall/latency knob (nprobe=k recovers brute force).
 
     Candidate pruning is shuffle-free: the assignment rides the scan
-    (``keep=vec``), the query's cell is a 1-row broadcast, so the whole
-    probe is scan → filter → top-k (TakeOrderedAndProject).
+    (``keep=vec``), the query's probe cells are a 1-row broadcast array,
+    so the whole probe is scan → filter → top-k (TakeOrderedAndProject).
+    With the table written partitioned by ``centroid_id``, the cell filter
+    becomes partition pruning and only nprobe/k of the data is read.
     """
     assign = ivf_assign(emb, centroids, id_col, vec_col, keep=(vec_col,))
-    q_assign = ivf_assign(query, centroids, id_col, vec_col).select(
-        F.col("centroid_id").alias("qc")
-    )
+    qcells = ivf_query_cells(query, centroids, nprobe, vec_col)
     candidates = (
-        assign.crossJoin(F.broadcast(q_assign))
-        .filter(F.col("centroid_id") == F.col("qc"))
+        assign.crossJoin(F.broadcast(qcells))
+        .filter(F.array_contains("qcells", F.col("centroid_id")))
         .select(id_col, vec_col)
     )
     return cosine_topk(candidates, query, k, id_col, vec_col)

@@ -57,6 +57,7 @@ _PRIORITY = (
     # new this round — the composite curation pipeline needs first rows
     "pipeline_curation",
     "pipeline_curation_funnel",
+    "sim_ivf_top5_nprobe2",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

@@ -142,6 +142,39 @@ def sim_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+NPROBE = 2
+
+
+@query(
+    "sim_ivf_top5_nprobe2",
+    oracle=f"""WITH {_CENTROIDS_SQL},
+{_ASSIGN_SQL},
+qc AS (SELECT c.centroid_id
+       FROM embeddings e, cents c WHERE e.vec_id = {QUERY_ID}
+       ORDER BY round({_DOT.format(a='e.embedding', b='c.embedding')}, 6) DESC,
+                c.centroid_id
+       LIMIT {NPROBE}),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_ID})
+SELECT e.vec_id, round({_sql_cos('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+WHERE a.centroid_id IN (SELECT centroid_id FROM qc)
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+)
+def sim_ivf_top5_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=2: candidates from the query's two nearest
+    coarse cells — the recall/latency knob over the nprobe=1 twin. The
+    probe-cell list is computed shuffle-free from the broadcast codebook
+    (operators/similarity.py:ivf_query_cells)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    top = ivf_cosine_topk(emb, q, _centroids(spark, sf_dir), k=5, nprobe=NPROBE)
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 _EMB2_SQL = """emb2 AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
