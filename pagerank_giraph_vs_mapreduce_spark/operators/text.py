@@ -116,6 +116,33 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def vocabulary(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 20
+) -> DataFrame:
+    """Corpus vocabulary with term + document frequency — the TF-IDF
+    building block (and the wordcount of LLM-corpus pipelines): lowercase
+    alpha-run tokens, top ``top_n`` by occurrence count (ties broken by
+    token, so the cut is deterministic).
+
+    Scale shape: explode is a narrow row fan-out; the single groupBy gets
+    map-side partial aggregation for the count and a two-phase distinct
+    for document frequency. Top-n is TakeOrderedAndProject — no global
+    sort."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), "tok")
+        .limit(top_n)
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Two document fingerprints: md5 (exact-dup key, portable) and a
     position-weighted checksum (cheap shift-insensitive-ish signature)."""

@@ -11,6 +11,7 @@ from pagerank_giraph_vs_mapreduce_spark.operators.text import (
     language_id,
     quality_score,
     token_stats,
+    vocabulary,
 )
 from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
 from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
@@ -116,6 +117,23 @@ FROM documents""",
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """md5 exact-dup key + position-weighted rolling checksum."""
     return fingerprints(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_vocab_top20",
+    oracle="""WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != '')
+SELECT tok, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks GROUP BY tok
+ORDER BY n_occ DESC, tok LIMIT 20""",
+)
+def text_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 tokens by term frequency with document
+    frequency — the TF-IDF input (operators/text.py:vocabulary)."""
+    return vocabulary(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(

@@ -61,6 +61,19 @@ def test_funnel_counts_are_monotone_and_consistent(spark):
     assert row["n_final"] == 1  # only doc 1 survives
 
 
+def test_vocabulary_counts_and_order(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import vocabulary
+
+    d = _df(
+        spark,
+        [(1, "The cat and the dog"), (2, "a cat! a CAT? 42 dogs")],
+    )
+    rows = vocabulary(d, "doc_id", "text", top_n=3).collect()
+    got = [(r["tok"], r["n_occ"], r["n_docs"]) for r in rows]
+    # cat: 3 occurrences over 2 docs; a: 2/1; the: 2/1 (tie broken by token)
+    assert got == [("cat", 3, 2), ("a", 2, 1), ("the", 2, 1)]
+
+
 def test_near_dup_drop_is_greedy_higher_id(spark):
     # a < b < c chain: pairs (a,b), (a,c), (b,c) all >= threshold; greedy
     # drops every id_b, keeping only the minimum id.
