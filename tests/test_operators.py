@@ -315,3 +315,37 @@ def test_kmeans_fit_recovers_clusters(spark):
     assert fit[0][1] == pytest.approx(0.0, abs=1e-9)
     assert fit[1][1] == pytest.approx(10.09, abs=1e-6)
     assert fit[1][0] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ivf_nprobe_widens_candidates_and_recovers_brute_force(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_query_cells,
+    )
+
+    # Two well-separated cells: x-axis vectors and y-axis vectors.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.1, 0.9]),
+            (3, [0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id bigint, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+
+    cells = ivf_query_cells(q, cents, nprobe=2).collect()[0]["qcells"]
+    assert cells == [0, 1]  # nearest cell first
+
+    # nprobe=1 sees only the x-cell; y-axis vectors are unreachable.
+    got1 = {r["vec_id"] for r in ivf_cosine_topk(emb, q, cents, k=4, nprobe=1).collect()}
+    assert got1 == {0, 1}
+    # nprobe = n_cells recovers brute force.
+    got2 = [r["vec_id"] for r in ivf_cosine_topk(emb, q, cents, k=4, nprobe=2).collect()]
+    brute = [r["vec_id"] for r in cosine_topk(emb, q, k=4).collect()]
+    assert got2 == brute
