@@ -9,6 +9,19 @@ Comparable structure vs BASELINE.md: per-iteration PageRank cost must stay
 flat and memory-resident (Giraph-shaped ~17s/superstep on 69M edges /
 6 nodes), not per-iteration-job-shaped (MR ~131s). We report
 pagerank_sec_per_iter explicitly for that comparison.
+
+Variance notes (round-over-round comparability):
+- Entries share one JVM; caches are cleared and a GC runs between entries
+  (see timed()), leaving ~±10-20% residual cross-talk on sub-second
+  entries and first-use JIT/broadcast warmup on whichever entry touches a
+  code path first. Solo mode (`python bench.py <entry> ...`) in a fresh
+  session is the arbiter for any regression inside that band; warm
+  steady-state (2nd+ repetition in one session) is the plan-cost signal.
+- The driver regenerates /root/testdata between rounds (r3: events.ts
+  changed INT64-nanos -> TIMESTAMP(MICROS); table contents reshuffled), so
+  entries reading testdata are only comparable across rounds to ~±20%;
+  the synthetic-graph entries (pagerank_s1scale/s3scale/skewed/triangle/
+  two_hop) are generation-independent and comparable directly.
 """
 
 from __future__ import annotations
