@@ -197,6 +197,19 @@ def main() -> int:
         extras["pagerank_s1scale_iter1_sec"] = round(secs[0], 3)
         extras["pagerank_s1scale_iter15_sec"] = round(secs[-1], 3)
 
+    def run_pagerank_s2scale() -> None:
+        """Reference S2 scale (soc-Pokec: 1.6M V / 31M E, README.md:116-120):
+        5 forced supersteps. Baseline comparable: Giraph's monitored S2 job
+        duration 131.3 s (BASELINE.md; img/Giraph_S2_Figure) — completes
+        the three-scale sweep between S1 and S3."""
+        res = pagerank(
+            synth_powerlaw(1_632_803, 30_622_564), max_iter=5, tol=-1.0, min_iter=0
+        )
+        secs = [h.seconds for h in res.history]
+        extras["pagerank_s2scale_n_vertices"] = res.n_vertices
+        extras["pagerank_s2scale_build_sec"] = round(res.build_seconds, 3)
+        extras["pagerank_s2scale_sec_per_iter"] = round(sum(secs) / len(secs), 3)
+
     def run_pagerank_s3scale() -> None:
         """Reference S3 scale (soc-LiveJournal1: 4.8M V / 69M E,
         README.md:116-120) — the headline baseline comparison (MR 629 s
@@ -291,6 +304,7 @@ def main() -> int:
     timed("pagerank_large_3iter", run_pagerank_large)
     timed("pagerank_flatness_15iter", run_pagerank_flatness)
     timed("pagerank_s1scale_15iter", run_pagerank_s1scale)
+    timed("pagerank_s2scale_5iter", run_pagerank_s2scale)
     timed("pagerank_s3scale_5iter", run_pagerank_s3scale)
     timed("pagerank_s3scale_converged", run_pagerank_s3scale_converged)
     timed("triangle_skewed_100k", run_triangle_skewed)
