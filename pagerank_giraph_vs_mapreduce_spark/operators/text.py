@@ -143,6 +143,52 @@ def vocabulary(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character windows — the
+    context-window chunking stage of a training/RAG corpus pipeline.
+
+    Chunk i covers [i*stride + 1, i*stride + chunk_chars] (1-based,
+    stride = chunk_chars - overlap); the last chunk starts at the final
+    stride boundary that still begins inside the text, so trailing text
+    shorter than a full chunk is kept. Pure row fan-out (sequence +
+    posexplode + substring) — narrow, codegen'd, shuffle-free; at 100 TB
+    this is scan-bound and the natural place to repartition by chunk count
+    before a downstream embed step."""
+    if overlap >= chunk_chars:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})"
+        )
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(t) - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    starts = F.sequence(
+        F.lit(0), (n_chunks - 1) * stride, F.lit(stride)
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_id", "start"),
+        t.alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.substring(F.col("_t"), F.col("start") + 1, F.lit(chunk_chars)).alias(
+            "chunk"
+        ),
+        F.length(
+            F.substring(F.col("_t"), F.col("start") + 1, F.lit(chunk_chars))
+        ).cast("long").alias("chunk_len"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Two document fingerprints: md5 (exact-dup key, portable) and a
     position-weighted checksum (cheap shift-insensitive-ish signature)."""

@@ -59,6 +59,7 @@ _PRIORITY = (
     "pipeline_curation_funnel",
     "sim_ivf_top5_nprobe2",
     "text_vocab_top20",
+    "text_chunks",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

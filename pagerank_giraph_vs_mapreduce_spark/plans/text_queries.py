@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.operators.text import (
     LANG_MARKERS,
+    chunk_documents,
     fingerprints,
     language_id,
     quality_score,
@@ -134,6 +135,35 @@ def text_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-20 tokens by term frequency with document
     frequency — the TF-IDF input (operators/text.py:vocabulary)."""
     return vocabulary(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+CHUNK_CHARS = 200
+CHUNK_OVERLAP = 50
+_STRIDE = CHUNK_CHARS - CHUNK_OVERLAP
+
+
+@query(
+    "text_chunks",
+    oracle=f"""WITH base AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - {CHUNK_OVERLAP}) / {_STRIDE}.0) AS INT)) AS n_chunks
+  FROM documents)
+SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
+       substr(text, CAST(r.i * {_STRIDE} + 1 AS INT), {CHUNK_CHARS}) AS chunk,
+       CAST(length(substr(text, CAST(r.i * {_STRIDE} + 1 AS INT), {CHUNK_CHARS})) AS BIGINT) AS chunk_len
+FROM base, LATERAL unnest(range(0, n_chunks)) AS r(i)""",
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: CHUNK_CHARS-char chunks with CHUNK_OVERLAP
+    overlap (operators/text.py:chunk_documents) — the corpus prep stage
+    before embedding/tokenization."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_chars=CHUNK_CHARS,
+        overlap=CHUNK_OVERLAP,
+    )
 
 
 @query(

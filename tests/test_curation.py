@@ -83,3 +83,24 @@ def test_near_dup_drop_is_greedy_higher_id(spark):
     )
     out = curate_corpus(d, "doc_id", "text")
     assert [r["doc_id"] for r in out.collect()] == [10]
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import chunk_documents
+
+    import pytest as _pytest
+
+    text = "abcdefghij"  # 10 chars
+    d = _df(spark, [(1, text), (2, "xy")])
+    rows = chunk_documents(d, "doc_id", "text", chunk_chars=6, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk"], r["chunk_len"]) for r in rows}
+    # stride 4: chunks at 1..6, 5..10, 9..10 (n = ceil((10-2)/4) = 2)
+    assert got == {
+        (1, 0): ("abcdef", 6),
+        (1, 1): ("efghij", 6),
+        (2, 0): ("xy", 2),
+    }
+    # consecutive chunks share exactly `overlap` chars
+    assert got[(1, 0)][0][-2:] == got[(1, 1)][0][:2]
+    with _pytest.raises(ValueError):
+        chunk_documents(d, "doc_id", "text", chunk_chars=4, overlap=4)
