@@ -465,3 +465,47 @@ def g_kcore64_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the shrinking survivor set)."""
     _, edges, _, _ = _graph_parts(spark, sf_dir)
     return kcore_survivors(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle(rounds: int) -> str:
+    parts = [
+        f"""{GRAPH_CTES},
+sym AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+v{i} AS (
+  SELECT s.dst AS id, l.label, count(*) AS n
+  FROM sym s JOIN l{i - 1} l ON l.id = s.src
+  GROUP BY s.dst, l.label),
+l{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY n DESC, label) AS rn
+    FROM v{i}) WHERE rn = 1)"""
+        )
+    parts.append(f"\nSELECT id, label FROM l{rounds}")
+    return "".join(parts)
+
+
+@query("g_lpa_r3", oracle=_lpa_oracle(LPA_ROUNDS))
+def g_lpa_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three synchronous label-propagation rounds (community detection) on
+    the undirected deduped graph: each vertex adopts its neighbors'
+    most frequent previous-round label, smallest label on ties —
+    deterministic, so the unrolled SQL oracle reproduces it exactly.
+    Implementation: graph/communities.py:label_propagation (per-round
+    map-side-combined vote counts + one max_by aggregate per vertex)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        label_propagation,
+    )
+
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    return label_propagation(edges, rounds=LPA_ROUNDS)

@@ -60,6 +60,7 @@ _PRIORITY = (
     "sim_ivf_top5_nprobe2",
     "text_vocab_top20",
     "text_chunks",
+    "g_lpa_r3",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

@@ -51,3 +51,30 @@ def test_chain_converges_in_diameter_steps(spark):
     res = connected_components(make_edges(spark, edges), max_iter=30)
     got = {r["component"] for r in res.components.collect()}
     assert got == {0}
+
+
+def test_label_propagation_two_triangles(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        label_propagation,
+    )
+
+    # Two disconnected triangles; after 2 deterministic rounds every vertex
+    # carries its component's minimum id.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4)],
+        "src bigint, dst bigint",
+    )
+    got = {r["id"]: r["label"] for r in label_propagation(edges, rounds=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_tie_breaks_to_min_label(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        label_propagation,
+    )
+
+    # Path 1-2-3: after round 1, vertex 2 sees labels {1, 3} (tied counts)
+    # and must take the smaller.
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    got = {r["id"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
+    assert got == {1: 2, 2: 1, 3: 2}
