@@ -43,3 +43,33 @@ def test_json_round_trip(spark, sf_dir, tmp_path):
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
         r["doc_id"] for r in docs.select("doc_id").collect()
     }
+
+
+def test_ivf_partitioned_write_prunes_probe(spark, sf_dir, tmp_path):
+    """The IVF scale claim made concrete: write the assignment partitioned
+    by centroid_id and a probe's cell filter becomes partition pruning —
+    only the probed cell's files are read."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        ivf_assign,
+        ivf_query_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 18)).select(
+        (F.col("vec_id") - 10).alias("centroid_id"), "embedding"
+    )
+    out = str(tmp_path / "ivf")
+    ivf_assign(emb, cents, keep=("embedding",)).write.partitionBy(
+        "centroid_id"
+    ).parquet(out)
+
+    table = spark.read.parquet(out)
+    qcell = ivf_query_cells(
+        emb.filter(F.col("vec_id") == 0), cents, nprobe=1
+    ).collect()[0]["qcells"][0]
+    probe = table.filter(F.col("centroid_id") == qcell)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
+    n_probe, n_total = probe.count(), table.count()
+    assert 0 < n_probe < n_total
