@@ -290,6 +290,21 @@ def main() -> int:
             sum(s for _, _, s in res.history) / len(res.history), 3
         )
 
+    def run_lpa_large() -> None:
+        """Community detection at scale: 2 deterministic LPA rounds on the
+        200k-vertex graph — per-round cost is one E-row vote join plus two
+        V-row aggregates, same superstep shape as WCC."""
+        from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+            label_propagation,
+        )
+
+        extras["lpa_large_communities"] = (
+            label_propagation(large_graph(), rounds=2)
+            .select("label")
+            .distinct()
+            .count()
+        )
+
     def run_bfs_large() -> None:
         """Frontier BFS on the 200k-vertex graph: per-hop cost must track
         frontier size (collapsing), not graph size."""
@@ -310,6 +325,7 @@ def main() -> int:
     timed("triangle_skewed_100k", run_triangle_skewed)
     timed("two_hop_skewed_100k", run_two_hop_skewed)
     timed("wcc_large_3iter", run_wcc_large)
+    timed("lpa_large_2round", run_lpa_large)
     timed("bfs_large_4hop", run_bfs_large)
     for q in (
         "rel_q1_pricing",
