@@ -1,11 +1,19 @@
 """CLI entry point with the reference driver's argument contract:
 
     python -m pagerank_giraph_vs_mapreduce_spark.run \
-        <input> <output> [maxIter] [damping] [threshold] [minIter]
+        <input> <output> [maxIter] [damping] [threshold] [minIter] \
+        [minWorkers] [maxWorkers]
 
-(MR/PageRankDriver.java:64-71 and run_pagerank.sh.) Input is a SNAP-format
-edge-list text file; output dir receives final_scores/ (id\tpr TSV),
-pagerankTop_50.txt equivalent (top_50/), and _timings.csv.
+(MR/PageRankDriver.java:64-71, GI/PageRankDriver.java:35,58-61 and
+run_pagerank.sh.) Input is a SNAP-format edge-list text file; output dir
+receives final_scores/ (id\tpr TSV), pagerankTop_50.txt equivalent
+(top_50/), and _timings.csv.
+
+minWorkers/maxWorkers are the Giraph driver's worker-count bounds
+(clamped the same way: maxWorkers < minWorkers is raised to minWorkers).
+Under Spark there is no per-job worker count; the honest analog is
+partition parallelism, so maxWorkers (when given) sets the session's
+shuffle-partition count. Omitted, parallelism follows $SPARK_GRAFT_CPUS.
 """
 
 from __future__ import annotations
@@ -32,8 +40,14 @@ def main(argv: list[str]) -> int:
     damping = float(argv[3]) if len(argv) > 3 else 0.85
     threshold = float(argv[4]) if len(argv) > 4 else 1e-6
     min_iter = int(argv[5]) if len(argv) > 5 else 5
+    min_workers = int(argv[6]) if len(argv) > 6 else 1
+    max_workers = int(argv[7]) if len(argv) > 7 else min_workers
+    if max_workers < min_workers:  # GI/PageRankDriver.java:60-61
+        max_workers = min_workers
 
-    spark = get_spark()
+    spark = get_spark(
+        shuffle_partitions=max_workers if len(argv) > 6 else None
+    )
     try:
         edges = read_edgelist(spark, inp)
         edges.first()  # force path validation before the run starts
