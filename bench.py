@@ -76,6 +76,13 @@ def main() -> int:
         # entries (suite shares one JVM); solo re-runs are the arbiter for
         # any regression within that band.
         spark.catalog.clearCache()
+        # Python GC first: py4j holds JVM-side references (cached plans,
+        # localCheckpoint RDDs) alive until their Python wrappers are
+        # collected; only then can the JVM GC + ContextCleaner release the
+        # blocks the next entry would otherwise compete with.
+        import gc
+
+        gc.collect()
         spark.sparkContext._jvm.System.gc()
 
     def run_query(name: str):
