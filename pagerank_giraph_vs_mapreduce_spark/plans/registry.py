@@ -61,6 +61,7 @@ _PRIORITY = (
     "text_vocab_top20",
     "text_chunks",
     "g_lpa_r3",
+    "stream_vocab_top20",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

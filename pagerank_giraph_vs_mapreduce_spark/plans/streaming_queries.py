@@ -113,6 +113,43 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_vocab_top20",
+    oracle="""WITH toks AS (
+  SELECT t.tok
+  FROM documents, LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != '')
+SELECT tok, CAST(count(*) AS BIGINT) AS n_occ
+FROM toks GROUP BY tok
+ORDER BY n_occ DESC, tok LIMIT 20""",
+)
+def stream_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming wordcount — the canonical streaming aggregation — over
+    the documents table as a file stream: running token counts in
+    complete mode with an in-sink sort+limit, driven to end-of-input so
+    the result equals the batch vocabulary (minus document frequency:
+    distinct aggregates aren't available under incremental execution)."""
+    docs = (
+        spark.readStream.schema(
+            spark.read.option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), "tok")
+        .limit(20)
+    )
+    return _drain(counts, "complete")
+
+
+@query(
     "stream_dedup_counts",
     oracle="""SELECT event_type, count(DISTINCT event_id) AS n
 FROM events GROUP BY event_type""",
