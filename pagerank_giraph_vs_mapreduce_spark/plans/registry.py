@@ -62,6 +62,7 @@ _PRIORITY = (
     "text_chunks",
     "g_lpa_r3",
     "stream_vocab_top20",
+    "rel_q5_local_supplier",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",
