@@ -139,3 +139,47 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=MIN_QUALITY,
         near_threshold=NEAR_THRESHOLD,
     )
+
+
+@query(
+    "pipeline_chunk_dedup",
+    oracle=f"""WITH docs3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zz' AS text
+  FROM documents WHERE doc_id % 10 = 5),
+base AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 50) / 150.0) AS INT)) AS n_chunks
+  FROM docs3),
+chunks AS (
+  SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
+         substr(text, CAST(r.i * 150 + 1 AS INT), 200) AS chunk
+  FROM base, LATERAL unnest(range(0, n_chunks)) AS r(i))
+SELECT md5(chunk) AS fp, min(doc_id) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS copies
+FROM chunks GROUP BY md5(chunk) HAVING count(*) >= 2""",
+)
+def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup (repeated-passage detection): chunk every doc
+    into 200/50 windows, hash-group the chunks, report passages appearing
+    in 2+ places with the surviving (minimum) doc id — the paragraph-
+    granularity dedup pass corpus pipelines run after document-level
+    dedup. Map-side-combined single aggregation over the chunk fan-out;
+    scan-bound at scale."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(_docs3(spark, sf_dir), "doc_id", "text",
+                             chunk_chars=200, overlap=50)
+    return (
+        chunks.groupBy(F.md5(F.col("chunk")).alias("fp"))
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+        .filter(F.col("copies") >= 2)
+    )

@@ -63,6 +63,7 @@ _PRIORITY = (
     "g_lpa_r3",
     "stream_vocab_top20",
     "rel_q5_local_supplier",
+    "pipeline_chunk_dedup",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",
