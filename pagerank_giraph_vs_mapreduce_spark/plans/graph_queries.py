@@ -509,3 +509,53 @@ def g_lpa_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, edges, _, _ = _graph_parts(spark, sf_dir)
     return label_propagation(edges, rounds=LPA_ROUNDS)
+
+
+HITS_ROUNDS = 2
+
+_D = "DECIMAL(38,12)"
+
+
+def _hits_oracle(rounds: int) -> str:
+    parts = [
+        f"""{GRAPH_CTES},
+h0 AS (SELECT id, 1.0 AS hub FROM verts)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+a{i}r AS (
+  SELECT v.id, coalesce(s.auth, 0.0) AS auth
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, CAST(sum(CAST(h.hub AS {_D})) AS DOUBLE) AS auth
+    FROM edges e JOIN h{p} h ON h.id = e.src GROUP BY e.dst) s ON s.id = v.id),
+a{i} AS (
+  SELECT id, round(auth / (SELECT CAST(sum(CAST(auth AS {_D})) AS DOUBLE) FROM a{i}r), 9) AS auth
+  FROM a{i}r),
+h{i}r AS (
+  SELECT v.id, coalesce(s.hub, 0.0) AS hub
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, CAST(sum(CAST(a.auth AS {_D})) AS DOUBLE) AS hub
+    FROM edges e JOIN a{i} a ON a.id = e.dst GROUP BY e.src) s ON s.id = v.id),
+h{i} AS (
+  SELECT id, round(hub / (SELECT CAST(sum(CAST(hub AS {_D})) AS DOUBLE) FROM h{i}r), 9) AS hub
+  FROM h{i}r)"""
+        )
+    parts.append(
+        f"\nSELECT a.id, a.auth, h.hub FROM a{rounds} a JOIN h{rounds} h ON a.id = h.id"
+    )
+    return "".join(parts)
+
+
+@query("g_hits_k2", oracle=_hits_oracle(HITS_ROUNDS))
+def g_hits_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two alternating HITS rounds (Kleinberg hubs/authorities) on the
+    deduped directed graph — the PageRank-family link-analysis sibling.
+    L1 normalization (sqrt-free) with exact-decimal sums keeps both
+    engines bit-identical at 9 dp; the L1 scalars are in-plan broadcast
+    crossJoins, not driver values. Implementation: graph/hits.py."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.hits import hits
+
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    return hits(edges, rounds=HITS_ROUNDS)

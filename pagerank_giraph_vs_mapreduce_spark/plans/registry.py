@@ -64,6 +64,7 @@ _PRIORITY = (
     "stream_vocab_top20",
     "rel_q5_local_supplier",
     "pipeline_chunk_dedup",
+    "g_hits_k2",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

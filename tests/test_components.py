@@ -78,3 +78,18 @@ def test_label_propagation_tie_breaks_to_min_label(spark):
     edges = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
     got = {r["id"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
     assert got == {1: 2, 2: 1, 3: 2}
+
+
+def test_hits_star_graph(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.hits import hits
+
+    # Star: 1,2,3 all point at 4. Vertex 4 is the only authority; 1,2,3
+    # are equal hubs; 4 has no out-edges so hub(4) = 0.
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4)], "src bigint, dst bigint"
+    )
+    got = {r["id"]: (r["auth"], r["hub"]) for r in hits(edges, rounds=2).collect()}
+    assert got[4][0] == 1.0 and got[4][1] == 0.0
+    for v in (1, 2, 3):
+        assert got[v][0] == 0.0
+        assert abs(got[v][1] - 1 / 3) < 1e-9
