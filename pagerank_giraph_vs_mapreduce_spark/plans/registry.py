@@ -65,6 +65,7 @@ _PRIORITY = (
     "rel_q5_local_supplier",
     "pipeline_chunk_dedup",
     "g_hits_k2",
+    "text_tfidf_top_term",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

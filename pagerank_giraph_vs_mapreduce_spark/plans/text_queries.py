@@ -181,3 +181,57 @@ def text_regexp_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("[a-z]+")).cast("bigint").alias("n_word_tokens"),
         F.regexp_count("text", F.lit("[0-9]+")).cast("bigint").alias("n_num_tokens"),
     )
+
+
+@query(
+    "text_tfidf_top_term",
+    oracle="""WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, tok AS top_term, score FROM (
+  SELECT t.doc_id, t.tok,
+         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS score,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) DESC,
+                                     t.tok) AS rn
+  FROM tf t JOIN df d ON d.tok = t.tok, n)
+WHERE rn = 1""",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top TF-IDF term: term frequency x ln(N/df), rounded to
+    6 dp (the module's libm discipline — see fn_math), deterministic
+    tie-break by term. Composes the vocabulary machinery into the classic
+    relevance score; the df table is tiny and broadcasts, N is an in-plan
+    1-row crossJoin."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "score")
+    )
