@@ -66,6 +66,7 @@ _PRIORITY = (
     "pipeline_chunk_dedup",
     "g_hits_k2",
     "text_tfidf_top_term",
+    "text_feature_hash_64",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

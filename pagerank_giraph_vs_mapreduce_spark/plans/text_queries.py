@@ -235,3 +235,50 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_term"), "score")
     )
+
+
+FEATURE_DIMS = 64
+
+
+@query(
+    "text_feature_hash_64",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != ''),
+dims AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, length(tok) + 1),
+                  i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+                       * ((i % 32) + 1))) % {FEATURE_DIMS} AS INT) AS dim
+  FROM toks)
+SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS val
+FROM dims GROUP BY doc_id, dim""",
+)
+def text_feature_hash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document vectors (the hashing trick): each token
+    maps to dim = polyhash(token) mod 64 and collisions accumulate —
+    the deterministic sparse featurization stage between chunking and
+    ANN indexing, emitted as (doc, dim, val) COO rows so the driver can
+    hash the result. Pure per-row integer arithmetic inside codegen,
+    one map-side-combined aggregation; no Python, no floats."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    t = F.col("tok")
+    polyhash = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t)),
+            lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long")
+            * ((i % 32) + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        toks.select("doc_id", (polyhash % FEATURE_DIMS).cast("int").alias("dim"))
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("val"))
+    )
