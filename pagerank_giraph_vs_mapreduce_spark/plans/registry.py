@@ -67,6 +67,7 @@ _PRIORITY = (
     "g_hits_k2",
     "text_tfidf_top_term",
     "text_feature_hash_64",
+    "sql_map_funcs",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

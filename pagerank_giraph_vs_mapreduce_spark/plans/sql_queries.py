@@ -256,3 +256,50 @@ def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
+
+
+@query(
+    "sql_map_funcs",
+    oracle="""WITH lines AS (
+  SELECT l_orderkey, l_linenumber, min(l_partkey) AS pk
+  FROM lineitem WHERE l_orderkey < 100
+  GROUP BY l_orderkey, l_linenumber)
+SELECT l_orderkey,
+       max(CASE WHEN l_linenumber = 1 THEN pk END) AS part_line1,
+       CAST(count(*) AS INT) AS n_entries,
+       string_agg(l_linenumber || ':' || pk, ',' ORDER BY l_linenumber) AS entries
+FROM lines GROUP BY l_orderkey""",
+)
+def sql_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type surface: build a linenumber->partkey map per order
+    (map_from_entries over sorted deduped entries), probe it with
+    element_at, measure it with size, and serialize map_entries to a
+    canonical string at the output boundary (pandas cannot hash map
+    cells; the map computation itself stays in-plan). The oracle produces
+    the same rows relationally — maps are a Spark-side representation
+    choice, not a semantic one."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = (
+        li.filter(F.col("l_orderkey") < 100)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.min("l_partkey").alias("pk"))
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("l_linenumber", "pk")))
+    )
+    return (
+        lines.groupBy("l_orderkey")
+        .agg(m.alias("m"))
+        .select(
+            "l_orderkey",
+            F.element_at("m", 1).alias("part_line1"),
+            F.size("m").alias("n_entries"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.map_entries("m"),
+                    lambda e: F.concat_ws(":", e["key"], e["value"]),
+                ),
+            ).alias("entries"),
+        )
+    )
