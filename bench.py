@@ -353,6 +353,10 @@ def main() -> int:
     ):
         timed(q, run_query(q))
 
+    unknown = only - set(timings)
+    if unknown:
+        print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
