@@ -68,6 +68,7 @@ _PRIORITY = (
     "text_tfidf_top_term",
     "text_feature_hash_64",
     "sql_map_funcs",
+    "rel_user_funnel",
     # red in CORRECTNESS_r02 — oracle fixes must be re-verified
     "text_fingerprint",
     "sql_array_funcs",

@@ -663,3 +663,50 @@ def rel_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+@query(
+    "rel_user_funnel",
+    oracle="""WITH stage AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(t_view) AS BIGINT) AS n_viewed,
+       CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END) AS BIGINT)
+         AS n_purchased_after_click
+FROM stage""",
+)
+def rel_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view -> click -> purchase, time-
+    ordered via each user's FIRST event of each stage): one conditional-
+    min aggregation per user, one global conditional count — two
+    map-side-combined aggregations total, no self-joins. The standard
+    product-analytics funnel at event-log scale."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(
+            F.when(F.col("event_type") == etype, F.col("ts_us"))
+        ).alias(f"t_{etype}")
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), 1)
+        ).alias("n_clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_purchased_after_click"),
+    )
