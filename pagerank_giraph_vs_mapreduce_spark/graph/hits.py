@@ -37,7 +37,10 @@ def hits(edges: DataFrame, rounds: int = 2) -> DataFrame:
     """``rounds`` alternating authority/hub updates over the deduped
     directed edges(src, dst). Returns (id, auth, hub) for every vertex in
     the universe; vertices without in-(out-)edges score 0 authority
-    (hub) pre-normalization."""
+    (hub) pre-normalization. ``rounds`` must be >= 1 — with zero rounds
+    there is no authority frame to return."""
+    if rounds < 1:
+        raise ValueError(f"hits() needs rounds >= 1, got {rounds}")
     e = edges.select("src", "dst").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     verts = (
         e.select(F.col("src").alias("id"))

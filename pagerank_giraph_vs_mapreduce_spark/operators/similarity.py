@@ -258,7 +258,14 @@ def ivf_query_cells(
     """The query's ``nprobe`` nearest coarse cells as ONE row holding
     ``qcells: array<cid>`` (ordered by round(dot,6) desc, cid asc — the
     same tie-break as ivf_assign). Shuffle-free: sort + slice of the
-    broadcast codebook array per query row."""
+    broadcast codebook array per query row.
+
+    Contract: ``query`` is a single query vector. The frame is
+    ``limit(1)``-ed here so a multi-row input cannot silently emit one
+    qcells row per input row and duplicate candidates in the downstream
+    crossJoin (batch multi-query probing would need the query id carried
+    through and an equi-join on it instead)."""
+    query = query.limit(1)
     cbook = _codebook(centroids, vec_col, centroid_id)
     vec_d = _as_double(F.col(vec_col))
     # ascending sort of (-dot, cid) == (dot desc, cid asc)

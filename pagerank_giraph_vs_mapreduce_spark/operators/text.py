@@ -154,9 +154,11 @@ def chunk_documents(
     context-window chunking stage of a training/RAG corpus pipeline.
 
     Chunk i covers [i*stride + 1, i*stride + chunk_chars] (1-based,
-    stride = chunk_chars - overlap); the last chunk starts at the final
-    stride boundary that still begins inside the text, so trailing text
-    shorter than a full chunk is kept. Pure row fan-out (sequence +
+    stride = chunk_chars - overlap); chunks are the minimal set of
+    stride-aligned windows covering the text (n_chunks =
+    ceil((len - overlap) / stride), min 1), so trailing text shorter
+    than a full chunk is kept and no window starts past the covered
+    suffix. Pure row fan-out (sequence +
     posexplode + substring) — narrow, codegen'd, shuffle-free; at 100 TB
     this is scan-bound and the natural place to repartition by chunk count
     before a downstream embed step."""

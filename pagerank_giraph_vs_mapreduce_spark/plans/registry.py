@@ -47,68 +47,25 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-3 rotation (VERDICT_r02 item 3): first the 4 rows that were red in
-# r02 (oracle representation fixes — they MUST be re-checked), then the
-# queries whose code changed this round (shuffle-free IVF argmax, in-plan
-# scalar subquery, builder partitioning pin — g_pagerank_k3 re-certifies the
-# graph kernel), then every r01-only row (2 rounds stale by r03). The five
-# most trivial stale rows sit last and may overflow into r04's budget.
+# Round-4 rotation (VERDICT_r03 item 2): first the queries whose code is new
+# or changed this round (staged curation pipeline, streaming curation gate,
+# real PNG codec behind mm_features, tfidf argmax rewrite, IVF query-cell
+# contract), then the 19 rows whose newest green evidence is r01 (2 rounds
+# stale — the judge's named hygiene item), then the r02-only rows ordered
+# highest-information first. Rows past the ~50 budget roll into r05's
+# rotation; no row's newest green should end up older than 2 rounds.
 _PRIORITY = (
-    # new this round — the composite curation pipeline needs first rows
-    "pipeline_curation",
-    "pipeline_curation_funnel",
+    # new or code-changed in r04
+    "text_tfidf_top_term",  # row_number window -> min_by aggregate argmax
+    "pipeline_curation_staged",  # new: staged-materialization curation
+    "pipeline_curation_staged_funnel",  # new: funnel from staged tables
+    "stream_curation_gate",  # new: streaming curation front-end
+    "mm_features",  # real PNG decode behind the mapInPandas seam
+    "sim_ivf_top5",  # ivf_query_cells limit(1) contract
     "sim_ivf_top5_nprobe2",
-    "text_vocab_top20",
-    "text_chunks",
-    "g_lpa_r3",
-    "stream_vocab_top20",
-    "rel_q5_local_supplier",
-    "pipeline_chunk_dedup",
-    "g_hits_k2",
-    "text_tfidf_top_term",
-    "text_feature_hash_64",
-    "sql_map_funcs",
-    "rel_user_funnel",
-    # red in CORRECTNESS_r02 — oracle fixes must be re-verified
-    "text_fingerprint",
-    "sql_array_funcs",
-    "sql_array_agg",
-    "sql_higher_order",
-    # code changed this round: IVF family (higher-order argmax, no window),
-    # scalar subquery (in-plan crossJoin), graph builder (shuffle_hash pin)
-    "sim_ivf_assign",
-    "sim_kmeans_2iter",
-    "sim_ivf_top5",
     "sim_ivf_trained_top5",
-    "rel_scalar_subquery",
-    "g_pagerank_k3",
-    # r01-only rows, oldest-green backfill (not re-checked since round 1)
-    "g_wcc_k4",
-    "g_bfs_hops_k4",
-    "g_ppr_k3",
-    "g_pagerank_top20",
-    "g_scatter_contribs",
-    "g_gather_sum",
-    "g_vertex_universe",
-    "g_graph_counts",
-    "g_out_degree",
-    "g_dangling",
-    "g_degree_hist",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_minhash_near_dups",
-    "dedup_lsh_candidates",
-    "dedup_ngram_jaccard",
-    "sim_cosine_top10",
-    "sim_lsh_buckets",
-    "rel_q1_pricing",
-    "rel_join_q3",
-    "rel_q6_forecast",
-    "rel_q14_promo_ratio",
-    "rel_q18_large_orders",
-    "rel_broadcast_dim_join",
-    "rel_semi_join",
-    "rel_anti_join",
+    "g_hits_k2",  # rounds >= 1 guard
+    # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",
     "rel_agg_cube",
@@ -123,12 +80,53 @@ _PRIORITY = (
     "rel_except",
     "rel_json_extract",
     "rel_date_funcs",
-    # trivial stale rows — lowest information, may fall past the budget
     "rel_sort_limit",
     "rel_union_all",
     "rel_string_funcs",
     "rel_case_coalesce",
     "rel_filter_project",
+    # r02-only rows, next-oldest; composite/stateful surfaces first, the
+    # overflow past the budget rolls to r05
+    "stream_dedup_counts",
+    "stream_session_30m",
+    "stream_tumbling_15m",
+    "udf_grouped_zscore",
+    "udf_pandas_normalize",
+    "udf_udtf_tokenize",
+    "mm_meta",
+    "mm_frame_sample",
+    "dedup_simhash64_near_dups",
+    "dedup_simhash_near_dups",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_ann_recall",
+    "sim_lsh_ann_top5",
+    "asof_click_purchase",
+    "range_join_signup_errors",
+    "g_kcore64_r4",
+    "g_triangle_count",
+    "g_two_hop_count",
+    "sql_exists_correlated",
+    "sql_grouping_sets",
+    "sql_unpivot",
+    "sql_posexplode",
+    "edge_parse_snap",
+    "win_session_30m",
+    "win_sliding_1h_30m",
+    "win_tumbling_15m",
+    "text_lang_id",
+    "text_quality",
+    "text_regexp_tokens",
+    "text_token_stats",
+    "fn_sketch_bounds",
+    "fn_stats_agg",
+    "fn_win_frames",
+    "fn_agg_breadth",
+    "fn_hash_sample",
+    "fn_math",
+    "fn_date_arith",
+    "fn_null_semantics",
+    "fn_c5_c6",
 )
 
 

@@ -206,9 +206,11 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp (the module's libm discipline — see fn_math), deterministic
     tie-break by term. Composes the vocabulary machinery into the classic
     relevance score; the df table is tiny and broadcasts, N is an in-plan
-    1-row crossJoin."""
-    from pyspark.sql import Window
-
+    1-row crossJoin. The per-doc argmax is a ``min_by`` aggregate over
+    (-score, tok) — same rank-1 row as a row_number window but with
+    map-side partial aggregation instead of a per-doc sort (the LPA
+    argmax idiom, graph/communities.py; min_by because the asc string
+    tie-break can't be negated into a max_by ordering)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -229,11 +231,15 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("tok").alias("top_term"), "score")
+        scored.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("tok").alias("top_term"), F.col("score")),
+                F.struct((-F.col("score")).alias("ns"), F.col("tok")),
+            ).alias("best")
+        )
+        .select("doc_id", F.col("best.top_term"), F.col("best.score"))
     )
 
 
