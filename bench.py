@@ -22,6 +22,13 @@ Variance notes (round-over-round comparability):
   entries reading testdata are only comparable across rounds to ~±20%;
   the synthetic-graph entries (pagerank_s1scale/s3scale/skewed/triangle/
   two_hop) are generation-independent and comparable directly.
+- The VM itself is re-provisioned between rounds and per-core throughput
+  is NOT constant across provisions: the r02->r03 +20-60% "drift" on 6
+  entries was bisected in round 4 to the host, not the plans — the
+  identical r02 tree, file-free synthetic input included, runs 1.9-2.3×
+  slower on the r04 host (SCALING.md §9). Before attributing a
+  cross-round delta to a plan change, A/B the previous round's tree in
+  a scratch worktree in the SAME session (solo mode).
 """
 
 from __future__ import annotations
