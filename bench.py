@@ -348,6 +348,7 @@ def main() -> int:
         "win_session_30m",
         "dedup_minhash_near_dups",
         "pipeline_curation",
+        "pipeline_curation_staged",
         "dedup_simhash",
         "dedup_simhash64_near_dups",
         "sim_cosine_top10",

@@ -26,7 +26,9 @@ driver-side loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
@@ -126,6 +128,114 @@ def curate_corpus(
         shingle_len,
         bands,
     )[2]
+
+
+@dataclass
+class StagedCuration:
+    """Handles to a staged curation run: the three survivor-table parquet
+    paths, the final survivors read back from durable storage, and a
+    funnel whose counts come from the staged tables instead of recomputing
+    the stage chain."""
+
+    gated_path: str
+    exact_path: str
+    final_path: str
+    final: DataFrame
+    funnel: DataFrame
+
+
+def curate_corpus_staged(
+    df: DataFrame,
+    stage_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_threshold: float = 0.8,
+    n_hashes: int = 24,
+    shingle_len: int = 5,
+    bands: int = 4,
+) -> StagedCuration:
+    """Staged-materialization curation: the 100 TB shape of the pipeline.
+
+    ``curate_corpus`` runs as ONE lazy plan and deliberately recomputes
+    the shared ``exact`` lineage for each of its three consumers — the
+    right local tradeoff (see _curation_stages), but at 100 TB each
+    recompute is a full corpus scan. This variant instead WRITES each
+    stage's survivor table to ``stage_dir`` as parquet and reads it back,
+    so every stage scans only its predecessor's (strictly smaller,
+    column-pruned) output:
+
+      write gated   scan raw corpus once; input size counted via
+                    ``observe()`` on the same pass (no second scan)
+      write exact   scan gated only (md5 agg + min-id join)
+      write final   scan exact only (MinHash-LSH near-dup anti-join)
+
+    The funnel derives n_gated/n_exact/n_final from columnless counts of
+    the staged parquet tables and n_input from the observe() metric —
+    zero recompute of any stage chain. Stages are also durable: a failed
+    stage restarts from its predecessor's table, not from raw input.
+
+    On a cluster, point ``stage_dir`` at the shared filesystem and
+    repartition each write by the downstream join key (the id column) so
+    the read-back feeds the next stage's shuffle pre-partitioned; local
+    runs keep the writes as-is.
+    """
+    spark = df.sparkSession
+    gated_path = f"{stage_dir}/gated"
+    exact_path = f"{stage_dir}/exact"
+    final_path = f"{stage_dir}/final"
+
+    # Stage 1+2: signals + gate, input rows counted on the same scan.
+    obs = Observation("curation_input")
+    gated_w = curation_signals(
+        df.observe(obs, F.count(F.lit(1)).alias("n_input")),
+        id_col,
+        text_col,
+    ).filter((F.col("lang_pred") == lang) & (F.col("quality") >= min_quality))
+    gated_w.write.mode("overwrite").parquet(gated_path)
+    n_input = int(obs.get["n_input"])
+
+    # Stage 3: exact dedup over the staged gate survivors.
+    gated = spark.read.parquet(gated_path)
+    keep = gated.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    gated.join(keep.select(id_col), id_col).write.mode("overwrite").parquet(
+        exact_path
+    )
+
+    # Stage 4: near-dup removal over the staged exact survivors.
+    exact = spark.read.parquet(exact_path)
+    pairs = minhash_near_dups(
+        exact.select(id_col, text_col),
+        id_col,
+        text_col,
+        threshold=near_threshold,
+        n_hashes=n_hashes,
+        shingle_len=shingle_len,
+        bands=bands,
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    exact.join(drop, id_col, "left_anti").select(
+        id_col, "lang_pred", "quality", "n_tokens"
+    ).write.mode("overwrite").parquet(final_path)
+
+    final = spark.read.parquet(final_path)
+    funnel = (
+        spark.range(1)
+        .select(F.lit(n_input).cast("bigint").alias("n_input"))
+        .crossJoin(
+            F.broadcast(gated.agg(F.count(F.lit(1)).alias("n_gated")))
+        )
+        .crossJoin(
+            F.broadcast(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        )
+        .crossJoin(
+            F.broadcast(final.agg(F.count(F.lit(1)).alias("n_final")))
+        )
+    )
+    return StagedCuration(gated_path, exact_path, final_path, final, funnel)
 
 
 def curation_funnel(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
     curate_corpus,
+    curate_corpus_staged,
     curation_funnel,
 )
 from pagerank_giraph_vs_mapreduce_spark.plans.dedup_queries import (
@@ -139,6 +140,54 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=MIN_QUALITY,
         near_threshold=NEAR_THRESHOLD,
     )
+
+
+def _staged(spark: SparkSession, sf_dir: str):
+    """Run the staged pipeline into a fresh scratch dir (one run per query
+    call — the driver's collect then reads the staged parquet back)."""
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="curation_stage_")
+    return curate_corpus_staged(
+        _docs3(spark, sf_dir),
+        stage_dir,
+        "doc_id",
+        "text",
+        lang=LANG,
+        min_quality=MIN_QUALITY,
+        near_threshold=NEAR_THRESHOLD,
+    )
+
+
+@query(
+    "pipeline_curation_staged",
+    oracle=f"WITH {PIPELINE_CTES}\nSELECT doc_id, lang_pred, quality, n_tokens FROM final",
+)
+def pipeline_curation_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged-materialization variant of pipeline_curation: survivor
+    tables written to parquet between stages and read back (the 100 TB
+    shape named in operators/curation.py), so each stage scans only its
+    predecessor's pruned output and a failed stage restarts from durable
+    state. Same oracle as the one-plan variant — staging must not change
+    a single surviving row."""
+    return _staged(spark, sf_dir).final
+
+
+@query(
+    "pipeline_curation_staged_funnel",
+    oracle=f"""WITH {PIPELINE_CTES}
+SELECT (SELECT count(*) FROM docs3) AS n_input,
+       (SELECT count(*) FROM gated) AS n_gated,
+       (SELECT count(*) FROM docs2) AS n_exact,
+       (SELECT count(*) FROM final) AS n_final""",
+)
+def pipeline_curation_staged_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel derived from the staged tables: n_input from an observe()
+    metric captured on the stage-1 scan, n_gated/n_exact/n_final as
+    columnless counts of the staged parquet — zero recompute of any stage
+    chain, vs the one-plan funnel's ~4x shared-lineage recompute. Same
+    oracle as pipeline_curation_funnel."""
+    return _staged(spark, sf_dir).funnel
 
 
 @query(

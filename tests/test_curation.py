@@ -104,3 +104,39 @@ def test_chunk_documents_boundaries_and_overlap(spark):
     assert got[(1, 0)][0][-2:] == got[(1, 1)][0][:2]
     with _pytest.raises(ValueError):
         chunk_documents(d, "doc_id", "text", chunk_chars=4, overlap=4)
+
+
+def test_staged_curation_matches_one_plan_and_funnel(spark, tmp_path):
+    from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+        curate_corpus_staged,
+    )
+
+    d = _df(
+        spark,
+        [
+            (1, BASE),
+            (2, BASE),  # exact dup of 1
+            (3, BASE + " zz"),  # near dup of 1
+            (4, "el gato y los perros " * 8),  # lang-gated
+            (5, "short 123"),  # quality-gated
+            (6, "the quick brown fox jumps over a lazy dog near the "
+                "riverbank while the sun sets behind a quiet old hill"),
+        ],
+    )
+    staged = curate_corpus_staged(d, str(tmp_path / "stages"))
+    # Same survivors as the one-plan pipeline, read back from parquet.
+    assert sorted(r["doc_id"] for r in staged.final.collect()) == [1, 6]
+    one_plan = {
+        r["doc_id"]: r.asDict() for r in curate_corpus(d, "doc_id", "text").collect()
+    }
+    for r in staged.final.collect():
+        assert r.asDict() == one_plan[r["doc_id"]]
+    # Funnel counts come from observe() + staged tables; must equal the
+    # one-plan funnel exactly.
+    assert (
+        staged.funnel.collect()[0].asDict()
+        == curation_funnel(d, "doc_id", "text").collect()[0].asDict()
+    )
+    # Stage tables are durable parquet a restart could resume from.
+    assert spark.read.parquet(staged.gated_path).count() == 4
+    assert spark.read.parquet(staged.exact_path).count() == 3
