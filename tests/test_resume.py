@@ -50,3 +50,48 @@ def test_resume_missing_vertices_seeded_uniform(spark):
     res = pagerank(edges, max_iter=1, tol=-1.0, min_iter=0, initial_ranks=partial)
     assert res.n_vertices == 5
     assert res.ranks.count() == 5
+
+
+def test_durable_checkpoint_resume_after_kill(spark, tmp_path):
+    """checkpoint_dir= writes durable parquet state every N supersteps; a
+    'killed' run's latest completed checkpoint resumes bit-identically
+    (parquet state is full doubles — no R2 %.10f rounding)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        latest_checkpoint,
+    )
+
+    edges = make_edges(spark, EDGES)
+    ckpt = str(tmp_path / "ckpt")
+
+    straight = pagerank(edges, max_iter=5, tol=-1.0, min_iter=0)
+    want = {r["id"]: r["pr"] for r in straight.ranks.collect()}
+
+    # Run with checkpoints at iterations 2 and 4, then "kill": discard the
+    # in-memory result and recover only from the durable directory.
+    pagerank(
+        edges, max_iter=5, tol=-1.0, min_iter=0,
+        checkpoint_dir=ckpt, checkpoint_every=2,
+    )
+    # An interrupted write (no _SUCCESS marker) must be invisible.
+    junk = tmp_path / "ckpt" / "iter_00099"
+    junk.mkdir()
+    (junk / "part-00000.parquet").write_bytes(b"garbage")
+
+    it, state = latest_checkpoint(spark, ckpt)
+    assert it == 4
+    resumed = pagerank(
+        edges, max_iter=1, tol=-1.0, min_iter=0, initial_ranks=state,
+    )
+    got = {r["id"]: r["pr"] for r in resumed.ranks.collect()}
+    assert got == want  # exact: same arithmetic from identical iter-4 state
+
+
+def test_checkpoint_validation_and_empty_dir(spark, tmp_path):
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        latest_checkpoint,
+    )
+
+    edges = make_edges(spark, EDGES)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, max_iter=1, checkpoint_dir="/tmp/x", checkpoint_every=0)
+    assert latest_checkpoint(spark, str(tmp_path / "nonexistent")) is None
