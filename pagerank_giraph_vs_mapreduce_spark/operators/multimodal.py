@@ -1,21 +1,28 @@
 """Multimodal column plumbing: opaque BINARY payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode step is STUBBED
+The decode seam is REAL for PNG: ``decode_png`` is a pure-stdlib decoder
+(zlib inflate + the five scanline filters, RFC 2083) and
+``extract_features`` dispatches on the PNG magic, emitting true image
+features (width/height/channels/bit_depth/pixel_mean). Codecs the stdlib
+cannot express (JPEG/audio/video) remain STUBBED behind the same seam
 (deterministic byte-level "features"; a real deployment swaps
-``_decode_stub`` for PIL/torchaudio/ffmpeg per the marked seam). What IS
-real and tested: the schema contract (binary + struct metadata), the
-mapInPandas batch path (Arrow transfer, per-partition batching), and the
-partition-friendly layout — the parts that matter for running this against
-100 TB of media shards.
+``_decode_stub`` for PIL/torchaudio/ffmpeg). What is tested either way:
+the schema contract (binary + struct metadata), the mapInPandas batch
+path (Arrow transfer, per-partition batching), and the partition-friendly
+layout — the parts that matter for running this against 100 TB of media
+shards.
 
 The testdata has no media table, so ``with_binary_payload`` derives a
-binary column from documents.text (utf-8 bytes) — the plumbing is
-representative: payloads are opaque bytes of varying size.
+binary column from documents.text (utf-8 bytes) and ``png_payload``
+encodes each doc's leading bytes as a real grayscale PNG — pixel values
+derive from the text, so the decode path keeps an exact SQL oracle.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,8 +37,142 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("first_byte", T.IntegerType()),
         T.StructField("byte_mean", T.DoubleType()),
         T.StructField("format", T.StringType()),
+        # Real-decode columns — populated for PNG payloads, null otherwise.
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bit_depth", T.IntegerType()),
+        T.StructField("pixel_mean", T.DoubleType()),
     ]
 )
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# Samples per pixel by PNG color type (palette type 3 unsupported — it
+# needs PLTE indirection; the decoder returns None and the caller falls
+# back to byte features).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Minimal PNG writer (8-bit, filter 0 per scanline): grayscale (1),
+    gray+alpha (2), RGB (3) or RGBA (4) ``channels``. Exists so tests and
+    ``png_payload`` can fabricate REAL decodable images from deterministic
+    pixel bytes without any external codec."""
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"need {width * height * channels} samples, got {len(pixels)}"
+        )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """Pure-stdlib PNG decoder: chunk parse, zlib inflate, and scanline
+    reconstruction for all five filter types (None/Sub/Up/Average/Paeth,
+    PNG spec §6). Supports 8-bit depth, color types 0/2/4/6, no interlace.
+    Returns {width, height, channels, bit_depth, pixel_mean} or None when
+    the payload is not a PNG this decoder handles — the caller then falls
+    through to the byte-stat stub, so unsupported media degrade, not fail.
+    """
+    if payload is None or not payload.startswith(PNG_MAGIC):
+        return None
+    pos, n = len(PNG_MAGIC), len(payload)
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:  # truncated chunk — stop parsing
+            break
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if (
+        width is None
+        or bit_depth != 8
+        or interlace != 0
+        or color_type not in _PNG_CHANNELS
+        or not idat
+    ):
+        return None
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != (stride + 1) * height:
+        return None
+    prior = bytearray(stride)
+    total = 0
+    for y in range(height):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, filt = row[0], bytearray(row[1:])
+        recon = bytearray(stride)
+        bpp = channels  # 8-bit depth: bytes per pixel == channels
+        for x in range(stride):
+            a = recon[x - bpp] if x >= bpp else 0
+            b = prior[x]
+            c = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                v = filt[x]
+            elif ftype == 1:
+                v = filt[x] + a
+            elif ftype == 2:
+                v = filt[x] + b
+            elif ftype == 3:
+                v = filt[x] + ((a + b) >> 1)
+            elif ftype == 4:
+                v = filt[x] + _paeth(a, b, c)
+            else:
+                return None
+            recon[x] = v & 0xFF
+        total += sum(recon)
+        prior = recon
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "bit_depth": bit_depth,
+        "pixel_mean": total / (stride * height),
+    }
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -47,10 +188,11 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> dict:
-    """STUB decoder — deterministic byte statistics standing in for a real
-    media decode (image resize / audio resample / frame sample).
-    Swap this function for the real codec; the Spark plumbing around it
-    (schema, batching, partitioning) is the tested contract."""
+    """STUB decoder — deterministic byte statistics standing in for media
+    decodes the stdlib cannot express (JPEG/audio/video). Swap this
+    function for the real codec; the Spark plumbing around it (schema,
+    batching, partitioning) is the tested contract. PNG does not reach
+    here — ``decode_png`` is the real thing."""
     if payload is None or len(payload) == 0:
         return {"n_bytes": 0, "first_byte": -1, "byte_mean": 0.0}
     return {
@@ -60,25 +202,124 @@ def _decode_stub(payload: bytes) -> dict:
     }
 
 
+_IMG_NULLS = {
+    "width": None,
+    "height": None,
+    "channels": None,
+    "bit_depth": None,
+    "pixel_mean": None,
+}
+
+
+def _decode_dispatch(payload: bytes, declared_format: str | None) -> dict:
+    """Per-payload codec dispatch: real PNG decode when the magic matches
+    (format reported from the CONTENT, not the metadata claim), byte-stat
+    stub otherwise."""
+    png = decode_png(payload)
+    if png is not None:
+        return {
+            "n_bytes": len(payload),
+            "first_byte": payload[0],
+            "byte_mean": None,  # raw-byte mean of a compressed stream is noise
+            "format": "image/png",
+            **png,
+        }
+    return {**_decode_stub(payload), "format": declared_format, **_IMG_NULLS}
+
+
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over (doc_id, payload, meta)."""
+    """Arrow-batched feature extraction over (doc_id, payload, meta):
+    one codec dispatch per row inside the batch loop, schema fixed by
+    FEATURE_SCHEMA regardless of which codec ran."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = pdf["payload"].map(_decode_stub)
+            feats = [
+                _decode_dispatch(p, m["format"] if m is not None else None)
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": feats.map(lambda f: f["n_bytes"]).astype("int64"),
-                    "first_byte": feats.map(lambda f: f["first_byte"]).astype("int32"),
-                    "byte_mean": feats.map(lambda f: f["byte_mean"]),
-                    "format": pdf["meta"].map(
-                        lambda m: m["format"] if m is not None else None
+                    "n_bytes": pd.Series(
+                        [f["n_bytes"] for f in feats], dtype="int64"
+                    ),
+                    "first_byte": pd.Series(
+                        [f["first_byte"] for f in feats], dtype="int32"
+                    ),
+                    # Nullable extension dtypes: a plain float64 Series
+                    # would smuggle None in as NaN, not SQL NULL.
+                    "byte_mean": pd.Series(
+                        [f["byte_mean"] for f in feats], dtype="Float64"
+                    ),
+                    "format": pd.Series(
+                        [f["format"] for f in feats], dtype="object"
+                    ),
+                    "width": pd.Series(
+                        [f["width"] for f in feats], dtype="Int32"
+                    ),
+                    "height": pd.Series(
+                        [f["height"] for f in feats], dtype="Int32"
+                    ),
+                    "channels": pd.Series(
+                        [f["channels"] for f in feats], dtype="Int32"
+                    ),
+                    "bit_depth": pd.Series(
+                        [f["bit_depth"] for f in feats], dtype="Int32"
+                    ),
+                    "pixel_mean": pd.Series(
+                        [f["pixel_mean"] for f in feats], dtype="Float64"
                     ),
                 }
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+PNG_W, PNG_H = 16, 4
+
+
+def png_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload BINARY, meta STRUCT): each doc's first
+    ``PNG_W*PNG_H`` text bytes (space-padded) encoded as a REAL grayscale
+    PNG via ``encode_png`` — pixels derive from the text, so downstream
+    decode results stay expressible as an exact SQL oracle over the text
+    column. Arrow-batched mapInPandas, same batch shape as the decode."""
+    n_px = PNG_W * PNG_H
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("format", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                px = (text or "").encode("utf-8")[:n_px].ljust(n_px, b" ")
+                payloads.append(encode_png(px, PNG_W, PNG_H, channels=1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"format": "image/png", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(batches, schema)
 
 
 FRAME_SCHEMA = T.StructType(

@@ -62,6 +62,43 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_png_decode",
+    oracle="""SELECT doc_id,
+       'image/png' AS format,
+       16 AS width, 4 AS height, 1 AS channels, 8 AS bit_depth,
+       round((CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))) AS DOUBLE)
+              + 32 * (64 - least(length(text), 64))) / 64.0, 9) AS pixel_mean
+FROM documents""",
+)
+def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec through the multimodal seam: each doc's first 64
+    text bytes are encoded as a genuine 16x4 grayscale PNG (zlib stream,
+    filtered scanlines) by png_payload, then extract_features detects the
+    magic and runs the pure-stdlib decoder — chunk parse, inflate, filter
+    reconstruction. Pixels derive from the text, so the decoded pixel_mean
+    has an exact SQL oracle: a wrong filter, stride or channel count in
+    either codec breaks the hash match. The byte-stat stub now covers only
+    formats the stdlib cannot decode (JPEG/audio/video)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        extract_features,
+        png_payload,
+    )
+
+    media = png_payload(load_table(spark, sf_dir, "documents"))
+    f = extract_features(media)
+    return f.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "bit_depth",
+        F.round("pixel_mean", 9).alias("pixel_mean"),
+    )
+
+
+@query(
     "mm_frame_sample",
     oracle="""WITH media AS (
   SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS payload

@@ -60,7 +60,8 @@ _PRIORITY = (
     "pipeline_curation_staged",  # new: staged-materialization curation
     "pipeline_curation_staged_funnel",  # new: funnel from staged tables
     "stream_curation_gate",  # new: streaming curation front-end
-    "mm_features",  # real PNG decode behind the mapInPandas seam
+    "mm_png_decode",  # new: real PNG codec, text-derived pixel oracle
+    "mm_features",  # codec dispatch added behind the mapInPandas seam
     "sim_ivf_top5",  # ivf_query_cells limit(1) contract
     "sim_ivf_top5_nprobe2",
     "sim_ivf_trained_top5",
