@@ -95,6 +95,15 @@ def main() -> int:
     def run_query(name: str):
         return lambda: QUERIES[name](spark, sf_dir).count()
 
+    def run_query_rows(name: str):
+        # Same as run_query but records the row count as an extra, so
+        # round-over-round drift on these entries is attributable (a row
+        # count change means the regenerated testdata moved, not the plan).
+        def fn() -> None:
+            extras[f"{name}_rows"] = QUERIES[name](spark, sf_dir).count()
+
+        return fn
+
     def run_pagerank() -> None:
         res = pagerank(
             derived_edges(spark, sf_dir),
@@ -360,6 +369,15 @@ def main() -> int:
         "g_pagerank_k3",
     ):
         timed(q, run_query(q))
+    # Round-3 text-operator family (VERDICT_r03 item 7): benched with row
+    # counts so r05+ can see drift on the newest entries.
+    for q in (
+        "text_vocab_top20",
+        "text_tfidf_top_term",
+        "text_feature_hash_64",
+        "text_chunks",
+    ):
+        timed(q, run_query_rows(q))
 
     unknown = only - set(timings)
     if unknown:
