@@ -149,6 +149,66 @@ def stream_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(counts, "complete")
 
 
+def _gate_oracle() -> str:
+    from pagerank_giraph_vs_mapreduce_spark.plans.text_queries import (
+        LANG_CASES_SQL,
+        LANG_GREATEST_SQL,
+        LANG_SCORES_SQL,
+        N_TOKENS_SQL,
+        QUALITY_SQL,
+    )
+
+    return f"""WITH padded_docs AS (
+  SELECT doc_id, text, concat(' ', text, ' ') AS padded FROM documents),
+scored AS (
+  SELECT doc_id, text,
+{LANG_SCORES_SQL},
+  greatest({LANG_GREATEST_SQL}) AS best
+  FROM padded_docs),
+sigs AS (
+  SELECT doc_id,
+    CASE WHEN best = 0 THEN 'unknown'
+{LANG_CASES_SQL}
+    ELSE 'unknown' END AS lang_pred,
+    {QUALITY_SQL} AS quality,
+    {N_TOKENS_SQL} AS n_tokens
+  FROM scored)
+SELECT doc_id, lang_pred, quality, n_tokens
+FROM sigs WHERE lang_pred = 'en' AND quality >= 0.5"""
+
+
+@query("stream_curation_gate", oracle=_gate_oracle())
+def stream_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's stage-1/2 front-end (signal extraction +
+    lang/quality gate, operators/curation.py) run INCREMENTALLY: the
+    documents table arrives as a file stream and gated survivors append
+    to the sink. The gate is pure per-row codegen'd expressions — no
+    aggregate, no state store, no watermark needed — which is exactly
+    why a 100 TB corpus can run this front-end continuously on arriving
+    shards and only the (much smaller) survivor table ever reaches the
+    batch dedup stages. Oracle: the same gate CTE chain the batch
+    pipeline queries compose, over the full table."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+        curation_signals,
+    )
+
+    docs = (
+        spark.readStream.schema(
+            spark.read.option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = curation_signals(docs, "doc_id", "text").filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    )
+    return _drain(
+        gated.select("doc_id", "lang_pred", "quality", "n_tokens"), "append"
+    )
+
+
 @query(
     "stream_dedup_counts",
     oracle="""SELECT event_type, count(DISTINCT event_id) AS n
