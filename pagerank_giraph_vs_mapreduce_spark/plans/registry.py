@@ -66,6 +66,12 @@ _PRIORITY = (
     "sim_ivf_top5_nprobe2",
     "sim_ivf_trained_top5",
     "g_hits_k2",  # rounds >= 1 guard
+    "rel_q7_volume_shipping",  # new TPC-H-shape breadth (r04)
+    "rel_q8_market_share",
+    "rel_q10_returned_items",
+    "rel_q13_order_distribution",
+    "rel_q19_disjunctive",
+    "rel_q22_idle_customers",
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

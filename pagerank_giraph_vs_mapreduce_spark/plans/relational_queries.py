@@ -710,3 +710,288 @@ def rel_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_purchased_after_click"),
     )
+
+
+# ------------------------------------------- round-4 TPC-H shape breadth
+
+
+@query(
+    "rel_q7_volume_shipping",
+    oracle=f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+GROUP BY 1, 2, 3""",
+)
+def rel_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral nation-pair trade volume by ship year.
+    The nation dim joins twice under different roles (supplier side,
+    customer side) — both broadcast; the symmetric pair predicate lands
+    after the second nation join; fact-side date filter pushes to the
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") <= "1997-12-31")
+        )
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@query(
+    "rel_q8_market_share",
+    oracle="""WITH allnations AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA')
+SELECT o_year,
+       round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(38,12))) AS DOUBLE),
+             6) AS mkt_share
+FROM allnations GROUP BY o_year""",
+)
+def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's order volume per
+    year — conditional aggregation (CASE inside SUM) over a 6-table join
+    with the region filter pruning through two broadcast dims. Share =
+    exact-decimal conditional sum / exact-decimal total, one double
+    division rounded to 6 dp (cross-engine deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    dec = lambda col: col.cast("decimal(38,12)")  # noqa: E731
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("cn_rkey"),
+        )
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    dec(
+                        F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(
+                            0.0
+                        )
+                    )
+                ).cast("double")
+                / F.sum(dec(volume)).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "rel_q10_returned_items",
+    oracle=f"""SELECT c_custkey, c_name, n_name,
+       {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer in a date
+    window, deterministic top-20. Both fact filters (order-date range,
+    returnflag) push to their scans before the joins; nation broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-07-01")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "rel_q13_order_distribution",
+    oracle="""WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM c_orders GROUP BY c_count""",
+)
+def rel_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts — a
+    left join whose extra predicate lives in the JOIN condition (not the
+    WHERE, which would turn it inner), then a second aggregation over the
+    first's output. count(o_orderkey) counts only matched rows, so
+    no-order customers land in the c_count=0 bucket."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderpriority") != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "rel_q19_disjunctive",
+    oracle=f"""SELECT {_sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)""",
+)
+def rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions spanning both join sides.
+    Catalyst cannot push the cross-side disjunction whole, but it DOES
+    derive and push the per-side implied disjunctions (p_brand IN (...)
+    to the part scan, l_quantity range union to the lineitem scan) —
+    the constraint-propagation case a naive engine misses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 35) & qty.between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "rel_q22_idle_customers",
+    oracle="""WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE)
+         / count(*) AS ab
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey,
+       count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,12))), 6) AS DOUBLE)
+         AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey""",
+)
+def rel_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no RECENT orders (the
+    churn-candidate variant — in this testdata every customer has some
+    order, so the pure never-ordered anti-join would be vacuously empty)
+    — a scalar threshold computed in-plan (exact-decimal sum / count,
+    one deterministic double division, broadcast back) gating an
+    anti-join against the date-pruned orders fact, grouped by nation.
+    No driver-side .first(): the threshold rides the plan as a 1-row
+    broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            o.filter(F.col("o_orderdate") >= "2000-01-01"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
