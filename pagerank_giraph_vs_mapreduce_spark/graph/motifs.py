@@ -26,15 +26,17 @@ def undirect_dedup(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
-    """Exact triangle count, degree-oriented.
+def closed_triangles(edges: DataFrame) -> DataFrame:
+    """Every triangle of the undirected deduped graph as one (x, y, z)
+    row, degree-oriented.
 
     Every undirected edge is directed from its lower-(degree, id) endpoint
     to its higher-(degree, id) endpoint; wedges are enumerated per oriented
     source and closed against the oriented edge set. Degree orientation
     bounds every oriented out-degree by O(sqrt(E)), so wedge work is O(E^1.5)
     total and — unlike low-id orientation — no hub can key Sigma C(deg, 2)
-    wedge rows on a single task. Returns a 1-row DataFrame ``n_triangles``.
+    wedge rows on a single task. Each triangle appears exactly once (its
+    three vertices in some orientation-determined order).
     """
     eo = undirect_dedup(edges)
     # Undirected degree: each canonical edge contributes to both endpoints.
@@ -71,7 +73,57 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         c,
         (F.col("c.x") == F.col("a.y")) & (F.col("c.y") == F.col("b.y")),
     )
-    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    return closed.select(
+        F.col("a.x").alias("x"), F.col("a.y").alias("y"), F.col("b.y").alias("z")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count (see closed_triangles for the degree-oriented
+    enumeration). Returns a 1-row DataFrame ``n_triangles``."""
+    return closed_triangles(edges).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient on the undirected deduped
+    graph: 2*T(v) / (d(v) * (d(v) - 1)), 0.0 for degree-1 vertices —
+    Watts-Strogatz local clustering, the standard per-vertex cohesion
+    score. Returns (id, clustering) for every vertex with >= 1 undirected
+    neighbor, rounded to 9 dp.
+
+    Scale shape: the triangle closure is the O(E^1.5)-bounded
+    degree-oriented plan; the per-vertex count is an explode of each
+    triangle row to its three corners followed by a map-side-combined
+    aggregation, then one V-row left join against the degree table —
+    nothing keys on a hub's full neighborhood."""
+    tri = closed_triangles(edges)
+    vt = (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    eo = undirect_dedup(edges)
+    ud = (
+        eo.select(F.col("u").alias("id"))
+        .unionAll(eo.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d = F.col("d")
+    return ud.join(vt, "id", "left").select(
+        "id",
+        F.round(
+            F.when(
+                d >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("t"), F.lit(0).cast("bigint"))
+                / (d * (d - 1)),
+            ).otherwise(0.0),
+            9,
+        ).alias("clustering"),
+    )
 
 
 def kcore_survivors(edges: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:

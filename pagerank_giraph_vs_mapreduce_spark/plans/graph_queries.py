@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
 from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
     kcore_survivors,
+    local_clustering,
     triangle_count,
     two_hop_count,
 )
@@ -375,6 +376,42 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _, edges, _, _ = _graph_parts(spark, sf_dir)
     return triangle_count(edges)
+
+
+@query(
+    "g_clustering_coeff",
+    oracle=f"""{_TRI_CTES},
+tri AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM eo a
+  JOIN eo b ON b.u = a.v
+  JOIN eo c ON c.u = a.u AND c.v = b.v),
+vtris AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT x AS id FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri)
+  GROUP BY id),
+udeg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT u AS id FROM eo UNION ALL SELECT v AS id FROM eo)
+  GROUP BY id)
+SELECT ud.id,
+       round(CASE WHEN ud.d >= 2
+                  THEN 2.0 * coalesce(vt.t, 0) / (ud.d * (ud.d - 1))
+                  ELSE 0.0 END, 9) AS clustering
+FROM udeg ud LEFT JOIN vtris vt ON vt.id = ud.id""",
+)
+def g_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex Watts-Strogatz local clustering coefficient:
+    2*T(v)/(d(v)*(d(v)-1)) over the undirected deduped graph, 0 for
+    degree-1 vertices. Triangle closure is the same degree-oriented
+    O(E^1.5) plan as g_triangle_count (count is orientation-invariant,
+    so the oracle keeps low-id orientation); the per-vertex roll-up is
+    an explode to triangle corners + map-side-combined count + one V-row
+    degree join. Implementation: graph/motifs.py:local_clustering."""
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    return local_clustering(edges)
 
 
 @query(

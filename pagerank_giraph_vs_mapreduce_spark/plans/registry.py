@@ -72,6 +72,7 @@ _PRIORITY = (
     "rel_q13_order_distribution",
     "rel_q19_disjunctive",
     "rel_q22_idle_customers",
+    "g_clustering_coeff",  # new: per-vertex Watts-Strogatz coefficient
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

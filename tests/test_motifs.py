@@ -148,3 +148,23 @@ def test_motifs_random_graphs_vs_python(spark):
             for r in kcore_survivors(edges, k=k, rounds=3).collect()
         }
         assert got_k == surv, f"kcore trial {trial} k {k}"
+
+
+def test_local_clustering_known_graph(spark):
+    """K4 minus edge 3-4, plus a pendant pair: coefficients by hand.
+    T(1)=T(2)=2 with d=3 -> 2/3; T(3)=T(4)=1 with d=2 -> 1.0; the pendant
+    vertices have d=1 -> 0.0."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import local_clustering
+
+    edges = make_edges(
+        spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 6)]
+    )
+    got = {r["id"]: r["clustering"] for r in local_clustering(edges).collect()}
+    assert got == {
+        1: round(2 / 3, 9),
+        2: round(2 / 3, 9),
+        3: 1.0,
+        4: 1.0,
+        5: 0.0,
+        6: 0.0,
+    }
