@@ -596,3 +596,43 @@ def g_hits_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, edges, _, _ = _graph_parts(spark, sf_dir)
     return hits(edges, rounds=HITS_ROUNDS)
+
+
+_SCC_SQL = (
+    GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+fwd AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT e.dst AS id, f.dist + 1 AS dist
+  FROM fwd f JOIN edges e ON e.src = f.id
+  WHERE f.dist < {BFS_HOPS}),
+bwd AS (
+  SELECT CAST({BFS_SOURCE} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+  UNION
+  SELECT e.src AS id, b.dist + 1 AS dist
+  FROM bwd b JOIN edges e ON e.dst = b.id
+  WHERE b.dist < {BFS_HOPS})
+SELECT f.id FROM (SELECT DISTINCT id FROM fwd) f
+JOIN (SELECT DISTINCT id FROM bwd) b ON b.id = f.id"""
+)
+
+
+@query("g_scc_of_source_k4", oracle=_SCC_SQL)
+def g_scc_of_source_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strongly-connected component containing BFS_SOURCE, bounded at
+    4 hops each way: forward-reachable ∩ backward-reachable vertex sets
+    (the Kosaraju pivot step as a declared query). Both reaches run the
+    frontier-collapsing BFS kernel — the backward one on the reversed
+    edge view, which costs nothing extra: the edge table re-shuffles by
+    dst once and per-hop work tracks the frontier, not the graph. With
+    hops >= diameter this is the exact SCC of the source; the fixed bound
+    keeps the oracle an unrolled recursive CTE (same discipline as
+    g_bfs_hops_k4)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import bfs_distances
+
+    edges = derived_edges(spark, sf_dir)
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    fwd = bfs_distances(edges, source=BFS_SOURCE, max_hops=BFS_HOPS).distances
+    bwd = bfs_distances(rev, source=BFS_SOURCE, max_hops=BFS_HOPS).distances
+    return fwd.select("id").join(bwd.select("id"), "id")

@@ -232,3 +232,53 @@ def pipeline_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("copies") >= 2)
     )
+
+
+QUOTA = 50
+
+
+@query(
+    "pipeline_class_balance",
+    oracle=f"""WITH counts AS (
+  SELECT lang, count(*) AS c FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN counts USING (lang)
+WHERE c <= {QUOTA}
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor({QUOTA} * 4294967296.0 / c) AS BIGINT))""",
+)
+def pipeline_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus sampling: downsample each language toward a
+    ~{QUOTA}-doc quota with a deterministic two-pass scheme — (1) tiny
+    per-class count table, broadcast back; (2) keep rows whose md5-prefix
+    percentile falls under quota/count. The md5 gate is the fn_hash_sample
+    discipline: row-local, engine-independent, stable under retries and
+    repartitioning. No sort, no window, no per-class shuffle — the scan
+    applies a broadcast-joined predicate, which is the only shape that
+    survives a 100 TB corpus with a 3-order-of-magnitude class skew
+    (per-class exact top-N would sort the majority class for no benefit;
+    a quota sampler needs only the fraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    threshold_hex = F.lower(
+        F.lpad(
+            F.conv(
+                F.floor(F.lit(QUOTA * 4294967296.0) / F.col("c")).cast("string"),
+                10,
+                16,
+            ),
+            8,
+            "0",
+        )
+    )
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .filter(
+            (F.col("c") <= QUOTA)
+            | (
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+                < threshold_hex
+            )
+        )
+        .select("doc_id", "lang")
+    )

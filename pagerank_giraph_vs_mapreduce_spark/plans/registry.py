@@ -73,6 +73,8 @@ _PRIORITY = (
     "rel_q19_disjunctive",
     "rel_q22_idle_customers",
     "g_clustering_coeff",  # new: per-vertex Watts-Strogatz coefficient
+    "g_scc_of_source_k4",  # new: fwd∩bwd bounded reachability (Kosaraju pivot)
+    "pipeline_class_balance",  # new: per-class quota sampler, md5 gate
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",
