@@ -140,3 +140,36 @@ def test_staged_curation_matches_one_plan_and_funnel(spark, tmp_path):
     # Stage tables are durable parquet a restart could resume from.
     assert spark.read.parquet(staged.gated_path).count() == 4
     assert spark.read.parquet(staged.exact_path).count() == 3
+
+
+def test_class_balance_quota_sampler(spark, sf_dir):
+    """Classes at or under quota pass through whole; classes over quota
+    shrink toward it via the deterministic md5 gate — and the selection
+    is identical run-over-run (the retry/speculation-safety property)."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        QUOTA,
+        pipeline_class_balance,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+    orig = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = pipeline_class_balance(spark, sf_dir).collect()
+    got = {}
+    for r in rows:
+        got[r["lang"]] = got.get(r["lang"], 0) + 1
+    for lang, n in orig.items():
+        if n <= QUOTA:
+            assert got.get(lang, 0) == n  # under-quota class kept whole
+        else:
+            # md5 gate is a binomial draw around the quota — loose band,
+            # but strictly downsampled.
+            assert 0 < got[lang] < n
+    # Deterministic: identical selection on re-run.
+    again = sorted(r["doc_id"] for r in pipeline_class_balance(spark, sf_dir).collect())
+    assert again == sorted(r["doc_id"] for r in rows)
