@@ -288,3 +288,42 @@ def text_feature_hash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dim")
         .agg(F.count(F.lit(1)).alias("val"))
     )
+
+
+@query(
+    "text_bigrams_top20",
+    oracle="""WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t != '') AS l
+  FROM documents),
+bigrams AS (
+  SELECT t.bg FROM toks, LATERAL unnest(
+    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+  ) AS t(bg))
+SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS n
+FROM bigrams GROUP BY bg ORDER BY n DESC, bg LIMIT 20""",
+)
+def text_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram language-model statistic): adjacent
+    token pairs via an in-row zip_with of the token array against its own
+    1-shifted slice — pure codegen'd array ops, no self-join — then one
+    map-side-combined count and a TakeOrderedAndProject top-20. The same
+    shape extends to any n by widening the slice; at corpus scale this
+    stays scan-bound exactly like the vocabulary query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
