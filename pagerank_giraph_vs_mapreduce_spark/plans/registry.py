@@ -76,6 +76,7 @@ _PRIORITY = (
     "g_scc_of_source_k4",  # new: fwd∩bwd bounded reachability (Kosaraju pivot)
     "pipeline_class_balance",  # new: per-class quota sampler, md5 gate
     "text_bigrams_top20",  # new: n-gram LM counts via in-row zip_with
+    "stream_enrich_features",  # new: stream-static broadcast feature join
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

@@ -227,3 +227,42 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drained = _drain(dedup, "append")
     return drained.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "stream_enrich_features",
+    oracle="""WITH feats AS (
+  SELECT user_id,
+         count(*) AS user_n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+           AS user_sum_value
+  FROM events GROUP BY user_id)
+SELECT e.event_id, e.user_id, e.event_type,
+       f.user_n_events, f.user_sum_value
+FROM events e JOIN feats f USING (user_id)""",
+)
+def stream_enrich_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the feature-lookup shape of an
+    online training-data pipeline: events arrive as a stream and each row
+    is joined to a precomputed per-user feature table (a static batch
+    DataFrame). Unlike the stream-stream join there is NO state store —
+    the static side is just (re)broadcast per micro-batch — so this scales
+    with the dim table, not with stream history; stateless rows append.
+    Oracle: the equivalent batch join."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_events
+
+    static_feats = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("user_n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("user_sum_value"),
+        )
+    )
+    ev = _events_stream(spark, sf_dir)
+    enriched = ev.join(F.broadcast(static_feats), "user_id").select(
+        "event_id", "user_id", "event_type", "user_n_events", "user_sum_value"
+    )
+    return _drain(enriched, "append")

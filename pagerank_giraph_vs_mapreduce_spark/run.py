@@ -18,6 +18,7 @@ shuffle-partition count. Omitted, parallelism follows $SPARK_GRAFT_CPUS.
 
 from __future__ import annotations
 
+import os
 import sys
 
 from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
@@ -58,6 +59,12 @@ def main(argv: list[str]) -> int:
         raise
     # phase_timing mirrors the reference drivers, which always record the
     # per-iteration map/reduce (MR) / per-superstep (Giraph) wall split.
+    # Durable checkpointing is env-opt-in so the positional arg contract
+    # stays byte-compatible with the reference CLI (SURVEY.md §3.1-3.2):
+    # SPARK_GRAFT_CHECKPOINT_DIR= enables parquet ranks snapshots every
+    # SPARK_GRAFT_CHECKPOINT_EVERY (default 10) supersteps; recover with
+    # graph.pagerank.latest_checkpoint() -> initial_ranks=.
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or None
     result = pagerank(
         edges,
         damping=damping,
@@ -65,6 +72,8 @@ def main(argv: list[str]) -> int:
         tol=threshold,
         min_iter=min_iter,
         phase_timing=True,
+        checkpoint_dir=ckpt_dir,
+        checkpoint_every=int(os.environ.get("SPARK_GRAFT_CHECKPOINT_EVERY", "10")),
     )
     write_final_scores(result.ranks, f"{out}/final_scores", coalesce=1)
     write_top_k(result.ranks, f"{out}/top_50", k=50)
