@@ -77,6 +77,7 @@ _PRIORITY = (
     "pipeline_class_balance",  # new: per-class quota sampler, md5 gate
     "text_bigrams_top20",  # new: n-gram LM counts via in-row zip_with
     "stream_enrich_features",  # new: stream-static broadcast feature join
+    "udf_grouped_agg_wmean",  # new: vectorized UDAF (grouped-agg pandas UDF)
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

@@ -125,3 +125,36 @@ def udf_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SELECT d.doc_id, t.pos, t.token
            FROM docs_for_udtf d, LATERAL tokenize_udtf(d.doc_id, d.text) t"""
     )
+
+
+@query(
+    "udf_grouped_agg_wmean",
+    oracle="""SELECT l_returnflag,
+       round(sum(l_quantity * l_linenumber) / sum(l_linenumber), 9)
+         AS wmean_qty
+FROM lineitem GROUP BY l_returnflag""",
+)
+def udf_grouped_agg_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (the vectorized UDAF surface — the one
+    pandas-UDF flavor the other udf_* queries don't exercise): per return
+    flag, quantity weighted-mean with line-number weights.
+
+    Exists to prove the surface, not as the recommended plan: a grouped-agg
+    pandas UDF ships every group's rows to Python with NO partial
+    aggregation (built-in sum/avg would combine map-side). Float
+    determinism: quantity and weight are small integer-valued, so every
+    partial product/sum is an exact integer below 2^53 — bit-identical in
+    any summation order and engine; the single division is then rounded."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            wmean(F.col("l_quantity"), F.col("l_linenumber").cast("double")), 9
+        ).alias("wmean_qty")
+    )
