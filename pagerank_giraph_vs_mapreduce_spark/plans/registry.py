@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.streaming_queries",
     "pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries",
+    "pagerank_giraph_vs_mapreduce_spark.plans.source_queries",
 )
 
 # The driver's correctness gate checks queries in registration order with a
@@ -78,6 +79,8 @@ _PRIORITY = (
     "text_bigrams_top20",  # new: n-gram LM counts via in-row zip_with
     "stream_enrich_features",  # new: stream-static broadcast feature join
     "udf_grouped_agg_wmean",  # new: vectorized UDAF (grouped-agg pandas UDF)
+    "source_json_roundtrip",  # new: JSON-lines source/sink fidelity
+    "source_csv_roundtrip",  # new: CSV source/sink fidelity
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

@@ -1,0 +1,84 @@
+"""Source-format round-trip queries: prove the engine's non-parquet
+source/sink paths (JSON-lines, CSV) preserve data exactly.
+
+Each query writes the documents table out in the target format (eager
+side effect, same precedent as the staged curation pipeline), reads it
+back with an explicit schema, and aggregates per language. The oracle
+computes the same aggregate from the original parquet — any loss in the
+format writer/reader (escaping, quoting, encoding, type coercion) breaks
+the hash match. min/max over the text column make string corruption
+visible, not just row loss.
+
+The reference's only format is whitespace-delimited text (SURVEY.md
+§2.1), covered by edge_parse_snap and the CLI e2e; these queries are the
+extension-surface analog for the formats a corpus pipeline actually
+ingests.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+_ROUNDTRIP_ORACLE = """SELECT lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS sum_n_chars,
+       sum(CAST(strlen(text) AS BIGINT)) AS sum_bytes,
+       min(text) AS min_text,
+       max(text) AS max_text
+FROM documents GROUP BY lang"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_n_chars"),
+        F.sum(F.octet_length("text").cast("bigint")).alias("sum_bytes"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )
+
+
+_DOC_SCHEMA = "doc_id bigint, text string, lang string, n_chars bigint"
+
+
+@query("source_json_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> JSON-lines -> read back (explicit schema) -> per-lang
+    aggregate. Certifies the JSON source/sink path end-to-end: unicode
+    escaping, quoting and bigint fidelity all land in the value hash."""
+    out = tempfile.mkdtemp(prefix="src_json_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(_DOC_SCHEMA).json(out)
+    return _roundtrip_agg(back)
+
+
+@query("source_csv_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> CSV (RFC-4180 double-quote escaping, header) -> read
+    back (explicit schema, multiLine) -> per-lang aggregate. The text
+    column carries commas and quotes, so a wrong quote/escape option
+    pair corrupts min/max_text and fails the oracle."""
+    out = tempfile.mkdtemp(prefix="src_csv_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(out)
+    back = (
+        spark.read.schema(_DOC_SCHEMA)
+        .option("header", "true")
+        .option("escape", '"')
+        .option("multiLine", "true")
+        .csv(out)
+    )
+    return _roundtrip_agg(back)
