@@ -365,3 +365,37 @@ def lsh_cosine_topk(
         .select(id_col, vec_col)
     )
     return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the embedding-compression
+    stage of a vector index (4x smaller than float32, the usual first
+    step before IVF/PQ): scale = 127/max|x| per vector, q_i =
+    floor(x_i * scale) (floor, not round — banker's-vs-half-up rounding
+    differs across engines, floor nowhere does), dequantized error
+    reported per vector.
+
+    Returns (id, q_min, q_max, mean_abs_err): bounds prove the int8
+    range; the reconstruction error is the quality metric a pipeline
+    monitors. All per-element math is double (exact FLOAT->DOUBLE casts),
+    one fold + division rounded to 6 dp. Pure narrow codegen'd array
+    exprs — scan-bound, shuffle-free, same scale shape as ivf_assign."""
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax == F.lit(0.0), F.lit(1.0)).otherwise(
+        F.lit(127.0) / amax
+    )
+    qv = F.transform(v, lambda x: F.floor(x * scale))
+    errs = F.zip_with(v, qv, lambda x, q: F.abs(x - q / scale))
+    return emb.select(
+        F.col(id_col),
+        F.array_min(qv).alias("q_min"),
+        F.array_max(qv).alias("q_max"),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(F.col(vec_col)),
+            6,
+        ).alias("mean_abs_err"),
+    )

@@ -636,3 +636,74 @@ def g_scc_of_source_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = bfs_distances(edges, source=BFS_SOURCE, max_hops=BFS_HOPS).distances
     bwd = bfs_distances(rev, source=BFS_SOURCE, max_hops=BFS_HOPS).distances
     return fwd.select("id").join(bwd.select("id"), "id")
+
+
+@query(
+    "g_degree_assortativity",
+    oracle=f"""{GRAPH_CTES},
+sym AS (SELECT src, dst FROM edges WHERE src <> dst
+        UNION SELECT dst AS src, src AS dst FROM edges WHERE src <> dst),
+udeg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+pairs AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM sym s
+  JOIN udeg dx ON dx.id = s.src
+  JOIN udeg dy ON dy.id = s.dst),
+sums AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs)
+SELECT round(
+  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+  / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+     * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+  6) AS assortativity,
+  n AS n_directed_pairs
+FROM sums""",
+)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    degrees over the symmetrized undirected edge list — THE one-number
+    summary of hub-to-hub vs hub-to-leaf wiring, negative on web-like
+    graphs (the reference's datasets, README.md:410-414). Every sum is an
+    exact integer (degree products fit bigint by orders of magnitude);
+    the correlation is one double formula over six scalars, rounded to
+    6 dp — so the oracle matches bit-for-bit despite the 2E-row join."""
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    noself = edges.filter(F.col("src") != F.col("dst"))
+    sym = noself.union(
+        noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    udeg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dx = udeg.select(F.col("id").alias("src"), F.col("d").alias("x"))
+    dy = udeg.select(F.col("id").alias("dst"), F.col("d").alias("y"))
+    x, y = F.col("x"), F.col("y")
+    sums = (
+        sym.join(dx, "src")
+        .join(dy, "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    return sums.select(
+        F.round(
+            (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+        F.col("n").alias("n_directed_pairs"),
+    )

@@ -81,6 +81,8 @@ _PRIORITY = (
     "udf_grouped_agg_wmean",  # new: vectorized UDAF (grouped-agg pandas UDF)
     "source_json_roundtrip",  # new: JSON-lines source/sink fidelity
     "source_csv_roundtrip",  # new: CSV source/sink fidelity
+    "sim_quantize_int8",  # new: embedding compression + error report
+    "g_degree_assortativity",  # new: Newman degree correlation
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

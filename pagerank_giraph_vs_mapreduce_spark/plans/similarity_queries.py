@@ -438,3 +438,38 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit").cast("double") / RECALL_K).alias("recall_at_k")
         )
     )
+
+
+@query(
+    "sim_quantize_int8",
+    oracle="""WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sc AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+              ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS scale
+  FROM s),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(floor(x * scale) AS BIGINT)) AS qv
+  FROM sc)
+SELECT vec_id,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - qv[i] / scale))) / len(v), 6) AS mean_abs_err
+FROM q""",
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 embedding quantization with per-vector
+    reconstruction-error report (operators/similarity.py:quantize_int8) —
+    floor-based so no cross-engine rounding-mode hazard; error fold is
+    double arithmetic rounded to 6 dp (differences between summation
+    orders are ~1e-16, nine orders below the rounding grain)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
