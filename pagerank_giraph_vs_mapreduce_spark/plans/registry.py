@@ -83,6 +83,7 @@ _PRIORITY = (
     "source_csv_roundtrip",  # new: CSV source/sink fidelity
     "sim_quantize_int8",  # new: embedding compression + error report
     "g_degree_assortativity",  # new: Newman degree correlation
+    "sim_knn_join_top3",  # new: all-vectors ANN join via bucket self-join
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

@@ -473,3 +473,96 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+KNN_K = 3
+
+
+@query(
+    "sim_knn_join_top3",
+    oracle=f"""WITH {_PLANES_SQL},
+{_BUCKET_SQL},
+pairs AS (
+  SELECT ba.vec_id AS qid, bb.vec_id AS nid,
+         round({_sql_cos('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
+  FROM buckets ba
+  JOIN buckets bb ON bb.bucket = ba.bucket AND bb.vec_id <> ba.vec_id
+  JOIN embeddings ea ON ea.vec_id = ba.vec_id
+  JOIN embeddings eb ON eb.vec_id = bb.vec_id),
+ranked AS (
+  SELECT qid, nid, cos_sim,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos_sim DESC, nid) AS rn
+  FROM pairs)
+SELECT qid AS vec_id, nid AS neighbor_id, cos_sim
+FROM ranked WHERE rn <= {KNN_K}""",
+)
+def sim_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-vectors k-NN join (each vector's top-3 cosine neighbors), the
+    multi-query ANN shape the single-query probes don't cover: the LSH
+    bucket column turns the quadratic all-pairs problem into a
+    bucket-equi-self-join (candidates share a 6-bit hyperplane signature),
+    scored pairs then reduce to per-query top-k with sort_array +
+    slice over a collect_list bounded by bucket size — no global window,
+    no N^2. At 100 TB the bucket join is the shuffle key and skewed
+    buckets split under AQE; recall tunes with bands/tables exactly as in
+    sim_ann_recall. Deterministic: round(cos,6) desc, neighbor id asc."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+        hyperplane_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= N_PLANES)
+    ).select((F.col("vec_id") - 1).alias("plane_id"), "embedding")
+    buckets = hyperplane_bucket(emb, planes)
+    side_a = buckets.join(emb, "vec_id").select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket"),
+        _as_double(F.col("embedding")).alias("va"),
+    )
+    side_b = buckets.join(emb, "vec_id").select(
+        F.col("vec_id").alias("nid"),
+        F.col("bucket"),
+        _as_double(F.col("embedding")).alias("vb"),
+    )
+    pairs = (
+        side_a.join(side_b, "bucket")
+        .filter(F.col("nid") != F.col("qid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return (
+        pairs.groupBy("qid")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("cos_sim")).alias("nc"),
+                            F.col("nid").alias("nid"),
+                            F.col("cos_sim").alias("cs"),
+                        )
+                    )
+                ),
+                1,
+                KNN_K,
+            ).alias("top")
+        )
+        .select("qid", F.explode("top").alias("t"))
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("t.nid").alias("neighbor_id"),
+            F.col("t.cs").alias("cos_sim"),
+        )
+    )
