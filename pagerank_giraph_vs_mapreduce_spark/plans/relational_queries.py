@@ -995,3 +995,50 @@ def rel_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+@query(
+    "rel_upsert_merge",
+    oracle="""WITH delta AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS new_price
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000 AS o_orderkey, 42.0 AS new_price
+  FROM orders WHERE o_orderkey % 500 = 0)
+SELECT coalesce(b.o_orderkey, d.o_orderkey) AS o_orderkey,
+       coalesce(d.new_price, b.o_totalprice) AS final_price,
+       CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+            WHEN d.o_orderkey IS NULL THEN 'keep'
+            ELSE 'update' END AS action
+FROM orders b FULL OUTER JOIN delta d ON d.o_orderkey = b.o_orderkey""",
+)
+def rel_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE/upsert shape in plain DataFrame ops — full outer join on
+    the key, coalesce preferring the delta, per-row action classification
+    (update / insert / keep). This is how an engine without a
+    transactional table format applies a CDC batch: at scale the join
+    shuffles both sides by key once (or zero times if base and delta are
+    bucketed by key — tests/test_bucketing.py demonstrates the
+    exchange-free variant), and the price arithmetic is an exact double
+    shift so the oracle needs no rounding at all."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000.0).alias("new_price")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 500 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit(42.0).alias("new_price"),
+    )
+    delta = updates.unionAll(inserts)
+    b = o.select(F.col("o_orderkey").alias("bk"), "o_totalprice")
+    d = delta.select(F.col("o_orderkey").alias("dk"), "new_price")
+    return b.join(d, b.bk == d.dk, "full_outer").select(
+        F.coalesce(F.col("bk"), F.col("dk")).alias("o_orderkey"),
+        F.coalesce(F.col("new_price"), F.col("o_totalprice")).alias(
+            "final_price"
+        ),
+        F.when(F.col("bk").isNull(), "insert")
+        .when(F.col("dk").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
