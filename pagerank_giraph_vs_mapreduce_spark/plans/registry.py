@@ -85,6 +85,7 @@ _PRIORITY = (
     "g_degree_assortativity",  # new: Newman degree correlation
     "sim_knn_join_top3",  # new: all-vectors ANN join via bucket self-join
     "rel_upsert_merge",  # new: CDC MERGE shape (full outer + coalesce)
+    "rel_retention_cohorts",  # new: cohort/retention triangle
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

@@ -1042,3 +1042,44 @@ def rel_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("action"),
     )
+
+
+@query(
+    "rel_retention_cohorts",
+    oracle="""WITH firsts AS (
+  SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_week
+  FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         epoch_us(e.ts) // 604800000000 - f.cohort_week AS week_offset
+  FROM events e JOIN firsts f USING (user_id))
+SELECT cohort_week, week_offset, count(*) AS n_users
+FROM activity GROUP BY cohort_week, week_offset""",
+)
+def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort analysis — the product-analytics staple the funnel
+    query doesn't cover: users cohorted by first-activity epoch-week, then
+    counted per (cohort, week-offset) cell of the retention triangle.
+    Two map-side-combined aggregations plus one user-keyed join (the
+    firsts table is one row per user — broadcastable when the user dim
+    fits, shuffled-by-key otherwise); all week arithmetic is exact
+    integer division on epoch-micros."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr("ts_us div 604800000000")
+    firsts = ev.groupBy("user_id").agg(
+        F.expr("min(ts_us) div 604800000000").alias("cohort_week")
+    )
+    activity = (
+        ev.select("user_id", week.alias("week"))
+        .distinct()
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
