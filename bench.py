@@ -369,13 +369,16 @@ def main() -> int:
         "g_pagerank_k3",
     ):
         timed(q, run_query(q))
-    # Round-3 text-operator family (VERDICT_r03 item 7): benched with row
-    # counts so r05+ can see drift on the newest entries.
+    # Round-3 text-operator family (VERDICT_r03 item 7) and the round-4
+    # multi-query-ANN / sampler entries: benched with row counts so r05+
+    # can see drift on the newest entries.
     for q in (
         "text_vocab_top20",
         "text_tfidf_top_term",
         "text_feature_hash_64",
         "text_chunks",
+        "sim_knn_join_top3",
+        "pipeline_class_balance",
     ):
         timed(q, run_query_rows(q))
 
