@@ -707,3 +707,94 @@ def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("assortativity"),
         F.col("n").alias("n_directed_pairs"),
     )
+
+
+MULTI_SOURCES = (0, 1, 2)
+
+_MBFS_SQL = (
+    GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f""",
+mbfs AS (
+  SELECT CAST(s.v AS BIGINT) AS id, CAST(s.v AS BIGINT) AS source,
+         CAST(0 AS BIGINT) AS dist
+  FROM (VALUES {', '.join(f'({s})' for s in MULTI_SOURCES)}) s(v)
+  UNION
+  SELECT e.dst AS id, b.source, b.dist + 1 AS dist
+  FROM mbfs b JOIN edges e ON e.src = b.id
+  WHERE b.dist < {BFS_HOPS})
+SELECT id, source, min(dist) AS dist FROM mbfs GROUP BY id, source"""
+)
+
+
+@query("g_multi_bfs_k4", oracle=_MBFS_SQL)
+def g_multi_bfs_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BFS from three sources in ONE shared traversal
+    (graph/paths.py:multi_bfs): the frontier carries (vertex, source)
+    pairs, so each hop is a single pass over the cached edge table no
+    matter how many sources are live — the standard amortization behind
+    diameter/closeness estimation, where K separate kernels would scan
+    the edges K times per hop. Oracle: a multi-seed recursive CTE with
+    per-source min-dist."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import multi_bfs
+
+    res = multi_bfs(
+        derived_edges(spark, sf_dir), list(MULTI_SOURCES), max_hops=BFS_HOPS
+    )
+    return res.distances
+
+
+def _wpagerank_unrolled_sql(k: int, d: float = 0.85) -> str:
+    """Weighted kernel semantics (contrib = pr * w / wsum, weights = raw
+    edge multiplicity) unrolled into k SQL iterations."""
+    ctes = [
+        "wedges AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM raw GROUP BY src, dst)",
+        "wdeg AS (SELECT src AS id, sum(w) AS wsum FROM wedges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS pr FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""dang{i} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM {p}
+  WHERE id NOT IN (SELECT id FROM wdeg))"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS id, sum(r.pr * e.w / g.wsum) AS contrib
+  FROM wedges e JOIN {p} r ON e.src = r.id JOIN wdeg g ON g.id = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT v.id,
+         (1 - {d}) / (SELECT count(*) FROM verts)
+         + {d} * ((SELECT dm FROM dang{i}) / (SELECT count(*) FROM verts)
+                  + coalesce(c.contrib, 0.0)) AS pr
+  FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    return (
+        f"{GRAPH_CTES},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(pr, 9) AS pr FROM r{k}"
+    )
+
+
+@query("g_pagerank_weighted_k3", oracle=_wpagerank_unrolled_sql(3))
+def g_pagerank_weighted_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three supersteps of WEIGHTED PageRank (graph/pagerank.py:
+    pagerank_weighted) with weights = raw-edge multiplicity — the
+    information the A2 dedup discards becomes the edge strength, so the
+    kernel family extends to weighted graphs while uniform weights reduce
+    exactly to the unweighted kernel (pytest-asserted). Same oracle
+    discipline as g_pagerank_k3: full semantics unrolled into SQL CTEs,
+    ranks rounded to 9 dp."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        pagerank_weighted,
+    )
+
+    raw = derived_edges(spark, sf_dir)
+    wedges = raw.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+    res = pagerank_weighted(wedges, max_iter=3, tol=-1.0, min_iter=0)
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))

@@ -86,6 +86,8 @@ _PRIORITY = (
     "sim_knn_join_top3",  # new: all-vectors ANN join via bucket self-join
     "rel_upsert_merge",  # new: CDC MERGE shape (full outer + coalesce)
     "rel_retention_cohorts",  # new: cohort/retention triangle
+    "g_multi_bfs_k4",  # new: batched multi-source BFS, one shared pass
+    "g_pagerank_weighted_k3",  # new: weighted kernel vs unrolled oracle
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",

@@ -108,3 +108,44 @@ def test_top_k_ties_deterministic(spark):
     res = pagerank(make_edges(spark, [(i, (i + 1) % 6) for i in range(6)]), max_iter=10)
     t = top_k(res.ranks, 3).collect()
     assert [r["id"] for r in t] == [0, 1, 2]  # all tied at 1/6, id tie-break
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    """Uniform weights must reduce the weighted kernel exactly to the
+    unweighted one (w/wsum == 1/outdeg for every edge)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        pagerank,
+        pagerank_weighted,
+    )
+
+    edges = make_edges(spark, [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (2, 5)])
+    wedges = edges.distinct().select("src", "dst", F.lit(1.0).alias("w"))
+    plain = {r["id"]: r["pr"] for r in pagerank(edges, max_iter=4, tol=-1.0, min_iter=0).ranks.collect()}
+    weighted = {
+        r["id"]: r["pr"]
+        for r in pagerank_weighted(wedges, max_iter=4, tol=-1.0, min_iter=0).ranks.collect()
+    }
+    assert set(plain) == set(weighted)
+    for k in plain:
+        assert weighted[k] == pytest.approx(plain[k], abs=1e-12)
+
+
+def test_weighted_pagerank_weights_shift_mass(spark):
+    """A heavier edge pulls proportionally more rank to its head: with
+    1->2 weighted 3x vs 1->3 weighted 1x, vertex 2 outranks vertex 3."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        pagerank_weighted,
+    )
+
+    wedges = spark.createDataFrame(
+        [(1, 2, 3.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+        "src bigint, dst bigint, w double",
+    )
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank_weighted(wedges, max_iter=10, tol=-1.0, min_iter=0).ranks.collect()
+    }
+    assert got[2] > got[3]
+    assert abs(sum(got.values()) - 1.0) < 1e-9

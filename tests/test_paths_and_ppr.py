@@ -74,3 +74,26 @@ def test_ppr_empty_sources_and_empty_graph(spark):
     assert personalized_pagerank(edges, sources=[]).ranks.count() == 0
     empty = make_edges(spark, [])
     assert personalized_pagerank(empty, sources=[1]).ranks.count() == 0
+
+
+def test_multi_bfs_equals_per_source_runs(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import (
+        bfs_distances,
+        multi_bfs,
+    )
+
+    edges = make_edges(
+        spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (6, 7)]
+    )
+    sources = [1, 5, 6]
+    combined = {
+        (r["id"], r["source"]): r["dist"]
+        for r in multi_bfs(edges, sources, max_hops=5).distances.collect()
+    }
+    separate = {}
+    for s in sources:
+        for r in bfs_distances(edges, s, max_hops=5).distances.collect():
+            separate[(r["id"], s)] = r["dist"]
+    assert combined == separate
+    with pytest.raises(ValueError, match="at least one source"):
+        multi_bfs(edges, [], max_hops=2)
