@@ -278,3 +278,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = shingles(docs, "doc_id", "text", SHINGLE_LEN)
     return jaccard_pairs(sh).filter(F.col("jaccard") >= 0.3)
+
+
+def _pairs_wcc_sql(k: int) -> str:
+    """Min-label propagation over the near-dup pair graph, unrolled k
+    rounds (the transitive-closure step of industrial dedup)."""
+    ctes = [
+        "pe AS (SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.8)",
+        "psym AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe)",
+        "pl0 AS (SELECT DISTINCT src AS id, src AS label FROM psym)",
+    ]
+    for i in range(1, k + 1):
+        p = f"pl{i - 1}"
+        ctes.append(
+            f"""pm{i} AS (
+  SELECT s.dst AS id, min(l.label) AS nm
+  FROM psym s JOIN {p} l ON s.src = l.id GROUP BY s.dst)"""
+        )
+        ctes.append(
+            f"""pl{i} AS (
+  SELECT l.id, least(l.label, coalesce(m.nm, l.label)) AS label
+  FROM {p} l LEFT JOIN pm{i} m ON l.id = m.id)"""
+        )
+    return ",\n".join(ctes) + f"""
+SELECT id AS doc_id, label AS canonical_id FROM pl{k}"""
+
+
+@query(
+    "dedup_wcc_canonical",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIG_SQL},
+{BANDED_SQL},
+{CAND_SQL},
+{JACCARD_SQL},
+{_pairs_wcc_sql(4)}""",
+)
+def dedup_wcc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup — the industrial alternative to the greedy
+    drop-higher-id rule: near-dup PAIRS (MinHash->LSH->Jaccard >= 0.8)
+    become an undirected graph, connected components assign every involved
+    doc its canonical (minimum) id, so A~B and B~C dedupe to one canonical
+    doc even when A~C was never directly detected. Composes the dedup
+    machinery with the WCC kernel (graph/components.py) — the pair graph
+    is orders of magnitude smaller than the corpus, so the iterative step
+    runs on the skeleton's V-row economics. Fixed 4 rounds keeps the
+    unrolled SQL oracle (pair-graph chains converge in O(diameter))."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        connected_components,
+    )
+
+    pairs = minhash_near_dups(
+        _docs2(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        n_hashes=N_HASHES,
+        shingle_len=SHINGLE_LEN,
+        bands=BANDS,
+    )
+    pair_edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    res = connected_components(pair_edges, max_iter=4)
+    return res.components.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )

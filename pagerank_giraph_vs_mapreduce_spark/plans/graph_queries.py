@@ -798,3 +798,32 @@ def g_pagerank_weighted_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = pagerank_weighted(wedges, max_iter=3, tol=-1.0, min_iter=0)
     return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
+@query(
+    "g_harmonic_k4",
+    oracle=_MBFS_SQL.replace(
+        "SELECT id, source, min(dist) AS dist FROM mbfs GROUP BY id, source",
+        """SELECT source, round(sum(1.0 / dist), 9) AS harmonic
+FROM (SELECT id, source, min(dist) AS dist FROM mbfs GROUP BY id, source)
+WHERE dist > 0 GROUP BY source""",
+    ),
+)
+def g_harmonic_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Boldi-Vigna) of the three probe sources,
+    truncated at 4 hops: sum of 1/dist over reached vertices — the
+    centrality estimate batched BFS exists to serve (K probe sources per
+    shared edge pass; sampling more sources refines the estimate without
+    changing per-hop cost). 1/dist sums are grouped double sums over at
+    most V terms of magnitude <= 1 — rounded to 9 dp, far above the
+    summation-order noise."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import multi_bfs
+
+    res = multi_bfs(
+        derived_edges(spark, sf_dir), list(MULTI_SOURCES), max_hops=BFS_HOPS
+    )
+    return (
+        res.distances.filter(F.col("dist") > 0)
+        .groupBy("source")
+        .agg(F.round(F.sum(1.0 / F.col("dist")), 9).alias("harmonic"))
+    )

@@ -88,6 +88,8 @@ _PRIORITY = (
     "rel_retention_cohorts",  # new: cohort/retention triangle
     "g_multi_bfs_k4",  # new: batched multi-source BFS, one shared pass
     "g_pagerank_weighted_k3",  # new: weighted kernel vs unrolled oracle
+    "g_harmonic_k4",  # new: harmonic centrality from batched BFS
+    "dedup_wcc_canonical",  # new: transitive-closure dedup (pairs -> WCC)
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",
