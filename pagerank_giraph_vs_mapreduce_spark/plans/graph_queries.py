@@ -827,3 +827,37 @@ def g_harmonic_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum(1.0 / F.col("dist")), 9).alias("harmonic"))
     )
+
+
+_REC_BFS_BODY = """walk (id, dist) AS (
+  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist
+  UNION ALL
+  SELECT e.dst AS id, w.dist + 1 AS dist
+  FROM walk w JOIN {edges} e ON e.src = w.id
+  WHERE w.dist < 3)
+SELECT id, min(dist) AS dist FROM walk GROUP BY id"""
+
+
+@query(
+    "sql_recursive_bfs_k3",
+    oracle=(
+        GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\n"
+        + _REC_BFS_BODY.format(edges="edges")
+    ),
+)
+def sql_recursive_bfs_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS as a DECLARATIVE Spark SQL recursive CTE (Spark 4's WITH
+    RECURSIVE) — the same traversal the imperative superstep kernel runs,
+    expressed entirely inside one SQL statement and proved against the
+    byte-identical recursive CTE in DuckDB. UNION ALL recursion
+    enumerates walks (finite under the dist < 3 bound), and min(dist)
+    collapses them to shortest hops — identical finite semantics in both
+    engines. The kernel (graph/paths.py) remains the scale path: walk
+    enumeration grows with path counts, the frontier kernel with
+    vertex counts; this query certifies the engine SURFACE."""
+    edges = derived_edges(spark, sf_dir).select("src", "dst").distinct()
+    edges.createOrReplaceTempView("edges_rec")
+    return spark.sql(
+        "WITH RECURSIVE " + _REC_BFS_BODY.format(edges="edges_rec")
+    )

@@ -90,6 +90,7 @@ _PRIORITY = (
     "g_pagerank_weighted_k3",  # new: weighted kernel vs unrolled oracle
     "g_harmonic_k4",  # new: harmonic centrality from batched BFS
     "dedup_wcc_canonical",  # new: transitive-closure dedup (pairs -> WCC)
+    "sql_recursive_bfs_k3",  # new: Spark 4 WITH RECURSIVE surface proof
     # r01-only rows — oldest hard signal, must re-certify this round
     "rel_outer_join",
     "rel_agg_rollup",
