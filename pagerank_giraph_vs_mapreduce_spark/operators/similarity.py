@@ -367,6 +367,134 @@ def lsh_cosine_topk(
     return cosine_topk(candidates, query, k, id_col, vec_col)
 
 
+def pq_encode(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Product quantization encode: split each ``dim``-d vector into ``m``
+    subvectors of ``dim/m`` dims and store, per subspace, the id of the
+    nearest (min squared-L2, round(.,6), centroid-id tie-break) codebook
+    entry — ``codes: array<bigint>`` of length ``m``. With k centroids the
+    vector compresses to m*log2(k) bits (here 4 bytes vs 256), the memory
+    step that makes billion-vector ANN indexes fit in RAM (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", PAMI 2011).
+
+    ``centroids`` holds full-width vectors; subspace s of centroid j is its
+    s-th slice — one shared table stands in for the m per-subspace
+    codebooks so a SQL oracle can reconstruct them by slicing. Shuffle-free
+    by the same construction as ivf_assign: the codebook collapses to ONE
+    broadcast row and the per-subspace argmin is a nested higher-order
+    expression (outer ``transform`` over subspace indexes, inner argmin
+    over the codebook array) — zero exchanges on the N-row side; at 100 TB
+    this is a narrow map over the scan emitting 4-byte codes.
+    """
+    d = dim // m
+    cbook = _codebook(centroids, vec_col, centroid_id)
+    vec_d = _as_double(F.col(vec_col))
+
+    def sub_l2(s: Column, cv: Column) -> Column:
+        a = F.slice(vec_d, s * d + 1, d)
+        b = F.slice(cv, s * d + 1, d)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.array_min(
+            F.transform(
+                F.col("cbook"),
+                lambda c: F.struct(
+                    F.round(sub_l2(s, c["cv"]), 6).alias("dist"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+    return emb.crossJoin(cbook).select(
+        F.col(id_col), codes.alias("codes"), *keep
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: approximate squared-L2 from the
+    query to each encoded vector as the sum over subspaces of the distance
+    from the query's s-th subvector to the centroid named by ``codes[s]``.
+
+    The whole query-side work is one m x k lookup table built from the
+    broadcast codebook (``lut: array<array<decimal>>``, subspace-major);
+    each data row then costs m array lookups and one exact DECIMAL fold —
+    no vector math against the original embeddings at all, which is the
+    point: at scale the scan reads only the 4-byte codes column, never the
+    256-byte vectors. Per-entry distances are rounded to 6 dp and summed
+    as DECIMAL(28,6) (exact, order-independent) so the DuckDB oracle's
+    arbitrary-order SUM is bit-identical. Returns (id, adc_dist) ascending,
+    id tie-break. ``query``: single-row contract, limit(1)-ed like
+    ivf_query_cells."""
+    d = dim // m
+    cbook = _codebook(centroids, vec_col, centroid_id)
+    qvec = _as_double(F.col(vec_col))
+
+    def q_sub_l2(s: Column, cv: Column) -> Column:
+        a = F.slice(qvec, s * d + 1, d)
+        b = F.slice(cv, s * d + 1, d)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # lut[s+1][cid+1] = round(d(q_s, c_cid,s), 6) as exact decimal; the
+    # codebook array is cid-sorted (see _codebook) so position == cid.
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.transform(
+            F.col("cbook"),
+            lambda c: F.round(q_sub_l2(s, c["cv"]), 6).cast("decimal(18,6)"),
+        ),
+    )
+    qlut = F.broadcast(
+        query.limit(1).crossJoin(cbook).select(lut.alias("lut"))
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, s: (
+            acc
+            + F.element_at(
+                F.element_at(F.col("lut"), s.cast("int") + 1),
+                F.element_at(F.col("codes"), s.cast("int") + 1).cast("int")
+                + 1,
+            )
+        ).cast("decimal(28,6)"),
+        lambda acc: acc.cast("double"),
+    )
+    return (
+        codes.crossJoin(qlut)
+        .select(F.col(id_col), F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

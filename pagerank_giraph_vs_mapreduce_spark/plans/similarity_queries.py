@@ -475,6 +475,98 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
 
+PQ_M = 4
+PQ_D = 16  # 64-dim vectors / 4 subspaces
+PQ_K = 8  # centroids per subspace (full-width vectors vec_id 20..27)
+
+_PQ_CTES = f"""pqc AS (
+  SELECT vec_id - 20 AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id BETWEEN 20 AND {20 + PQ_K - 1}),
+ev AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+subs AS (SELECT unnest(range(0, {PQ_M})) AS s),
+dists AS (
+  SELECT e.vec_id, subs.s, c.cid,
+         round(list_sum(list_transform(
+             list_zip(list_slice(e.v, subs.s*{PQ_D}+1, subs.s*{PQ_D}+{PQ_D}),
+                      list_slice(c.cv, subs.s*{PQ_D}+1, subs.s*{PQ_D}+{PQ_D})),
+             p -> (p[1]-p[2]) * (p[1]-p[2]))), 6) AS dist
+  FROM ev e, subs, pqc c),
+best AS (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cid) AS rn
+  FROM dists)"""
+
+
+def _pq_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.filter(
+        (F.col("vec_id") >= 20) & (F.col("vec_id") < 20 + PQ_K)
+    ).select((F.col("vec_id") - 20).alias("centroid_id"), "embedding")
+
+
+@query(
+    "sim_pq_encode",
+    oracle=f"""WITH {_PQ_CTES}
+SELECT vec_id, list(cid ORDER BY s) AS codes
+FROM best WHERE rn = 1 GROUP BY vec_id""",
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/similarity.py:pq_encode):
+    each 64-d vector becomes 4 subspace codes against an 8-entry codebook
+    per subspace (full-width vectors vec_id 20..27 sliced per subspace so
+    the oracle reconstructs identical codebooks) — 256 bytes -> 4 bytes,
+    the compression step that makes billion-vector indexes RAM-resident.
+    Shuffle-free nested higher-order argmin against the one-row broadcast
+    codebook, same plan family as sim_ivf_assign."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, _pq_centroids(spark, sf_dir), m=PQ_M, dim=64)
+
+
+@query(
+    "sim_pq_adc_top5",
+    oracle=f"""WITH {_PQ_CTES},
+codes AS (SELECT vec_id, s, cid FROM best WHERE rn = 1),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {QUERY_ID}),
+lut AS (
+  SELECT subs.s, c.cid,
+         CAST(round(list_sum(list_transform(
+             list_zip(list_slice(q.qv, subs.s*{PQ_D}+1, subs.s*{PQ_D}+{PQ_D}),
+                      list_slice(c.cv, subs.s*{PQ_D}+1, subs.s*{PQ_D}+{PQ_D})),
+             p -> (p[1]-p[2]) * (p[1]-p[2]))), 6) AS DECIMAL(18,6)) AS d
+  FROM q, subs, pqc c)
+SELECT co.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+FROM codes co JOIN lut l ON l.s = co.s AND l.cid = co.cid
+GROUP BY co.vec_id
+ORDER BY adc_dist, co.vec_id LIMIT 5""",
+)
+def sim_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 for the vec_id=0 query
+    (operators/similarity.py:pq_adc_topk): the query builds an m x k
+    lookup table from the broadcast codebook, then each encoded vector
+    costs 4 table lookups and one exact DECIMAL fold — the scan touches
+    only the codes column, never the original embeddings. Entries rounded
+    to 6 dp and summed as DECIMAL so the oracle's arbitrary-order SUM is
+    bit-identical."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _pq_centroids(spark, sf_dir)
+    codes = pq_encode(emb, cents, m=PQ_M, dim=64)
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    return pq_adc_topk(codes, q, cents, k=5, m=PQ_M, dim=64)
+
+
 KNN_K = 3
 
 
