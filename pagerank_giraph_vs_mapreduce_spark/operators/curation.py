@@ -238,6 +238,75 @@ def curate_corpus_staged(
     return StagedCuration(gated_path, exact_path, final_path, final, funnel)
 
 
+def ngram_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """(id, gram) rows of distinct word ``n``-grams per document —
+    lowercase alpha-run tokens, in-row window + dedup before the explode
+    so the fan-out is bounded by distinct grams. Documents shorter than
+    ``n`` tokens emit nothing."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                # sequence(a, b) counts DOWN when b < a — the >= n guard
+                # keeps the bound non-degenerate.
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Llama training-set hygiene
+    step): flag every corpus document sharing at least one word ``n``-gram
+    with the held-out ``benchmark`` set. Returns one row per corpus doc:
+    (id, n_shared_grams, contaminated).
+
+    Scale shape: the benchmark's distinct grams are a small table —
+    broadcast equi-join on the gram, so the corpus side is scan ->
+    in-row shingle -> explode -> broadcast semi-match -> one
+    map-side-combined count; no shuffle of corpus grams against each
+    other and nothing all-pairs. At a 100 TB corpus the gram string can
+    be replaced by its md5/xxhash64 to cut join-key width; kept raw here
+    so the DuckDB oracle is directly comparable."""
+    bench_grams = F.broadcast(
+        ngram_shingles(benchmark, id_col, text_col, n)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        ngram_shingles(df, id_col, text_col, n)
+        .join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_shared_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+            (F.coalesce(F.col("n_shared_grams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -191,6 +191,79 @@ def chunk_documents(
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: "repetitious
+    documents are strongly correlated with low quality"): per document, the
+    duplicate-token fraction, duplicate-bigram fraction, and the share of
+    bigram occurrences taken by the single most frequent bigram (tie broken
+    by lexicographically smallest bigram).
+
+    Everything is computed IN-ROW with higher-order array expressions
+    (split -> shifted-zip bigrams -> array_distinct / per-distinct-gram
+    occurrence counts) — a narrow codegen'd map with zero shuffles, the
+    same scan-bound shape as quality_score. The per-row cost is
+    O(distinct_grams * grams), fine for context-window-sized documents; for
+    book-length inputs the same signals fall out of an explode +
+    groupBy(doc, gram) at the price of one shuffle."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.round(
+            F.when(
+                n > 0,
+                (n - F.size(F.array_distinct(arr))).cast("double") / n,
+            ).otherwise(F.lit(0.0)),
+            9,
+        )
+
+    return (
+        df.select(F.col(id_col), toks.alias("l"), bigrams.alias("bg"))
+        .select(
+            F.col(id_col),
+            F.col("l"),
+            F.col("bg"),
+            F.array_min(
+                F.transform(
+                    F.array_distinct(F.col("bg")),
+                    lambda g: F.struct(
+                        (
+                            -F.size(
+                                F.filter(F.col("bg"), lambda x: x == g)
+                            )
+                        ).alias("nc"),
+                        g.alias("g"),
+                    ),
+                )
+            ).alias("top"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("l").cast("long").alias("n_tokens"),
+            dup_frac(F.col("l")).alias("dup_token_frac"),
+            dup_frac(F.col("bg")).alias("dup_bigram_frac"),
+            F.when(F.size("bg") > 0, F.col("top.g"))
+            .otherwise(F.lit(""))
+            .alias("top_bigram"),
+            F.round(
+                F.when(
+                    F.size("bg") > 0,
+                    (-F.col("top.nc")).cast("double") / F.size("bg"),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("top_bigram_share"),
+        )
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Two document fingerprints: md5 (exact-dup key, portable) and a
     position-weighted checksum (cheap shift-insensitive-ish signature)."""

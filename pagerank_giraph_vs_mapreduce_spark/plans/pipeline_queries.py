@@ -282,3 +282,50 @@ def pipeline_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+DECON_N = 5
+DECON_MOD = 97
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             t -> t != '') AS l
+  FROM documents),
+shingles AS (
+  SELECT doc_id, g.gram FROM toks, LATERAL unnest(
+    list_distinct(list_transform(range(1, len(l) - {DECON_N - 2}),
+        i -> array_to_string(list_slice(l, i, i + {DECON_N - 1}), ' ')))
+  ) AS g(gram)),
+bench AS (
+  SELECT DISTINCT gram FROM shingles WHERE doc_id % {DECON_MOD} = 0),
+hits AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+  FROM shingles s JOIN bench b ON s.gram = b.gram
+  WHERE s.doc_id % {DECON_MOD} <> 0
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+       COALESCE(h.n_shared_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {DECON_MOD} <> 0""",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/curation.py:decontaminate):
+    flag corpus documents sharing any word 5-gram with the held-out
+    benchmark slice (doc_id % 97 == 0 — deterministic, so the oracle
+    reconstructs the same split). The benchmark's distinct shingles are
+    broadcast, the corpus side is scan -> in-row shingle -> explode ->
+    broadcast equi-join -> map-side-combined count: nothing all-pairs,
+    no corpus-vs-corpus shuffle — the GPT-3/Llama n-gram-overlap hygiene
+    check in its 100 TB shape."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=DECON_N)

@@ -291,6 +291,50 @@ def text_feature_hash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    oracle="""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             t -> t != '') AS l
+  FROM documents),
+base AS (
+  SELECT doc_id, l,
+         list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]) AS bg
+  FROM toks),
+tops AS (
+  SELECT doc_id, l, bg,
+         list_min(list_transform(list_distinct(bg),
+             g -> {'nc': -len(list_filter(bg, x -> x = g)), 'g': g})) AS top
+  FROM base)
+SELECT doc_id,
+  CAST(len(l) AS BIGINT) AS n_tokens,
+  round(CASE WHEN len(l) > 0
+        THEN CAST(len(l) - len(list_distinct(l)) AS DOUBLE) / len(l)
+        ELSE 0.0 END, 9) AS dup_token_frac,
+  round(CASE WHEN len(bg) > 0
+        THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        ELSE 0.0 END, 9) AS dup_bigram_frac,
+  CASE WHEN len(bg) > 0 THEN top.g ELSE '' END AS top_bigram,
+  round(CASE WHEN len(bg) > 0
+        THEN CAST(-top.nc AS DOUBLE) / len(bg)
+        ELSE 0.0 END, 9) AS top_bigram_share
+FROM tops""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document
+    (operators/text.py:repetition_stats): duplicate-token fraction,
+    duplicate-bigram fraction, and the most-frequent-bigram share —
+    the filters Rae et al. use to drop repetitious low-quality pages.
+    All in-row higher-order array math, zero shuffles, scan-bound."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+        repetition_stats,
+    )
+
+    return repetition_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+@query(
     "text_bigrams_top20",
     oracle="""WITH toks AS (
   SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
