@@ -141,3 +141,58 @@ def multi_bfs(
 
     links.unpersist()
     return BfsResult(distances=dist, iterations=iterations, history=history)
+
+
+def random_walks(
+    edges: DataFrame, sources: DataFrame, steps: int = 3
+) -> DataFrame:
+    """Deterministic random walks (the corpus-generation step of
+    node2vec/DeepWalk-style graph embeddings): one walk per row of
+    ``sources`` (a 1-column ``id`` frame), each step moving to the
+    out-neighbor with the smallest md5 of ``walk|step|dst`` — a
+    hash-seeded uniform choice that is row-local and replayable, so a SQL
+    oracle (and a retried task) picks the identical successor, where
+    ``rand()`` would not survive either. Walks reaching a dangling vertex
+    simply end (no rows for later steps).
+
+    Returns (walk, step, vertex) for steps 0..``steps``. Scale shape: the
+    edge table shuffles once (repartition by src, cached); each step is
+    frontier-join + per-walk struct-min aggregate — message volume is
+    O(live walks x avg out-degree) per step, never O(E), and the walk id
+    is the aggregation key so skew tracks walk count, not graph shape.
+    """
+    links = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cur = sources.select(
+        F.col("id").alias("walk"),
+        F.col("id").alias("vertex"),
+        F.lit(0).cast("int").alias("step"),
+    )
+    out = cur
+    for s in range(1, steps + 1):
+        h = F.md5(
+            F.concat_ws("|", F.col("walk"), F.lit(str(s)), F.col("dst"))
+        )
+        cur = (
+            cur.join(links, cur["vertex"] == links["src"])
+            .groupBy("walk")
+            .agg(
+                F.min(
+                    F.struct(h.alias("h"), F.col("dst").alias("dst"))
+                ).alias("m")
+            )
+            .select(
+                "walk",
+                F.col("m.dst").alias("vertex"),
+                F.lit(s).cast("int").alias("step"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(cur)
+    links.unpersist()
+    return out

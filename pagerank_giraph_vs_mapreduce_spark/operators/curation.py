@@ -307,6 +307,85 @@ def decontaminate(
     )
 
 
+def domain_mix_sample(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    budget: int = 200,
+    temperature: float = 2.0,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual/multi-domain
+    rebalancing rule: sample domain s with probability proportional to
+    share^(1/T), T>1 flattening the mix toward uniform): compute each
+    domain's corpus share, reweight by the 1/T power, allocate the
+    ``budget`` across domains by normalized weight, and keep rows via the
+    deterministic md5-percentile gate (fn_hash_sample discipline —
+    row-local, retry- and partition-stable).
+
+    Determinism for the SQL oracle: weights are rounded to 12 dp and
+    summed as DECIMAL (exact, order-independent); the remaining math is
+    per-domain IEEE double with explicit left-associative order. T=2 uses
+    sqrt (correctly-rounded by IEEE, bit-identical across engines) —
+    other temperatures go through pow, whose last-bit behavior is
+    libm-dependent, so oracle-checked queries should stick to T=2.
+
+    Scale shape: one tiny per-domain aggregate broadcast back onto the
+    scan as a filter predicate — no sort, no window, no per-domain
+    shuffle; the same only-shape-that-survives-100-TB argument as the
+    class-balance quota sampler."""
+    share = F.col("c").cast("double") / F.col("n_total")
+    wexpr = (
+        F.sqrt(share)
+        if temperature == 2.0
+        else F.pow(share, 1.0 / temperature)
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias("n_total")))
+        )
+        .select(
+            domain_col,
+            "c",
+            F.round(wexpr, 12).cast("decimal(20,12)").alias("w"),
+        )
+    )
+    sumw = F.broadcast(counts.agg(F.sum("w").alias("sumw")))
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(budget))
+        * F.col("w").cast("double")
+        / F.col("sumw").cast("double")
+        / F.col("c"),
+    )
+    rates = counts.crossJoin(sumw).select(
+        domain_col, frac.alias("frac")
+    )
+    threshold_hex = F.lower(
+        F.lpad(
+            F.conv(
+                F.floor(F.col("frac") * F.lit(4294967296.0)).cast("string"),
+                10,
+                16,
+            ),
+            8,
+            "0",
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(
+            (F.col("frac") >= 1.0)
+            | (
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+                < threshold_hex
+            )
+        )
+        .select(id_col, domain_col)
+    )
+
+
 def curation_funnel(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -861,3 +861,44 @@ def sql_recursive_bfs_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH RECURSIVE " + _REC_BFS_BODY.format(edges="edges_rec")
     )
+
+
+WALK_STEPS = 3
+WALK_MOD = 50
+
+
+def _walks_oracle(steps: int) -> str:
+    ctes = [f"w0 AS (SELECT id AS walk, id AS v FROM verts WHERE id % {WALK_MOD} = 0)"]
+    for s in range(1, steps + 1):
+        ctes.append(
+            f"""s{s} AS (
+  SELECT walk, v FROM (
+    SELECT w.walk, e.dst AS v,
+           row_number() OVER (PARTITION BY w.walk
+               ORDER BY md5(CAST(w.walk AS VARCHAR) || '|{s}|'
+                            || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM {'w0' if s == 1 else f's{s - 1}'} w JOIN edges e ON e.src = w.v)
+  WHERE rn = 1)"""
+        )
+    selects = ["SELECT walk, CAST(0 AS INT) AS step, v AS vertex FROM w0"] + [
+        f"SELECT walk, CAST({s} AS INT) AS step, v AS vertex FROM s{s}"
+        for s in range(1, steps + 1)
+    ]
+    return (
+        f"{GRAPH_CTES},\n" + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+@query("g_random_walks_k3", oracle=_walks_oracle(WALK_STEPS))
+def g_random_walks_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks (graph/paths.py:random_walks) from every
+    vertex with id % 50 == 0 — the node2vec/DeepWalk corpus-generation
+    step with a hash-seeded successor choice (min md5 of walk|step|dst)
+    so the unrolled-SQL oracle and any retried task replay the identical
+    walk. Per step: frontier equi-join + per-walk struct-min aggregate —
+    O(live walks x out-degree) messages, never O(E)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import random_walks
+
+    _, edges, verts, _ = _graph_parts(spark, sf_dir)
+    sources = verts.filter(F.col("id") % WALK_MOD == 0)
+    return random_walks(edges, sources, steps=WALK_STEPS)

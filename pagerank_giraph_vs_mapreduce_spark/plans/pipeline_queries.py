@@ -329,3 +329,44 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % DECON_MOD != 0)
     return decontaminate(corpus, bench, "doc_id", "text", n=DECON_N)
+
+
+MIX_BUDGET = 200
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle=f"""WITH counts AS (
+  SELECT source, count(*) AS c, CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+  FROM documents GROUP BY source),
+wts AS (
+  SELECT source, c,
+         CAST(round(sqrt(CAST(c AS DOUBLE) / n_total), 12)
+              AS DECIMAL(20,12)) AS w
+  FROM counts),
+tot AS (SELECT sum(w) AS sumw FROM wts),
+rates AS (
+  SELECT source,
+         least(1.0, {MIX_BUDGET}.0 * CAST(w AS DOUBLE)
+               / CAST(sumw AS DOUBLE) / c) AS frac
+  FROM wts, tot)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE r.frac >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+      < printf('%08x', CAST(floor(r.frac * 4294967296.0) AS BIGINT))""",
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing (T=2, budget {MIX_BUDGET}):
+    rebalance the corpus across `source` domains with sampling rates
+    proportional to share^(1/2) — the multilingual-training rule that
+    upweights tail domains — realized through the deterministic
+    md5-percentile gate (operators/curation.py:domain_mix_sample). One
+    tiny domain aggregate broadcast back as a scan predicate; no sort,
+    no window, no per-domain shuffle."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+        domain_mix_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_sample(docs, "source", "doc_id", budget=MIX_BUDGET)
