@@ -1,0 +1,155 @@
+"""Unit tests for the round-4 extension operators — product quantization,
+repetition signals, decontamination, domain mixing, random walks — on
+hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+    decontaminate,
+    domain_mix_sample,
+    ngram_shingles,
+)
+from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_encode,
+)
+from pagerank_giraph_vs_mapreduce_spark.operators.text import repetition_stats
+from tests.conftest import make_edges
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_pq_encode_picks_nearest_subspace_centroid(spark):
+    # dim=4, m=2, d=2. Two centroids whose subvectors are axis-aligned so
+    # the nearest code per subspace is known by construction.
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])],
+        "centroid_id bigint, embedding array<float>",
+    )
+    vecs = emb_df(
+        spark,
+        [
+            (10, [0.1, 0.1, 0.9, 0.9]),  # sub0 -> c0, sub1 -> c1
+            (11, [0.9, 0.9, 0.1, 0.1]),  # sub0 -> c1, sub1 -> c0
+            (12, [0.5, 0.5, 0.5, 0.5]),  # exact tie -> lower cid wins
+        ],
+    )
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(vecs, cents, m=2, dim=4).collect()
+    }
+    assert out == {10: [0, 1], 11: [1, 0], 12: [0, 0]}
+
+
+def test_pq_adc_orders_by_reconstructed_distance(spark):
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])],
+        "centroid_id bigint, embedding array<float>",
+    )
+    vecs = emb_df(
+        spark,
+        [
+            (10, [0.0, 0.0, 0.0, 0.0]),  # codes [0,0] — reconstructs to q
+            (11, [1.0, 1.0, 0.0, 0.0]),  # codes [1,0]
+            (12, [1.0, 1.0, 1.0, 1.0]),  # codes [1,1]
+        ],
+    )
+    q = emb_df(spark, [(99, [0.0, 0.0, 0.0, 0.0])])
+    codes = pq_encode(vecs, cents, m=2, dim=4)
+    rows = pq_adc_topk(codes, q, cents, k=3, m=2, dim=4).collect()
+    assert [r["vec_id"] for r in rows] == [10, 11, 12]
+    assert rows[0]["adc_dist"] == 0.0
+    assert rows[1]["adc_dist"] == 2.0
+    assert rows[2]["adc_dist"] == 4.0
+
+
+def test_repetition_stats_known_document(spark):
+    d = docs_df(spark, [(1, "a a a b"), (2, "x y z"), (3, "!!!")])
+    out = {r["doc_id"]: r for r in repetition_stats(d, "doc_id", "text").collect()}
+    r1 = out[1]  # tokens [a,a,a,b]; bigrams [a a, a a, a b]
+    assert r1["n_tokens"] == 4
+    assert abs(r1["dup_token_frac"] - 2 / 4) < 1e-9
+    assert abs(r1["dup_bigram_frac"] - 1 / 3) < 1e-9
+    assert r1["top_bigram"] == "a a"
+    assert abs(r1["top_bigram_share"] - 2 / 3) < 1e-9
+    r2 = out[2]  # all distinct
+    assert r2["dup_token_frac"] == 0.0 and r2["dup_bigram_frac"] == 0.0
+    r3 = out[3]  # no alpha tokens at all
+    assert r3["n_tokens"] == 0 and r3["top_bigram"] == ""
+
+
+def test_ngram_shingles_short_doc_emits_nothing(spark):
+    d = docs_df(spark, [(1, "one two three four five six"), (2, "too short")])
+    rows = ngram_shingles(d, "doc_id", "text", n=5).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["gram"])
+    assert sorted(by_doc[1]) == [
+        "one two three four five",
+        "two three four five six",
+    ]
+    assert 2 not in by_doc
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = docs_df(spark, [(100, "the quick brown fox jumps over")])
+    corpus = docs_df(
+        spark,
+        [
+            (1, "xxx the quick brown fox jumps yyy"),  # shares a 5-gram
+            (2, "completely different words here entirely now"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_shared_grams"], r["contaminated"])
+        for r in decontaminate(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    assert out[1][0] >= 1 and out[1][1] is True
+    assert out[2] == (0, False)
+
+
+def test_domain_mix_budget_and_determinism(spark):
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = domain_mix_sample(docs, "source", "doc_id", budget=100).collect()
+    n_by = {"big": 0, "small": 0}
+    for r in got:
+        n_by[r["source"]] += 1
+    # budget is approximate (hash-gate), but the temperature flattening
+    # must upweight the tail domain well beyond its 10% corpus share
+    total = n_by["big"] + n_by["small"]
+    assert 60 <= total <= 140
+    assert n_by["small"] / total > 0.15
+    again = domain_mix_sample(docs, "source", "doc_id", budget=100).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in got
+    )
+
+
+def test_random_walks_are_edges_and_deterministic(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import random_walks
+
+    edges = make_edges(
+        spark, [(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 1)]
+    )
+    sources = spark.createDataFrame([(1,), (5,), (9,)], "id bigint")
+    out = random_walks(edges, sources, steps=3).collect()
+    pos = {(r["walk"], r["step"]): r["vertex"] for r in out}
+    # step 0 is the source itself; vertex 9 has no out-edges -> walk ends
+    assert pos[(1, 0)] == 1 and pos[(5, 0)] == 5 and pos[(9, 0)] == 9
+    assert (9, 1) not in pos
+    edge_set = {(1, 2), (1, 3), (2, 4), (3, 4), (4, 1), (5, 1)}
+    for (walk, step), v in pos.items():
+        if step == 0:
+            continue
+        assert (pos[(walk, step - 1)], v) in edge_set
+    again = random_walks(edges, sources, steps=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
