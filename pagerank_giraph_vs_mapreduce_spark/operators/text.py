@@ -264,6 +264,95 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bpe_learn(
+    df: DataFrame, text_col: str, merges: int = 3
+) -> DataFrame:
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016): learn
+    ``merges`` byte-pair merges over the corpus and return the merge
+    table (merge_round, pair, n_occ) — the tokenizer-training step of an
+    LLM data pipeline, here as ONE lazy plan with zero driver actions.
+
+    Round structure (classic BPE, word-frequency weighted):
+      1. vocab: distinct lowercase alpha tokens with corpus counts — the
+         only corpus-sized aggregation; everything after runs on the
+         (tiny) vocabulary.
+      2. pair counts: in-row adjacent symbol pairs (shifted zip), explode,
+         one map-side-combined sum weighted by word count. Overlapping
+         occurrences all count, as in the reference implementation.
+      3. top pair: global top-1 (count desc, pair asc) —
+         TakeOrderedAndProject, not a sort.
+      4. merge: the 1-row top pair is broadcast-crossJoined back and each
+         word's symbol array is rebuilt by an in-row left-to-right fold:
+         append, or replace the last symbol with a||b when (last, cur) ==
+         (a, b). Greedy leftmost non-overlapping — after a merge the new
+         last symbol is a||b which can never equal a, so "a a a" merges
+         once, "a a a a" twice, exactly the reference behavior.
+
+    The merge chain is lazy: round r+1's counts depend on round r's
+    broadcast winner, so Catalyst sees one DAG ``merges`` rounds deep.
+    At 100 TB only step 1 touches the corpus; rounds iterate over the
+    vocabulary (multi-K rows), which is why BPE training is feasible at
+    corpus scale at all."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    words = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.substring(F.col("w"), i, F.lit(1)),
+        ).alias("syms"),
+        "cnt",
+    )
+    results: DataFrame | None = None
+    for r in range(1, merges + 1):
+        n1 = F.greatest(F.size("syms") - 1, F.lit(0))
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n1),
+                    F.slice("syms", 2, n1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("pair"))
+            .limit(1)
+        )
+        row = top.select(
+            F.lit(r).cast("int").alias("merge_round"), "pair", "n_occ"
+        )
+        results = row if results is None else results.unionAll(row)
+        a = F.element_at(F.split(F.col("pair"), " "), 1)
+        b = F.element_at(F.split(F.col("pair"), " "), 2)
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == a)
+                & (x == b),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(a, b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            merged.alias("syms"), "cnt"
+        )
+    assert results is not None
+    return results
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Two document fingerprints: md5 (exact-dup key, portable) and a
     position-weighted checksum (cheap shift-insensitive-ish signature)."""

@@ -371,3 +371,92 @@ def text_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+BPE_MERGES = 3
+
+
+def _bpe_oracle(merges: int) -> str:
+    """Classic BPE unrolled into SQL: per round, pair counts + top-1, then
+    a windowed greedy-leftmost merge replay (gaps-and-islands picks every
+    other position inside a run of identical overlapping pairs, which only
+    occurs when a == b)."""
+    ctes = [
+        """words AS (
+  SELECT t.tok AS w, count(*) AS cnt
+  FROM documents, LATERAL unnest(
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')
+  ) AS t(tok)
+  GROUP BY t.tok)""",
+        """s0 AS (
+  SELECT w, cnt,
+         list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
+  FROM words)""",
+    ]
+    for r in range(1, merges + 1):
+        p = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+  SELECT l.pair, CAST(sum(cnt) AS BIGINT) AS n_occ
+  FROM {p}, LATERAL unnest(list_transform(range(1, len(syms)),
+       i -> syms[i] || ' ' || syms[i + 1])) AS l(pair)
+  GROUP BY l.pair)"""
+        )
+        ctes.append(
+            f"t{r} AS (SELECT pair, n_occ FROM p{r} "
+            "ORDER BY n_occ DESC, pair LIMIT 1)"
+        )
+        if r == merges:
+            break
+        ctes.append(
+            f"""e{r} AS (
+  SELECT w, cnt, p.pos, syms[p.pos] AS s,
+         CASE WHEN p.pos < len(syms) THEN syms[p.pos + 1] END AS nxts,
+         COALESCE(CASE WHEN p.pos < len(syms)
+                  THEN syms[p.pos] || ' ' || syms[p.pos + 1] END
+                  = (SELECT pair FROM t{r}), false) AS ism
+  FROM {p}, LATERAL unnest(range(1, len(syms) + 1)) AS p(pos))"""
+        )
+        ctes.append(
+            f"""mm{r} AS (
+  SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+  FROM e{r} WHERE ism)"""
+        )
+        ctes.append(
+            f"""sel{r} AS (
+  SELECT w, pos FROM (
+    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+    FROM mm{r}) WHERE rk % 2 = 1)"""
+        )
+        ctes.append(
+            f"""s{r} AS (
+  SELECT e.w, e.cnt,
+         list(CASE WHEN sl.pos IS NOT NULL THEN e.s || e.nxts ELSE e.s END
+              ORDER BY e.pos) AS syms
+  FROM e{r} e
+  LEFT JOIN sel{r} sl ON sl.w = e.w AND sl.pos = e.pos
+  LEFT JOIN sel{r} sp ON sp.w = e.w AND sp.pos = e.pos - 1
+  WHERE sp.pos IS NULL
+  GROUP BY e.w, e.cnt)"""
+        )
+    selects = [
+        f"SELECT CAST({r} AS INT) AS merge_round, pair, n_occ FROM t{r}"
+        for r in range(1, merges + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("text_bpe_merges_k3", oracle=_bpe_oracle(BPE_MERGES))
+def text_bpe_merges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 3 merge rounds
+    (operators/text.py:bpe_learn): word-frequency-weighted pair counts,
+    global top-1 (count desc, pair asc), and an in-row greedy-leftmost
+    fold merge — one lazy plan with zero driver actions, where only the
+    initial vocabulary aggregation touches the corpus; every round after
+    runs on the tiny vocab table. Oracle replays the merges with windowed
+    gaps-and-islands SQL."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import bpe_learn
+
+    return bpe_learn(
+        load_table(spark, sf_dir, "documents"), "text", merges=BPE_MERGES
+    )

@@ -153,3 +153,25 @@ def test_random_walks_are_edges_and_deterministic(spark):
         assert (pos[(walk, step - 1)], v) in edge_set
     again = random_walks(edges, sources, steps=3).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_bpe_learn_matches_reference_merges(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import bpe_learn
+
+    d = docs_df(spark, [(1, "low low low lower newest newest")])
+    rows = bpe_learn(d, "text", merges=4).collect()
+    got = [(r["merge_round"], r["pair"], r["n_occ"]) for r in rows]
+    # classic Sennrich example: l+o, lo+w dominate; then the tie between
+    # 'e s'/'e w'/... resolves lexicographically
+    assert got == [(1, "l o", 4), (2, "lo w", 4), (3, "e s", 2), (4, "e w", 2)]
+
+
+def test_bpe_overlapping_run_merges_greedy_leftmost(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import bpe_learn
+
+    # "aaaa" -> pair (a,a) occurs 3x overlapping; greedy leftmost merge
+    # yields [aa, aa], so round 2's top pair is (aa, aa)
+    d = docs_df(spark, [(1, "aaaa aaaa")])
+    rows = bpe_learn(d, "text", merges=2).collect()
+    got = [(r["merge_round"], r["pair"], r["n_occ"]) for r in rows]
+    assert got == [(1, "a a", 6), (2, "aa aa", 2)]
