@@ -379,6 +379,13 @@ def main() -> int:
         "text_chunks",
         "sim_knn_join_top3",
         "pipeline_class_balance",
+        "sim_pq_encode",
+        "sim_pq_adc_top5",
+        "text_repetition",
+        "text_bpe_merges_k3",
+        "pipeline_decontaminate",
+        "pipeline_domain_mix",
+        "g_random_walks_k3",
     ):
         timed(q, run_query_rows(q))
 
