@@ -386,6 +386,7 @@ def main() -> int:
         "pipeline_decontaminate",
         "pipeline_domain_mix",
         "g_random_walks_k3",
+        "pipeline_split_leakage_safe",
     ):
         timed(q, run_query_rows(q))
 

@@ -283,6 +283,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pairs_wcc_sql(k: int) -> str:
     """Min-label propagation over the near-dup pair graph, unrolled k
     rounds (the transitive-closure step of industrial dedup)."""
+    return _pairs_wcc_ctes(k) + f"""
+SELECT id AS doc_id, label AS canonical_id FROM pl{k}"""
+
+
+def _pairs_wcc_ctes(k: int) -> str:
+    """Just the label-propagation CTE chain (pl0..pl{k}) — shared by the
+    canonical-id query and the leakage-safe split query."""
     ctes = [
         "pe AS (SELECT id_a AS src, id_b AS dst FROM jac WHERE jaccard >= 0.8)",
         "psym AS (SELECT src, dst FROM pe UNION SELECT dst AS src, src AS dst FROM pe)",
@@ -300,8 +307,7 @@ def _pairs_wcc_sql(k: int) -> str:
   SELECT l.id, least(l.label, coalesce(m.nm, l.label)) AS label
   FROM {p} l LEFT JOIN pm{i} m ON l.id = m.id)"""
         )
-    return ",\n".join(ctes) + f"""
-SELECT id AS doc_id, label AS canonical_id FROM pl{k}"""
+    return ",\n".join(ctes)
 
 
 @query(
@@ -343,4 +349,76 @@ def dedup_wcc_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = connected_components(pair_edges, max_iter=4)
     return res.components.select(
         F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
+TEST_FRAC_HEX = "33333333"  # floor(0.2 * 2^32) — 20% test split
+
+
+@query(
+    "pipeline_split_leakage_safe",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIG_SQL},
+{BANDED_SQL},
+{CAND_SQL},
+{JACCARD_SQL},
+{_pairs_wcc_ctes(4)},
+canon AS (
+  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS canonical_id
+  FROM docs2 d LEFT JOIN pl4 l ON d.doc_id = l.id)
+SELECT doc_id, canonical_id,
+       CASE WHEN substr(md5(CAST(canonical_id AS VARCHAR)), 1, 8)
+                 < '{TEST_FRAC_HEX}'
+            THEN 'test' ELSE 'train' END AS split
+FROM canon""",
+)
+def pipeline_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: hash-split by near-dup CLUSTER, not
+    by document, so no near-duplicate pair ever straddles the split — the
+    eval-hygiene rule naive per-doc random splits violate. Composes the
+    MinHash->LSH->Jaccard pair graph, the WCC canonical id (transitive
+    closure), and the deterministic md5-percentile gate: docs not in any
+    near-dup pair are their own cluster. ~20% test by cluster-id hash.
+    Scale shape: the pair graph is tiny next to the corpus, the canonical
+    join is id-equi, and the split gate is a row-local expression — one
+    broadcast-size iterative kernel plus a narrow map over the scan."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        connected_components,
+    )
+
+    docs = _docs2(spark, sf_dir)
+    pairs = minhash_near_dups(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.8,
+        n_hashes=N_HASHES,
+        shingle_len=SHINGLE_LEN,
+        bands=BANDS,
+    )
+    pair_edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pair_edges, max_iter=4).components
+    canon = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+    )
+    return canon.select(
+        "doc_id",
+        "canonical_id",
+        F.when(
+            F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 8)
+            < TEST_FRAC_HEX,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
     )

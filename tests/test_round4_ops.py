@@ -175,3 +175,23 @@ def test_bpe_overlapping_run_merges_greedy_leftmost(spark):
     rows = bpe_learn(d, "text", merges=2).collect()
     got = [(r["merge_round"], r["pair"], r["n_occ"]) for r in rows]
     assert got == [(1, "a a", 6), (2, "aa aa", 2)]
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_oracle_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    split = QUERIES["pipeline_split_leakage_safe"](spark, sf_oracle_dir)
+    by_doc = {r["doc_id"]: (r["canonical_id"], r["split"]) for r in split.collect()}
+    # the doubled corpus plants exact near-dups: doc_id and doc_id+10000
+    planted = [d for d in by_doc if d + 10000 in by_doc]
+    assert planted, "fixture should contain planted near-dup pairs"
+    for d in planted:
+        assert by_doc[d][1] == by_doc[d + 10000][1], (
+            f"near-dup pair {d}/{d + 10000} straddles the split"
+        )
+    # both classes present
+    assert {s for _, s in by_doc.values()} == {"train", "test"}
