@@ -387,6 +387,9 @@ def main() -> int:
         "pipeline_domain_mix",
         "g_random_walks_k3",
         "pipeline_split_leakage_safe",
+        "dedup_recall_planted",
+        "text_lm_score",
+        "text_pii_scrub",
     ):
         timed(q, run_query_rows(q))
 

@@ -264,6 +264,40 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+PII_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+PII_PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction (the release-hygiene pass of a training corpus):
+    count and replace email/phone matches with typed placeholders and
+    report a residual count that must be zero — the monitoring column a
+    production scrub job alerts on. Patterns deliberately use the
+    regex-feature intersection of Java regex and RE2 (character classes,
+    bounded repeats; no lookaround) so one definition serves engine and
+    oracle. Pure per-row regexp codegen — scan-bound, shuffle-free.
+    Returns (id, n_emails, n_phones, scrubbed_md5, n_residual); the md5
+    stands in for the scrubbed text to keep the result narrow."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        (
+            F.regexp_count(scrubbed, F.lit(PII_EMAIL_RE))
+            + F.regexp_count(scrubbed, F.lit(PII_PHONE_RE))
+        )
+        .cast("bigint")
+        .alias("n_residual"),
+    )
+
+
 def bpe_learn(
     df: DataFrame, text_col: str, merges: int = 3
 ) -> DataFrame:

@@ -422,3 +422,69 @@ def pipeline_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     )
+
+
+@query(
+    "dedup_recall_planted",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIG_SQL},
+{BANDED_SQL},
+{CAND_SQL},
+{JACCARD_SQL},
+detected AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+planted AS (
+  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
+  WHERE doc_id % 10 = 0),
+hit AS (
+  SELECT count(*) AS n_hit FROM planted p
+  JOIN detected d ON d.id_a = p.id_a AND d.id_b = p.id_b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_planted,
+       (SELECT CAST(count(*) AS BIGINT) FROM detected) AS n_detected,
+       CAST(n_hit AS BIGINT) AS n_detected_planted,
+       round(CAST(n_hit AS DOUBLE)
+             / (SELECT count(*) FROM planted), 6) AS recall
+FROM hit""",
+)
+def dedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality measurement — the 'measure, don't guess' companion to
+    the MinHash pipeline: recall of minhash_near_dups against the KNOWN
+    planted duplicates (doc_id ↔ doc_id+10000 exact copies in the doubled
+    corpus). Planted exact dups have identical signatures, so every banded
+    bucket contains both — recall must be 1.0; n_detected additionally
+    counts organic near-dup pairs the word-salad corpus happens to
+    contain. One broadcast-size metrics row; the heavy lifting reuses the
+    audited candidate-routed pipeline (never all-pairs)."""
+    pairs = minhash_near_dups(
+        _docs2(spark, sf_dir),
+        "doc_id",
+        "text",
+        threshold=0.8,
+        n_hashes=N_HASHES,
+        shingle_len=SHINGLE_LEN,
+        bands=BANDS,
+    ).select("id_a", "id_b")
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 10000).alias("id_b"),
+    )
+    hit = planted.join(pairs, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        hit.crossJoin(
+            F.broadcast(planted.agg(F.count(F.lit(1)).alias("n_planted")))
+        )
+        .crossJoin(
+            F.broadcast(pairs.agg(F.count(F.lit(1)).alias("n_detected")))
+        )
+        .select(
+            "n_planted",
+            "n_detected",
+            F.col("n_hit").alias("n_detected_planted"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_planted"), 6
+            ).alias("recall"),
+        )
+    )

@@ -49,21 +49,22 @@ _QUERY_MODULES = (
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-4 budget math (the r01-r03 gates each recorded exactly 50 rows):
-# 36 never-driver-certified queries (everything added in r04, all waves) +
+# 39 never-driver-certified queries (everything added in r04, all waves) +
 # 2 whose code changed this round (text_tfidf_top_term's min_by argmax
 # rewrite, mm_features' real-codec dispatch — VERDICT_r03 items 3 and 5
-# both require an r04 green row) = 38 must-gate slots, leaving 12 for the
-# 19 rows whose newest green evidence is r01 (VERDICT_r03 item 4). The 12
-# most complex of those (joins/windows/cube-rollup/set-ops) take the
-# slots; the 7 simplest (rel_json_extract, rel_date_funcs, rel_sort_limit,
-# rel_union_all, rel_string_funcs, rel_case_coalesce, rel_filter_project)
-# roll to the top of r05's rotation — all 19 were re-verified THIS round
-# through tools/check_oracle.py's stricter exact-value compare (19/19
-# pass, 2026-08-14), so the roll-over is a scheduling fact, not a
+# both require an r04 green row) = 41 must-gate slots, leaving 9 for the
+# 19 rows whose newest green evidence is r01 (VERDICT_r03 item 4). The 9
+# most complex of those (joins/windows/cube-rollup) take the slots; the
+# 10 others roll to the top of r05's rotation — all 19 were re-verified
+# THIS round through tools/check_oracle.py's stricter exact-value compare
+# (19/19 pass, 2026-08-14), so the roll-over is a scheduling fact, not a
 # correctness doubt. After those: the r02-only rows, highest-information
 # first.
 _PRIORITY = (
     # --- never driver-certified (r04 additions), highest information first
+    "dedup_recall_planted",  # dedup quality metrics vs planted dups
+    "text_lm_score",  # corpus-LM fluency scoring (CCNet-style)
+    "text_pii_scrub",  # PII redaction with planted synthetic PII
     "pipeline_split_leakage_safe",  # split by near-dup cluster (no leakage)
     "text_bpe_merges_k3",  # distributed BPE training, zero driver actions
     "sim_pq_encode",  # product quantization codes
@@ -103,7 +104,7 @@ _PRIORITY = (
     # --- code changed this round, r03 green row exists
     "text_tfidf_top_term",  # row_number window -> min_by aggregate argmax
     "mm_features",  # codec dispatch added behind the mapInPandas seam
-    # --- r01-only rows: the 12 most complex take the remaining gate slots
+    # --- r01-only rows: the 9 most complex take the remaining gate slots
     "rel_outer_join",
     "rel_agg_rollup",
     "rel_agg_cube",
@@ -113,11 +114,11 @@ _PRIORITY = (
     "rel_win_rank",
     "rel_win_running",
     "rel_win_lag",
+    # --- r01-only overflow (locally re-certified 19/19 this round; these
+    # 10 lead r05's rotation)
     "rel_win_ranking_family",
     "rel_intersect",
     "rel_except",
-    # --- r01-only overflow (locally re-certified 19/19 this round; these
-    # 7 lead r05's rotation)
     "rel_json_extract",
     "rel_date_funcs",
     "rel_sort_limit",

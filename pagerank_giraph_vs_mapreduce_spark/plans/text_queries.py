@@ -460,3 +460,155 @@ def text_bpe_merges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_learn(
         load_table(spark, sf_dir, "documents"), "text", merges=BPE_MERGES
     )
+
+
+@query(
+    "text_lm_score",
+    oracle="""WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             t -> t != '') AS l
+  FROM documents),
+inst AS (
+  SELECT doc_id, b.bg, string_split(b.bg, ' ')[1] AS w1
+  FROM toks, LATERAL unnest(
+    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+  ) AS b(bg)),
+uni AS (
+  SELECT t.tok AS w1, count(*) AS c1
+  FROM toks, LATERAL unnest(l) AS t(tok) GROUP BY t.tok),
+bgc AS (SELECT bg, count(*) AS cbg FROM inst GROUP BY bg),
+scored AS (
+  SELECT i.doc_id,
+         CAST(round(ln(CAST(b.cbg AS DOUBLE) / u.c1), 9)
+              AS DECIMAL(20,9)) AS lp
+  FROM inst i JOIN bgc b ON b.bg = i.bg JOIN uni u ON u.w1 = i.w1),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS lm_score
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.lm_score AS lm_score
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id""",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring (the CCNet-style perplexity-proxy quality
+    filter): each document's mean log bigram probability under the
+    corpus's own bigram model — ln(count(w1 w2) / count(w1)) averaged over
+    the doc's bigram instances. Low scores mark gibberish/outlier docs;
+    no external model needed. Determinism: each ln is rounded to 9 dp and
+    summed as DECIMAL (order-independent), mean rounded to 6 dp.
+
+    Scale shape: two corpus-wide map-side-combined counts (unigram,
+    bigram), then equi-joins from the exploded doc bigrams onto them and
+    one per-doc aggregate — all shuffle keys are the gram strings (swap
+    for xxhash64 at 100 TB to cut width); nothing all-pairs, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select(F.col("doc_id"), toks.alias("l"), bigrams.alias("bg"))
+    inst = base.select(
+        "doc_id", F.explode("bg").alias("bg")
+    ).withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1))
+    uni = (
+        base.select(F.explode("l").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bgc = inst.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    scored = (
+        inst.join(bgc, "bg")
+        .join(uni, "w1")
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("cbg").cast("double") / F.col("c1")), 9
+            )
+            .cast("decimal(20,9)")
+            .alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("lm_score"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            F.col("lm_score"),
+        )
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""WITH pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+            ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+            THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+            ELSE '' END AS ptext
+  FROM documents),
+scrub AS (
+  SELECT doc_id, ptext,
+         regexp_replace(regexp_replace(ptext,
+             '[a-z0-9]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g'),
+             '555-[0-9]{4}', '<PHONE>', 'g') AS stext
+  FROM pii)
+SELECT doc_id,
+  CAST(length(regexp_extract_all(ptext, '[a-z0-9]+@[a-z]+\\.[a-z]+')) AS BIGINT) AS n_emails,
+  CAST(length(regexp_extract_all(ptext, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+  md5(stext) AS scrubbed_md5,
+  CAST(length(regexp_extract_all(stext, '[a-z0-9]+@[a-z]+\\.[a-z]+'))
+       + length(regexp_extract_all(stext, '555-[0-9]{4}')) AS BIGINT) AS n_residual
+FROM scrub""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/text.py:pii_scrub) over the corpus with
+    DETERMINISTICALLY planted synthetic PII (the parquet fixtures contain
+    none): docs with doc_id % 7 == 0 get an email, % 11 == 0 a phone —
+    both derived from doc_id so the oracle plants the identical strings.
+    Verifies counts, the scrubbed-text md5, and the residual-match count
+    (must be 0 everywhere — the production alert column)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("ptext"),
+    )
+    return pii_scrub(planted, "doc_id", "ptext")

@@ -195,3 +195,36 @@ def test_leakage_safe_split_keeps_near_dups_together(spark, sf_oracle_dir):
         )
     # both classes present
     assert {s for _, s in by_doc.values()} == {"train", "test"}
+
+
+def test_pii_scrub_counts_and_residual(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import pii_scrub
+
+    d = docs_df(
+        spark,
+        [
+            (1, "write to bob99@mail.com or sue@web.org today"),
+            (2, "call 555-1234 or 555-9999"),
+            (3, "no pii here at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(d, "doc_id", "text").collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_phones"] == 0
+    assert out[2]["n_phones"] == 2 and out[2]["n_emails"] == 0
+    assert out[3]["n_emails"] == 0 and out[3]["n_phones"] == 0
+    assert all(r["n_residual"] == 0 for r in out.values())
+
+
+def test_lm_score_ranks_fluent_above_gibberish(spark):
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    rows = QUERIES["text_lm_score"](spark, "/root/testdata/sf0.001").collect()
+    scores = [r["lm_score"] for r in rows if r["lm_score"] is not None]
+    assert scores, "corpus should produce scored documents"
+    # mean log-prob is always <= 0; and the corpus must show spread
+    assert max(scores) <= 0.0
+    assert min(scores) < max(scores)
