@@ -390,6 +390,8 @@ def main() -> int:
         "dedup_recall_planted",
         "text_lm_score",
         "text_pii_scrub",
+        "sim_ivfpq_top5",
+        "dedup_incremental",
     ):
         timed(q, run_query_rows(q))
 

@@ -113,10 +113,13 @@ def minhash_signatures(
     return arr.select("id", *cols)
 
 
-def lsh_candidate_pairs(
+def banded_keys(
     sigs: DataFrame, bands: int = 4, rows_per_band: int = 3
 ) -> DataFrame:
-    """Distinct candidate (id_a, id_b) pairs sharing ≥1 LSH band bucket."""
+    """(id, band, bkey) LSH bucket rows — one row per band per doc. This
+    is the durable index table of incremental dedup: written bucketed by
+    (band, bkey), a new batch probes it with an equi-join and never
+    rescans the corpus."""
     banded = None
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -126,6 +129,14 @@ def lsh_candidate_pairs(
             F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bkey"),
         )
         banded = part if banded is None else banded.unionAll(part)
+    return banded
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs sharing ≥1 LSH band bucket."""
+    banded = banded_keys(sigs, bands, rows_per_band)
     left = banded.select("band", "bkey", F.col("id").alias("id_a"))
     right = banded.select("band", "bkey", F.col("id").alias("id_b"))
     return (

@@ -488,3 +488,79 @@ def dedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle=f"""WITH docs2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+newb AS (
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alld AS (SELECT * FROM docs2 UNION ALL SELECT * FROM newb),
+{SHINGLES_SQL.replace("FROM docs2", "FROM alld")},
+{SIG_SQL},
+{BANDED_SQL},
+cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_old
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.id >= 20000 AND b.id < 20000),
+{JACCARD_SQL.replace("c.id_a", "c.id_new").replace("c.id_b", "c.id_old")
+             .replace("i.id_a", "i.id_new").replace("i.id_b", "i.id_old")
+             .replace("id_a,", "id_new,").replace("id_a AS", "id_new AS")
+             .replace("id_b,", "id_old,").replace("id_b AS", "id_old AS")}
+SELECT id_new, min(id_old) AS dup_of, round(max(jaccard), 6) AS best_jaccard
+FROM jac WHERE jaccard >= 0.8
+GROUP BY id_new""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) dedup — the daily-ingest shape:
+    only the NEW batch's signatures probe the existing corpus's LSH
+    buckets (asymmetric candidate join new x old, never old x old, never
+    all-pairs), so daily cost tracks batch size while the corpus index is
+    a static bucketed table. Fixture: corpus = docs with doc_id % 5 != 0
+    plus the usual planted +10000 copies; batch = the % 5 == 0 docs
+    re-ingested at +20000 — every batch doc whose original text also
+    appears in the corpus must be flagged. Returns (id_new, dup_of,
+    best_jaccard) for flagged batch docs."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    alld = corpus.unionAll(batch)
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        banded_keys,
+        jaccard_pairs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(alld, "doc_id", "text", N_HASHES, SHINGLE_LEN)
+    banded = banded_keys(sig, bands=BANDS, rows_per_band=ROWS_PER_BAND)
+    a = banded.select(F.col("id").alias("id_new"), "band", "bkey")
+    b = banded.select(F.col("id").alias("id_old"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter((F.col("id_new") >= 20000) & (F.col("id_old") < 20000))
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import shingles
+
+    sh = shingles(alld, "doc_id", "text", SHINGLE_LEN)
+    jac = jaccard_pairs(
+        sh, cand.select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b"))
+    )
+    return (
+        jac.filter(F.col("jaccard") >= 0.8)
+        .groupBy(F.col("id_a").alias("id_new"))
+        .agg(
+            F.min("id_b").alias("dup_of"),
+            F.round(F.max("jaccard"), 6).alias("best_jaccard"),
+        )
+    )

@@ -49,19 +49,20 @@ _QUERY_MODULES = (
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-4 budget math (the r01-r03 gates each recorded exactly 50 rows):
-# 39 never-driver-certified queries (everything added in r04, all waves) +
+# 40+ never-driver-certified queries (everything added in r04, all waves) +
 # 2 whose code changed this round (text_tfidf_top_term's min_by argmax
 # rewrite, mm_features' real-codec dispatch — VERDICT_r03 items 3 and 5
-# both require an r04 green row) = 41 must-gate slots, leaving 9 for the
-# 19 rows whose newest green evidence is r01 (VERDICT_r03 item 4). The 9
-# most complex of those (joins/windows/cube-rollup) take the slots; the
-# 10 others roll to the top of r05's rotation — all 19 were re-verified
+# both require an r04 green row) fill the gate; remaining slots go to the
+# most complex of the 19 rows whose newest green evidence is r01
+# (VERDICT_r03 item 4); the rest roll to the top of r05's rotation — all 19 were re-verified
 # THIS round through tools/check_oracle.py's stricter exact-value compare
 # (19/19 pass, 2026-08-14), so the roll-over is a scheduling fact, not a
 # correctness doubt. After those: the r02-only rows, highest-information
 # first.
 _PRIORITY = (
     # --- never driver-certified (r04 additions), highest information first
+    "sim_ivfpq_top5",  # IVF+PQ: the FAISS production ANN shape
+    "dedup_incremental",  # new-batch-vs-corpus asymmetric LSH probe
     "dedup_recall_planted",  # dedup quality metrics vs planted dups
     "text_lm_score",  # corpus-LM fluency scoring (CCNet-style)
     "text_pii_scrub",  # PII redaction with planted synthetic PII
@@ -104,7 +105,7 @@ _PRIORITY = (
     # --- code changed this round, r03 green row exists
     "text_tfidf_top_term",  # row_number window -> min_by aggregate argmax
     "mm_features",  # codec dispatch added behind the mapInPandas seam
-    # --- r01-only rows: the 9 most complex take the remaining gate slots
+    # --- r01-only rows: the most complex take any remaining gate slots
     "rel_outer_join",
     "rel_agg_rollup",
     "rel_agg_cube",

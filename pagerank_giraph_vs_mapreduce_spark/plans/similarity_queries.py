@@ -658,3 +658,64 @@ def sim_knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t.cs").alias("cos_sim"),
         )
     )
+
+
+@query(
+    "sim_ivfpq_top5",
+    oracle=f"""WITH {_CENTROIDS_SQL},
+{_ASSIGN_SQL},
+{_PQ_CTES},
+codes AS (SELECT vec_id, s, cid FROM best WHERE rn = 1),
+qc AS (SELECT c.centroid_id
+       FROM embeddings e, cents c WHERE e.vec_id = {QUERY_ID}
+       ORDER BY round({_DOT.format(a='e.embedding', b='c.embedding')}, 6) DESC,
+                c.centroid_id
+       LIMIT {NPROBE}),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = {QUERY_ID}),
+lut AS (
+  SELECT subs.s, c.cid,
+         CAST(round(list_sum(list_transform(
+             list_zip(list_slice(q.qv, subs.s*{PQ_D}+1, subs.s*{PQ_D}+{PQ_D}),
+                      list_slice(c.cv, subs.s*{PQ_D}+1, subs.s*{PQ_D}+{PQ_D})),
+             p -> (p[1]-p[2]) * (p[1]-p[2]))), 6) AS DECIMAL(18,6)) AS d
+  FROM q, subs, pqc c)
+SELECT co.vec_id, round(CAST(sum(l.d) AS DOUBLE), 6) AS adc_dist
+FROM codes co
+JOIN assign a ON a.vec_id = co.vec_id
+JOIN lut l ON l.s = co.s AND l.cid = co.cid
+WHERE a.centroid_id IN (SELECT centroid_id FROM qc)
+GROUP BY co.vec_id
+ORDER BY adc_dist, co.vec_id LIMIT 5""",
+)
+def sim_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the production billion-vector ANN shape (FAISS IVFPQ):
+    coarse-quantize every vector to an IVF cell, prune candidates to the
+    query's nprobe=2 nearest cells, then rank ONLY by PQ asymmetric
+    distance — the scan touches the cell id and the 4-byte codes, never
+    the raw vectors. Composes ivf_assign + ivf_query_cells + pq_encode +
+    pq_adc_topk; both codebooks are one-row broadcasts, so candidate
+    pruning and ranking are shuffle-free. With the codes table written
+    partitioned by cell id, the nprobe filter becomes partition pruning
+    and the search reads nprobe/k of an already-64x-smaller table."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        ivf_assign,
+        ivf_query_cells,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf_cents = _centroids(spark, sf_dir)
+    pq_cents = _pq_centroids(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    assign = ivf_assign(emb, ivf_cents)
+    qcells = ivf_query_cells(q, ivf_cents, nprobe=NPROBE)
+    codes = pq_encode(emb, pq_cents, m=PQ_M, dim=64)
+    candidates = (
+        codes.join(assign, "vec_id")
+        .crossJoin(F.broadcast(qcells))
+        .filter(F.array_contains("qcells", F.col("centroid_id")))
+        .select("vec_id", "codes")
+    )
+    return pq_adc_topk(candidates, q, pq_cents, k=5, m=PQ_M, dim=64)
