@@ -49,7 +49,7 @@ _QUERY_MODULES = (
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-4 budget math (the r01-r03 gates each recorded exactly 50 rows):
-# 40+ never-driver-certified queries (everything added in r04, all waves) +
+# 41 never-driver-certified queries (everything added in r04, all waves) +
 # 2 whose code changed this round (text_tfidf_top_term's min_by argmax
 # rewrite, mm_features' real-codec dispatch — VERDICT_r03 items 3 and 5
 # both require an r04 green row) fill the gate; remaining slots go to the
@@ -113,10 +113,11 @@ _PRIORITY = (
     "rel_having",
     "rel_pivot",
     "rel_win_rank",
+    # (slots end here at 151 registered queries: 41 new + 2 changed + 7
+    # stale fit the 50-row gate; the 12 r01-stale rows below lead r05)
     "rel_win_running",
     "rel_win_lag",
-    # --- r01-only overflow (locally re-certified 19/19 this round; these
-    # 10 lead r05's rotation)
+    # --- r01-only overflow (locally re-certified 19/19 this round)
     "rel_win_ranking_family",
     "rel_intersect",
     "rel_except",
