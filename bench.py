@@ -392,6 +392,8 @@ def main() -> int:
         "text_pii_scrub",
         "sim_ivfpq_top5",
         "dedup_incremental",
+        "rel_q15_top_supplier",
+        "rel_q17_small_quantity",
     ):
         timed(q, run_query_rows(q))
 

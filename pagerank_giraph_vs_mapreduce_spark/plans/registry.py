@@ -49,7 +49,7 @@ _QUERY_MODULES = (
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-4 budget math (the r01-r03 gates each recorded exactly 50 rows):
-# 41 never-driver-certified queries (everything added in r04, all waves) +
+# 44 never-driver-certified queries (everything added in r04, all waves) +
 # 2 whose code changed this round (text_tfidf_top_term's min_by argmax
 # rewrite, mm_features' real-codec dispatch — VERDICT_r03 items 3 and 5
 # both require an r04 green row) fill the gate; remaining slots go to the
@@ -100,6 +100,9 @@ _PRIORITY = (
     "rel_q13_order_distribution",
     "rel_q19_disjunctive",
     "rel_q22_idle_customers",
+    "rel_q14_promo_revenue",  # conditional-agg promo share (exact decimal)
+    "rel_q15_top_supplier",  # shared-view max-equality (broadcast, no sort)
+    "rel_q17_small_quantity",  # decorrelated avg-threshold subquery
     "source_json_roundtrip",  # JSON-lines source/sink fidelity
     "source_csv_roundtrip",  # CSV source/sink fidelity
     # --- code changed this round, r03 green row exists
@@ -112,9 +115,12 @@ _PRIORITY = (
     "rel_distinct_agg",
     "rel_having",
     "rel_pivot",
+    # (slots end here at 154 registered queries: 44 new + 2 changed + 4
+    # stale fill the 50-row gate — certifying every never-certified query
+    # makes the cumulative driver-row union COMPLETE at 154/154; the 15
+    # r01-stale rows below lead r05's rotation, all 19 locally
+    # re-verified this round)
     "rel_win_rank",
-    # (slots end here at 151 registered queries: 41 new + 2 changed + 7
-    # stale fit the 50-row gate; the 12 r01-stale rows below lead r05)
     "rel_win_running",
     "rel_win_lag",
     # --- r01-only overflow (locally re-certified 19/19 this round)

@@ -1083,3 +1083,137 @@ def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+@query(
+    "rel_q14_promo_revenue",
+    oracle="""SELECT
+  CAST(round(100.00 * sum(CAST(CASE WHEN p_type = 'PROMO'
+           THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+           AS DECIMAL(38,12)))
+       / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))), 6)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'""",
+)
+def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    a fact-dim join with a pushed date-range filter. Both sums accumulate
+    as exact DECIMAL so the cross-engine division input is bit-identical;
+    part broadcasts, the lineitem scan prunes to one month before the
+    join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.round(
+            F.lit(100.00)
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev)
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,12)")
+            )
+            / F.sum(rev.cast("decimal(38,12)")),
+            6,
+        )
+        .cast("double")
+        .alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "rel_q15_top_supplier",
+    oracle="""WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(38,12))), 6) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey""",
+)
+def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: top supplier by quarterly revenue — an aggregate
+    reused twice (per-supplier revenue AND its global max) with an
+    equality filter, the classic shared-view pattern. The revenue frame
+    appears on both sides; the 1-row max broadcasts, so the 'subquery'
+    is a broadcast-crossJoin filter, not a recompute-and-sort. Revenue
+    is decimal-summed then rounded so the equality compare is exact on
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "rel_q17_small_quantity",
+    oracle="""WITH part_avg AS (
+  SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS threshold
+  FROM lineitem GROUP BY l_partkey)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,12))) / 7.0, 6)
+            AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON pk = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < threshold""",
+)
+def rel_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    'quantity below 20% of this part's average' subquery decorrelated
+    into a per-part aggregate joined back to the fact (exactly what
+    Catalyst does to the correlated form; written decorrelated so plan
+    and oracle agree structurally). avg(l_quantity) is IEEE double on
+    identical per-part input sets in both engines; the revenue sum is
+    exact DECIMAL. Threshold comparison is per-row double — no ordering
+    hazard."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,12)"))
+                / 7.0,
+                6,
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
