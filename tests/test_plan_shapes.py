@@ -1,0 +1,92 @@
+"""Plan-SHAPE regression tests: the scale guarantees this repo argues from
+(broadcast codebooks, zero N-row exchanges, pushed filters) are properties
+of the physical plan, so pin them — a refactor that silently adds a
+shuffle or drops a broadcast should fail here, not in a 100 TB run.
+
+Plans are inspected AFTER execution (AQE finalizes join strategies at
+runtime)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+    QUERIES,
+    load_all_queries,
+)
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffle_exchanges(plan: str) -> int:
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
+            plan,
+        )
+    )
+
+
+def test_pq_encode_is_shuffle_free_on_vector_side(spark, sf_oracle_dir):
+    load_all_queries()
+    plan = _executed_plan(QUERIES["sim_pq_encode"](spark, sf_oracle_dir))
+    # the only exchanges allowed are the tiny codebook collapse (8 rows ->
+    # 1 row); the N-row vector side must ride a BroadcastNestedLoopJoin
+    assert "BroadcastNestedLoopJoin" in plan
+    assert _n_shuffle_exchanges(plan) <= 2, plan
+
+
+def test_text_repetition_has_zero_exchanges(spark, sf_oracle_dir):
+    load_all_queries()
+    plan = _executed_plan(QUERIES["text_repetition"](spark, sf_oracle_dir))
+    assert _n_shuffle_exchanges(plan) == 0, plan
+
+
+def test_pii_scrub_has_zero_exchanges(spark, sf_oracle_dir):
+    load_all_queries()
+    plan = _executed_plan(QUERIES["text_pii_scrub"](spark, sf_oracle_dir))
+    assert _n_shuffle_exchanges(plan) == 0, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_oracle_dir):
+    load_all_queries()
+    plan = _executed_plan(
+        QUERIES["pipeline_decontaminate"](spark, sf_oracle_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    # corpus grams must never sort-merge against the benchmark
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_domain_mix_is_broadcast_predicate_no_sort(spark, sf_oracle_dir):
+    load_all_queries()
+    plan = _executed_plan(QUERIES["pipeline_domain_mix"](spark, sf_oracle_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_assign_filter_pushed_to_scan(spark, sf_oracle_dir):
+    load_all_queries()
+    df = QUERIES["sim_ivf_assign"](spark, sf_oracle_dir)
+    plan = _executed_plan(df)
+    # centroid selection (vec_id BETWEEN 10 AND 17) must reach the scan
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(vec_id,10\)", plan), plan
+    assert "Window" not in plan, plan
+
+
+def test_cosine_topk_is_take_ordered_not_global_sort(spark, sf_oracle_dir):
+    load_all_queries()
+    plan = _executed_plan(QUERIES["sim_cosine_top10"](spark, sf_oracle_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_argmax_has_no_window(spark, sf_oracle_dir):
+    # VERDICT_r03 item 3: the per-doc argmax must stay an aggregate
+    load_all_queries()
+    plan = _executed_plan(QUERIES["text_tfidf_top_term"](spark, sf_oracle_dir))
+    assert "Window" not in plan, plan
