@@ -394,6 +394,7 @@ def main() -> int:
         "dedup_incremental",
         "rel_q15_top_supplier",
         "rel_q17_small_quantity",
+        "pipeline_pack_sequences",
     ):
         timed(q, run_query_rows(q))
 

@@ -370,3 +370,69 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return domain_mix_sample(docs, "source", "doc_id", budget=MIX_BUDGET)
+
+
+PACK_BUDGET = 512
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id, source,
+         CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT)
+           AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents),
+streamed AS (
+  SELECT doc_id, source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source ORDER BY okey
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks)
+SELECT doc_id, source, n_toks,
+       CAST(floor(CAST(cum - n_toks AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
+         AS bin,
+       CAST((cum - n_toks) % {PACK_BUDGET} AS BIGINT) AS offset_in_bin
+FROM streamed""",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the training-prep step that lays documents into
+    fixed-token-budget streams ({PACK_BUDGET} tokens here): per source
+    domain, documents are concatenated in a deterministic hash order and
+    each is assigned the bin (training sequence) where it STARTS plus its
+    offset inside that bin; documents straddle bin boundaries exactly as
+    real packed pretraining batches do. One windowed running sum per
+    domain — the stream order is md5(doc_id), so retries and the oracle
+    replay the identical layout. At 100 TB packing is per-partition by
+    construction (the window key is the domain/shard), so no global sort
+    exists; within a shard the running sum is the textbook
+    rows-unbounded-preceding frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    n_toks = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("bigint")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        n_toks.alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    streamed = toks.withColumn("cum", F.sum("n_toks").over(w))
+    start = F.col("cum") - F.col("n_toks")
+    return streamed.select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.floor(start.cast("double") / PACK_BUDGET)
+        .cast("bigint")
+        .alias("bin"),
+        (start % PACK_BUDGET).cast("bigint").alias("offset_in_bin"),
+    )

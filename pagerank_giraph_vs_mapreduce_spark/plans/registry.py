@@ -49,7 +49,7 @@ _QUERY_MODULES = (
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-4 budget math (the r01-r03 gates each recorded exactly 50 rows):
-# 44 never-driver-certified queries (everything added in r04, all waves) +
+# 45 never-driver-certified queries (everything added in r04, all waves) +
 # 2 whose code changed this round (text_tfidf_top_term's min_by argmax
 # rewrite, mm_features' real-codec dispatch — VERDICT_r03 items 3 and 5
 # both require an r04 green row) fill the gate; remaining slots go to the
@@ -66,6 +66,7 @@ _PRIORITY = (
     "dedup_recall_planted",  # dedup quality metrics vs planted dups
     "text_lm_score",  # corpus-LM fluency scoring (CCNet-style)
     "text_pii_scrub",  # PII redaction with planted synthetic PII
+    "pipeline_pack_sequences",  # fixed-token-budget training-stream layout
     "pipeline_split_leakage_safe",  # split by near-dup cluster (no leakage)
     "text_bpe_merges_k3",  # distributed BPE training, zero driver actions
     "sim_pq_encode",  # product quantization codes
@@ -112,14 +113,14 @@ _PRIORITY = (
     "rel_outer_join",
     "rel_agg_rollup",
     "rel_agg_cube",
+    # (slots end here at 155 registered queries: 45 new + 2 changed + 3
+    # stale fill the 50-row gate — certifying every never-certified query
+    # makes the cumulative driver-row union COMPLETE at 155/155; the 16
+    # r01-stale rows below lead r05's rotation, all 19 locally
+    # re-verified this round)
     "rel_distinct_agg",
     "rel_having",
     "rel_pivot",
-    # (slots end here at 154 registered queries: 44 new + 2 changed + 4
-    # stale fill the 50-row gate — certifying every never-certified query
-    # makes the cumulative driver-row union COMPLETE at 154/154; the 15
-    # r01-stale rows below lead r05's rotation, all 19 locally
-    # re-verified this round)
     "rel_win_rank",
     "rel_win_running",
     "rel_win_lag",
