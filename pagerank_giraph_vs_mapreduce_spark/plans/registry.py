@@ -49,7 +49,7 @@ _QUERY_MODULES = (
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-4 budget math (the r01-r03 gates each recorded exactly 50 rows):
-# 45 never-driver-certified queries (everything added in r04, all waves) +
+# 46 never-driver-certified queries (everything added in r04, all waves) +
 # 2 whose code changed this round (text_tfidf_top_term's min_by argmax
 # rewrite, mm_features' real-codec dispatch — VERDICT_r03 items 3 and 5
 # both require an r04 green row) fill the gate; remaining slots go to the
@@ -104,6 +104,7 @@ _PRIORITY = (
     "rel_q14_promo_revenue",  # conditional-agg promo share (exact decimal)
     "rel_q15_top_supplier",  # shared-view max-equality (broadcast, no sort)
     "rel_q17_small_quantity",  # decorrelated avg-threshold subquery
+    "source_json_corrupt_records",  # PERMISSIVE quarantine (dead-letter)
     "source_json_roundtrip",  # JSON-lines source/sink fidelity
     "source_csv_roundtrip",  # CSV source/sink fidelity
     # --- code changed this round, r03 green row exists
@@ -112,12 +113,12 @@ _PRIORITY = (
     # --- r01-only rows: the most complex take any remaining gate slots
     "rel_outer_join",
     "rel_agg_rollup",
-    "rel_agg_cube",
-    # (slots end here at 155 registered queries: 45 new + 2 changed + 3
+    # (slots end here at 156 registered queries: 46 new + 2 changed + 2
     # stale fill the 50-row gate — certifying every never-certified query
-    # makes the cumulative driver-row union COMPLETE at 155/155; the 16
+    # makes the cumulative driver-row union COMPLETE at 156/156; the 17
     # r01-stale rows below lead r05's rotation, all 19 locally
     # re-verified this round)
+    "rel_agg_cube",
     "rel_distinct_agg",
     "rel_having",
     "rel_pivot",

@@ -82,3 +82,53 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out)
     )
     return _roundtrip_agg(back)
+
+
+@query(
+    "source_json_corrupt_records",
+    oracle="""SELECT
+  CAST(count(CASE WHEN doc_id % 13 <> 0 THEN 1 END) AS BIGINT) AS n_valid,
+  CAST(count(CASE WHEN doc_id % 13 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+  CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN doc_id END) AS BIGINT)
+    AS sum_valid_ids
+FROM documents""",
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine for the JSON source (the P1 malformed-row
+    predicate generalized to real ingest): a JSONL file is written with a
+    deterministic mix of well-formed rows and truncated garbage (doc_id %
+    13 == 0), then read back in PERMISSIVE mode with a _corrupt_record
+    column — valid rows parse, bad lines are counted instead of killing
+    the job (the dead-letter pattern; in production the quarantined lines
+    go to their own sink). The oracle derives the expected valid/corrupt
+    split and the valid-id checksum from the original table, so a reader
+    that silently drops or half-parses rows breaks the hash."""
+    out = tempfile.mkdtemp(prefix="src_json_bad_")
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(', "lang": '),
+            ),
+        )
+        .otherwise(
+            F.to_json(F.struct(F.col("doc_id"), F.col("lang")))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("doc_id bigint, lang string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    valid = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.count(F.when(valid, 1)).cast("bigint").alias("n_valid"),
+        F.count(F.when(~valid, 1)).cast("bigint").alias("n_corrupt"),
+        F.sum(F.when(valid, F.col("doc_id"))).cast("bigint").alias("sum_valid_ids"),
+    )
