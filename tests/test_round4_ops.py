@@ -228,3 +228,27 @@ def test_lm_score_ranks_fluent_above_gibberish(spark):
     # mean log-prob is always <= 0; and the corpus must show spread
     assert max(scores) <= 0.0
     assert min(scores) < max(scores)
+
+
+def test_pack_sequences_layout_invariants(spark, sf_oracle_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    rows = QUERIES["pipeline_pack_sequences"](spark, sf_oracle_dir).collect()
+    # per (source, bin) the packed tokens never exceed budget + one
+    # straddling doc; offsets are < budget; every doc appears exactly once
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    by_stream = {}
+    for r in rows:
+        assert 0 <= r["offset_in_bin"] < 512
+        by_stream.setdefault(r["source"], []).append(r)
+    for src, docs in by_stream.items():
+        total = sum(r["n_toks"] for r in docs)
+        max_bin = max(r["bin"] for r in docs)
+        # stream is contiguous: last bin index == floor((total-1)/budget)
+        # only if the last doc STARTS in it; weaker invariant: max start
+        # bin <= total tokens / budget
+        assert max_bin <= total // 512
