@@ -395,6 +395,8 @@ def main() -> int:
         "rel_q15_top_supplier",
         "rel_q17_small_quantity",
         "pipeline_pack_sequences",
+        "dedup_semantic",
+        "pipeline_quality_bins",
     ):
         timed(q, run_query_rows(q))
 

@@ -345,6 +345,56 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023, "SemDedup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster every embedding against a (k-means) codebook, then inside each
+    cluster drop any vector whose cosine to a SMALLER-id cluster-mate is
+    ≥ ``threshold`` — the smallest id of each semantic near-dup group
+    survives. Returns surviving ``(id, centroid_id)`` rows.
+
+    Spark shape: :func:`ivf_assign`'s broadcast-codebook argmax tags every
+    row with its cluster (zero exchanges on the N-row side), then ONE
+    equi-self-join on ``centroid_id`` produces within-cluster candidate
+    pairs — never all-pairs; at scale k grows with N so cluster sizes stay
+    bounded and ``centroid_id`` is the shuffle/bucketing key. Dominated
+    ids are removed with a left-anti join (null-safe, no distinct needed).
+
+    Determinism: dominance is an EXISTS over *all* smaller-id mates (not a
+    sequential greedy chain), so the survivor set is order-independent and
+    a SQL oracle can replay it exactly; cosine rounds to 6 dp before the
+    threshold compare, same discipline as :func:`embedding_near_dups`.
+    """
+    assigned = ivf_assign(
+        emb, centroids, id_col, vec_col, centroid_id, keep=(vec_col,)
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), centroid_id
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), centroid_id
+    )
+    cos = _dot(_as_double(F.col("va")), _as_double(F.col("vb"))) / (
+        _norm(_as_double(F.col("va"))) * _norm(_as_double(F.col("vb")))
+    )
+    dominated = (
+        a.join(b, centroid_id)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+    )
+    return assigned.select(id_col, centroid_id).join(
+        dominated, id_col, "left_anti"
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query: DataFrame,

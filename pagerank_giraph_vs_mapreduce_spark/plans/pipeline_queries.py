@@ -436,3 +436,63 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin"),
         (start % PACK_BUDGET).cast("bigint").alias("offset_in_bin"),
     )
+
+
+@query(
+    "pipeline_quality_bins",
+    oracle=f"""WITH q AS (SELECT doc_id, {QUALITY_SQL} AS q FROM documents),
+th AS (SELECT
+  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY q), 9) AS t1,
+  round(percentile_cont(0.50) WITHIN GROUP (ORDER BY q), 9) AS t2,
+  round(percentile_cont(0.75) WITHIN GROUP (ORDER BY q), 9) AS t3
+  FROM q)
+SELECT (CASE WHEN q.q > th.t1 THEN 1 ELSE 0 END
+      + CASE WHEN q.q > th.t2 THEN 1 ELSE 0 END
+      + CASE WHEN q.q > th.t3 THEN 1 ELSE 0 END) AS bin,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  round(CAST(sum(CAST(q.q AS DECIMAL(38,12))) AS DOUBLE) / count(*), 9)
+    AS avg_q,
+  min(q.q) AS min_q,
+  max(q.q) AS max_q
+FROM q, th GROUP BY 1""",
+)
+def pipeline_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality binning WITHOUT a global sort: quartile
+    thresholds of the heuristic quality score come from one scalar
+    percentile aggregate, broadcast back as three constants, and the bin
+    id is a per-row threshold count. The ntile() alternative is a single
+    totally-ordered window — one all-data range-exchange plus a full
+    sort, the classic 100 TB anti-pattern; this shape is two map-side
+    aggregations and a broadcast, with ties handled identically on both
+    engines (strict '>' against 9-dp-rounded thresholds)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import quality_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_col(F.col("text")).alias("q")
+    )
+    th = docs.agg(
+        *[
+            F.round(
+                F.expr(f"percentile_cont({p}) WITHIN GROUP (ORDER BY q)"), 9
+            ).alias(f"t{i}")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    binned = docs.crossJoin(F.broadcast(th)).select(
+        (
+            (F.col("q") > F.col("t1")).cast("int")
+            + (F.col("q") > F.col("t2")).cast("int")
+            + (F.col("q") > F.col("t3")).cast("int")
+        ).alias("bin"),
+        "q",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("q").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("avg_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )

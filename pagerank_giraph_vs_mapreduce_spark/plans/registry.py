@@ -113,11 +113,14 @@ _PRIORITY = (
     # --- r01-only rows: the most complex take any remaining gate slots
     "rel_outer_join",
     "rel_agg_rollup",
-    # (slots end here at 156 registered queries: 46 new + 2 changed + 2
-    # stale fill the 50-row gate — certifying every never-certified query
-    # makes the cumulative driver-row union COMPLETE at 156/156; the 17
-    # r01-stale rows below lead r05's rotation, all 19 locally
-    # re-verified this round)
+    # (slots end here: 46 new + 2 changed + 2 stale fill the 50-row gate.
+    # Queries below this line roll to r05's rotation: first the late-r04
+    # additions — never driver-certified, but each check_oracle-verified
+    # locally the day it landed — then the 17 r01-stale rows, all 19
+    # locally re-verified this round)
+    "dedup_semantic",  # SemDedup cluster-then-prune (late r04)
+    "source_schema_evolution",  # mergeSchema scan over evolved batches
+    "pipeline_quality_bins",  # broadcast-threshold curriculum binning
     "rel_agg_cube",
     "rel_distinct_agg",
     "rel_having",

@@ -208,6 +208,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb2, planes, threshold=0.99)
 
 
+_ASSIGN2_SQL = """assign2 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY round({dot}, 6) DESC, c.centroid_id) AS rn
+    FROM emb2 e, cents c)
+  WHERE rn = 1)""".format(dot=_DOT.format(a="e.embedding", b="c.embedding"))
+
+
+@query(
+    "dedup_semantic",
+    oracle=f"""WITH {_CENTROIDS_SQL},
+{_EMB2_SQL},
+{_ASSIGN2_SQL},
+dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign2 a JOIN emb2 ea ON ea.vec_id = a.vec_id
+       JOIN assign2 b ON b.centroid_id = a.centroid_id AND b.vec_id > a.vec_id
+       JOIN emb2 eb ON eb.vec_id = b.vec_id
+  WHERE round({_sql_cos('ea.embedding', 'eb.embedding')}, 6) >= 0.99)
+SELECT a.vec_id, a.centroid_id FROM assign2 a
+WHERE a.vec_id NOT IN (SELECT vec_id FROM dom)""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup: cluster-then-prune semantic deduplication over embeddings
+    + planted verbatim copies (vec_id % 10 == 0 replanted at +10000). The
+    codebook is the 8 data-derived centroids; each planted copy shares its
+    original's cluster (identical vector → identical argmax) and is
+    dominated by it at cos=1.0, so no +10000 id survives. The oracle
+    replays assignment and the EXISTS-dominance rule brute-force; Spark
+    routes pairs through the centroid_id equi-join only
+    (operators/similarity.py:semantic_dedup)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(
+        emb.unionAll(dups), _centroids(spark, sf_dir), threshold=0.99
+    )
+
+
 @query(
     "sim_lsh_ann_top5",
     oracle=f"""WITH {_PLANES_SQL},

@@ -132,3 +132,40 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~valid, 1)).cast("bigint").alias("n_corrupt"),
         F.sum(F.when(valid, F.col("doc_id"))).cast("bigint").alias("sum_valid_ids"),
     )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_evolved,
+  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+    AS sum_evolved_chars
+FROM documents GROUP BY lang""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution tolerant scan: two parquet batches of the same
+    logical table written under one root with DIFFERENT schemas (batch=0
+    predates the ``n_chars`` column; batch=1 carries it), read back as one
+    table with ``mergeSchema`` — old rows surface NULL for the late
+    column, partition discovery contributes the ``batch`` column. This is
+    the ingest reality of any long-lived 100 TB corpus: producers add
+    columns over time and the reader must union schemas without a
+    rewrite. The oracle derives the same per-lang rollup from the
+    original table (evolved rows are doc_id % 2 = 1), so dropped rows,
+    misaligned columns, or a reader that nulls the wrong side all break
+    the hash."""
+    out = tempfile.mkdtemp(prefix="src_evo_")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
+        "overwrite"
+    ).parquet(out + "/batch=0")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    ).write.mode("overwrite").parquet(out + "/batch=1")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("n_chars").cast("bigint").alias("n_evolved"),
+        F.sum("n_chars").cast("bigint").alias("sum_evolved_chars"),
+    )

@@ -252,3 +252,81 @@ def test_pack_sequences_layout_invariants(spark, sf_oracle_dir):
         # only if the last doc STARTS in it; weaker invariant: max start
         # bin <= total tokens / budget
         assert max_bin <= total // 512
+
+
+def test_semantic_dedup_drops_near_dups_within_cluster(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id bigint, embedding array<float>",
+    )
+    # cos threshold 0.99 ~ 8.1 degrees: v2 (7deg) is within it of v1,
+    # v6 (14deg) is within it of v2 but NOT of v1; v5 lands in the other
+    # cluster and survives (cos to v3 is only 0.8).
+    vecs = emb_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.992546, 0.121869]),   # 7 deg
+            (6, [0.970296, 0.241922]),   # 14 deg
+            (3, [0.0, 1.0]),
+            (4, [1.0, 0.0]),             # verbatim dup of v1
+            (5, [0.6, 0.8]),
+        ],
+    )
+    out = {
+        r["vec_id"]: r["centroid_id"]
+        for r in semantic_dedup(vecs, cents, threshold=0.99).collect()
+    }
+    # Dominance is EXISTS over all smaller-id cluster-mates (SemDedup's
+    # per-cluster epsilon-ball prune), not a greedy chain: v6 is dropped
+    # via v2 even though v2 itself is dropped via v1.
+    assert out == {1: 0, 3: 1, 5: 1}
+
+
+def test_semantic_dedup_keeps_distinct_vectors(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id bigint, embedding array<float>"
+    )
+    vecs = emb_df(spark, [(1, [1.0, 0.0]), (2, [0.8, 0.6])])  # cos = 0.8
+    got = sorted(
+        r["vec_id"] for r in semantic_dedup(vecs, cents, threshold=0.99).collect()
+    )
+    assert got == [1, 2]
+
+
+def test_quality_bins_partition_the_corpus(spark, sf_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        pipeline_quality_bins,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+    rows = pipeline_quality_bins(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_total
+    assert set(r["bin"] for r in rows) <= {0, 1, 2, 3}
+    by_bin = sorted(rows, key=lambda r: r["bin"])
+    # Bins are ordered by construction: min of a higher bin can't undercut
+    # the max of a lower one (strict thresholds).
+    for lo, hi in zip(by_bin, by_bin[1:]):
+        assert lo["max_q"] <= hi["min_q"] + 1e-9
+
+
+def test_schema_evolution_nulls_only_old_batch(spark, sf_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.source_queries import (
+        source_schema_evolution,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+    rows = source_schema_evolution(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_odd = docs.filter(F.col("doc_id") % 2 == 1).count()
+    assert sum(r["n_evolved"] for r in rows) == n_odd
+    assert sum(r["n_docs"] for r in rows) == docs.count()
