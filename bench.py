@@ -397,6 +397,7 @@ def main() -> int:
         "pipeline_pack_sequences",
         "dedup_semantic",
         "pipeline_quality_bins",
+        "storage_zorder_buckets",
     ):
         timed(q, run_query_rows(q))
 

@@ -121,6 +121,7 @@ _PRIORITY = (
     "dedup_semantic",  # SemDedup cluster-then-prune (late r04)
     "source_schema_evolution",  # mergeSchema scan over evolved batches
     "pipeline_quality_bins",  # broadcast-threshold curriculum binning
+    "storage_zorder_buckets",  # Morton-key 2-D clustering audit
     "rel_agg_cube",
     "rel_distinct_agg",
     "rel_having",

@@ -169,3 +169,46 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_chars").cast("bigint").alias("n_evolved"),
         F.sum("n_chars").cast("bigint").alias("sum_evolved_chars"),
     )
+
+
+_ZBITS = 16
+_ZVAL_SQL = " + ".join(
+    f"(((l_partkey >> {i}) & 1) << {2 * i + 1}) + "
+    f"(((l_suppkey >> {i}) & 1) << {2 * i})"
+    for i in range(_ZBITS)
+)
+
+
+@query(
+    "storage_zorder_buckets",
+    oracle=f"""SELECT ({_ZVAL_SQL}) >> 12 AS zbucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+FROM lineitem GROUP BY 1""",
+)
+def storage_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key, declaratively audited: interleave
+    l_partkey x l_suppkey bits (sources/sinks.py:zvalue_col — pure
+    shift/mask codegen, no UDF), bucket by the key's high bits (>>12: each bucket is a 64x64 tile), and emit
+    each bucket's (partkey, suppkey) bounding box. Tight per-bucket boxes
+    in BOTH columns are exactly the property that makes parquet min/max
+    footer stats prune 2-D predicates once files are written in z order
+    (sources/sinks.py:write_zordered; test_storage_layout proves the
+    file-skipping win against a single-column sort). The oracle replays
+    the interleave with integer shifts — bit-exact on both engines."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.sinks import zvalue_col
+
+    li = load_table(spark, sf_dir, "lineitem")
+    z = zvalue_col(F.col("l_partkey"), F.col("l_suppkey"), _ZBITS)
+    return (
+        li.select(F.shiftright(z, 12).alias("zbucket"), "l_partkey", "l_suppkey")
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+    )

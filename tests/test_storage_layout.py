@@ -73,3 +73,90 @@ def test_ivf_partitioned_write_prunes_probe(spark, sf_dir, tmp_path):
     assert "centroid_id" in plan.split("PartitionFilters")[1][:200]
     n_probe, n_total = probe.count(), table.count()
     assert 0 < n_probe < n_total
+
+
+def _file_bounds(out_dir, cols):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    bounds = []
+    for f in sorted(glob.glob(f"{out_dir}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins: dict = {c: None for c in cols}
+        maxs: dict = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    st = col.statistics
+                    mins[name] = (
+                        st.min if mins[name] is None else min(mins[name], st.min)
+                    )
+                    maxs[name] = (
+                        st.max if maxs[name] is None else max(maxs[name], st.max)
+                    )
+        bounds.append((mins, maxs))
+    return bounds
+
+
+def test_zorder_layout_prunes_2d_predicates(spark, sf_dir, tmp_path):
+    """write_zordered beats a wrong-column clustering on 2-D file skipping:
+    with footer min/max as the pruning signal (what any lakehouse scanner
+    uses), a narrow partkey x suppkey predicate must intersect fewer
+    z-ordered files than files clustered by the unrelated l_orderkey."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.sinks import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zout = str(tmp_path / "zord")
+    write_zordered(li, zout, "l_partkey", "l_suppkey", n_files=8)
+    ctrl = str(tmp_path / "bykey")
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.parquet(ctrl)
+    )
+    cols = {"l_partkey", "l_suppkey"}
+    # predicate: l_partkey BETWEEN 0 AND 24 AND l_suppkey BETWEEN 0 AND 2
+    def n_files_hit(out_dir):
+        n = 0
+        for mins, maxs in _file_bounds(out_dir, cols):
+            if (
+                mins["l_partkey"] <= 24
+                and maxs["l_partkey"] >= 0
+                and mins["l_suppkey"] <= 2
+                and maxs["l_suppkey"] >= 0
+            ):
+                n += 1
+        return n
+
+    assert len(_file_bounds(zout, cols)) == 8
+    assert n_files_hit(zout) < n_files_hit(ctrl)
+    # layout change preserves content
+    assert spark.read.parquet(zout).count() == li.count()
+
+
+def test_zvalue_interleaves_bits(spark):
+    from pagerank_giraph_vs_mapreduce_spark.sources.sinks import zvalue_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 3), (5, 2)], "a bigint, b bigint"
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zvalue_col(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+    # a's bit i -> position 2i+1, b's bit i -> position 2i
+    def morton(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i + 1) | ((b >> i) & 1) << (2 * i)
+        return z
+
+    assert got == {(a, b): morton(a, b) for (a, b) in got}
