@@ -330,3 +330,64 @@ def test_schema_evolution_nulls_only_old_batch(spark, sf_dir):
     n_odd = docs.filter(F.col("doc_id") % 2 == 1).count()
     assert sum(r["n_evolved"] for r in rows) == n_odd
     assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_semantic_dedup_matches_bruteforce_model(spark):
+    """Spark semantic_dedup == an independent pure-Python brute-force model
+    on a seeded random corpus (assignment argmax, 6-dp rounding, EXISTS
+    dominance all mirrored)."""
+    import math
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    vecs = {}
+    for vid in range(60):
+        if vid >= 50:  # ten jittered near-copies of earlier vectors
+            base = vecs[vid - 50]
+            v = [x * 1.0001 for x in base]
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        vecs[vid] = v
+    cents = {c: vecs[c * 7] for c in range(4)}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def assign(v):
+        scored = [(round(dot(v, cv), 6), -cid, cid) for cid, cv in cents.items()]
+        return max(scored)[2]
+
+    def cos(a, b):
+        return round(
+            dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))), 6
+        )
+
+    cluster = {vid: assign(v) for vid, v in vecs.items()}
+    expect = {
+        (vid, cluster[vid])
+        for vid, v in vecs.items()
+        if not any(
+            cluster[o] == cluster[vid] and o < vid and cos(vecs[o], v) >= 0.999
+            for o in vecs
+        )
+    }
+
+    emb = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in v]) for cid, v in cents.items()],
+        "centroid_id bigint, embedding array<double>",
+    )
+    got = {
+        (r["vec_id"], r["centroid_id"])
+        for r in semantic_dedup(emb, cdf, threshold=0.999).collect()
+    }
+    assert got == expect
+    assert len(got) < len(vecs)  # the planted near-copies actually dropped
