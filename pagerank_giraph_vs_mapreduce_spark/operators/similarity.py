@@ -41,9 +41,12 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Brute-force cosine top-k of ``emb`` rows against the single-row
-    ``query`` DataFrame (same vec_col). Deterministic tie-break on id."""
+    ``query`` DataFrame (same vec_col). Deterministic tie-break on id.
+    ``keep`` carries extra ``emb`` columns (e.g. metadata the caller
+    filtered on) through scoring into the result."""
     q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("qv")))
     scored = emb.crossJoin(q).select(
         F.col(id_col),
@@ -51,9 +54,10 @@ def cosine_topk(
             _dot(_as_double(F.col(vec_col)), F.col("qv"))
             / (_norm(_as_double(F.col(vec_col))) * _norm(F.col("qv")))
         ).alias("cos_sim"),
+        *keep,
     )
     return (
-        scored.select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
+        scored.select(id_col, F.round("cos_sim", 6).alias("cos_sim"), *keep)
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )

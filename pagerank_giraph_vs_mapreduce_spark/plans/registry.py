@@ -122,6 +122,7 @@ _PRIORITY = (
     "source_schema_evolution",  # mergeSchema scan over evolved batches
     "pipeline_quality_bins",  # broadcast-threshold curriculum binning
     "storage_zorder_buckets",  # Morton-key 2-D clustering audit
+    "sim_filtered_top5",  # metadata-filtered ANN (pre-filter semantics)
     "rel_agg_cube",
     "rel_distinct_agg",
     "rel_having",

@@ -764,3 +764,37 @@ def sim_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "codes")
     )
     return pq_adc_topk(candidates, q, pq_cents, k=5, m=PQ_M, dim=64)
+
+
+FILTER_LABEL = 1
+
+
+@query(
+    "sim_filtered_top5",
+    oracle=f"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_ID})
+SELECT e.vec_id, e.label,
+       round({_sql_cos('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.label = {FILTER_LABEL}
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+)
+def sim_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search with PRE-filter semantics: the
+    label predicate prunes the candidate set before any scoring, so the
+    result always holds 5 rows of the requested label — unlike
+    post-filtering a top-k, which silently under-fills when matches are
+    scarce. The filter is a pushed parquet predicate ahead of the
+    broadcast-query scoring map (same plan as sim_cosine_top10 on a
+    smaller scan); composed with IVF/LSH, label becomes a second
+    partition column and the probe prunes on (cell AND label)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    top = cosine_topk(
+        emb.filter(F.col("label") == FILTER_LABEL),
+        q,
+        k=5,
+        keep=("label",),
+    )
+    return top.select(
+        "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim")
+    )
