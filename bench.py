@@ -401,6 +401,34 @@ def main() -> int:
     ):
         timed(q, run_query_rows(q))
 
+    def run_semantic_k64() -> None:
+        # The registry twin (dedup_semantic) is pinned to the oracle's
+        # 8-centroid codebook, which at sf0.1 leaves ~700-vector clusters
+        # and a quadratic within-cluster pair cost — the exact anti-
+        # pattern SCALING.md §7f warns about. This entry is the scale
+        # path: k=64 keeps clusters ~90 rows, same survivors semantics.
+        from pyspark.sql import functions as SF
+
+        from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .select("vec_id", "embedding")
+        )
+        dups = emb.filter(SF.col("vec_id") % 10 == 0).select(
+            (SF.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        )
+        cents = emb.filter(
+            (SF.col("vec_id") >= 10) & (SF.col("vec_id") < 74)
+        ).select((SF.col("vec_id") - 10).alias("centroid_id"), "embedding")
+        extras["dedup_semantic_k64_rows"] = semantic_dedup(
+            emb.unionAll(dups), cents, threshold=0.99
+        ).count()
+
+    timed("dedup_semantic_k64", run_semantic_k64)
+
     unknown = only - set(timings)
     if unknown:
         print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)
