@@ -398,6 +398,7 @@ def main() -> int:
         "dedup_semantic",
         "pipeline_quality_bins",
         "storage_zorder_buckets",
+        "pipeline_dsir_resample",
     ):
         timed(q, run_query_rows(q))
 

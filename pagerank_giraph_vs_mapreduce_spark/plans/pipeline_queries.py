@@ -496,3 +496,109 @@ def pipeline_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("q").alias("min_q"),
         F.max("q").alias("max_q"),
     )
+
+
+DSIR_TARGET = "src0"
+DSIR_TOP = 100
+
+# The featurization CTEs must stay textually in lockstep with
+# text_feature_hash_64's oracle (same polyhash, same 64 dims) — DSIR's
+# guarantees hold only if target and pool share the feature space.
+_DSIR_COO_SQL = """toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != ''),
+dims AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, length(tok) + 1),
+                  i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+                       * ((i % 32) + 1))) % 64 AS INT) AS dim
+  FROM toks),
+coo AS (
+  SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS val
+  FROM dims GROUP BY doc_id, dim)"""
+
+
+@query(
+    "pipeline_dsir_resample",
+    oracle=f"""WITH {_DSIR_COO_SQL},
+tgt AS (SELECT c.dim, sum(c.val) AS ct
+        FROM coo c JOIN documents d ON c.doc_id = d.doc_id
+        WHERE d.source = '{DSIR_TARGET}' GROUP BY c.dim),
+srcs AS (SELECT dim, sum(val) AS cs FROM coo GROUP BY dim),
+tots AS (SELECT (SELECT sum(ct) FROM tgt) AS tt,
+                (SELECT sum(cs) FROM srcs) AS ts),
+delta AS (SELECT s.dim,
+  ln((coalesce(t.ct, 0) + 1.0) / (tots.tt + 64))
+  - ln((s.cs + 1.0) / (tots.ts + 64)) AS d
+  FROM srcs s LEFT JOIN tgt t ON s.dim = t.dim, tots)
+SELECT c.doc_id,
+  round(CAST(sum(CAST(round(c.val * dl.d, 9) AS DECIMAL(38,12))) AS DOUBLE),
+        6) AS log_w
+FROM coo c JOIN delta dl ON c.dim = dl.dim
+GROUP BY c.doc_id
+ORDER BY log_w DESC, c.doc_id LIMIT {DSIR_TOP}""",
+)
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every pool
+    document by the log importance ratio of a target domain's hashed
+    n-gram distribution over the pool's (add-1 smoothed over the 64
+    hashed dims), and keep the top-{DSIR_TOP}. Here the target is the
+    ``{DSIR_TARGET}`` source split standing in for the curated domain.
+
+    Scale shape: the corpus contributes one featurize scan (the
+    text_feature_hash_64 plan) plus ONE per-doc aggregation; the two
+    distribution estimates are 64-row aggregates whose log-ratio table
+    broadcasts back — nothing but the (doc, dim, val) COO rows ever
+    shuffles, so at 100 TB cost is the featurization scan itself.
+    Determinism: per-term round(·, 9) then exact DECIMAL summation, so
+    the ranking is immune to double-addition order across engines and
+    partitionings (same discipline as PQ's ADC distances)."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.text_queries import (
+        FEATURE_DIMS,
+        text_feature_hash_64,
+    )
+
+    coo = text_feature_hash_64(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tgt = (
+        coo.join(docs, "doc_id")
+        .filter(F.col("source") == DSIR_TARGET)
+        .groupBy("dim")
+        .agg(F.sum("val").alias("ct"))
+    )
+    srcs = coo.groupBy("dim").agg(F.sum("val").alias("cs"))
+    tt = tgt.agg(F.sum("ct").alias("tt"))
+    ts = srcs.agg(F.sum("cs").alias("ts"))
+    delta = (
+        srcs.join(tgt, "dim", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(ts))
+        .select(
+            "dim",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tt") + F.lit(float(FEATURE_DIMS)))
+                )
+                - F.log(
+                    (F.col("cs") + F.lit(1.0))
+                    / (F.col("ts") + F.lit(float(FEATURE_DIMS)))
+                )
+            ).alias("d"),
+        )
+    )
+    w = (
+        coo.join(F.broadcast(delta), "dim")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("val") * F.col("d"), 9).cast("decimal(38,12)")
+                ).cast("double"),
+                6,
+            ).alias("log_w")
+        )
+    )
+    return w.orderBy(F.desc("log_w"), F.asc("doc_id")).limit(DSIR_TOP)

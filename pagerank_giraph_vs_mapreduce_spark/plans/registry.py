@@ -123,6 +123,7 @@ _PRIORITY = (
     "pipeline_quality_bins",  # broadcast-threshold curriculum binning
     "storage_zorder_buckets",  # Morton-key 2-D clustering audit
     "sim_filtered_top5",  # metadata-filtered ANN (pre-filter semantics)
+    "pipeline_dsir_resample",  # DSIR importance resampling (hashed n-grams)
     "rel_agg_cube",
     "rel_distinct_agg",
     "rel_having",

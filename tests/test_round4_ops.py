@@ -391,3 +391,22 @@ def test_semantic_dedup_matches_bruteforce_model(spark):
     }
     assert got == expect
     assert len(got) < len(vecs)  # the planted near-copies actually dropped
+
+
+def test_dsir_resample_structure_and_determinism(spark, sf_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        DSIR_TOP,
+        pipeline_dsir_resample,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+    rows = pipeline_dsir_resample(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == min(DSIR_TOP, n_docs)
+    ws = [r["log_w"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    again = pipeline_dsir_resample(spark, sf_dir).collect()
+    assert [(r["doc_id"], r["log_w"]) for r in again] == [
+        (r["doc_id"], r["log_w"]) for r in rows
+    ]
