@@ -547,11 +547,12 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed dims), and keep the top-{DSIR_TOP}. Here the target is the
     ``{DSIR_TARGET}`` source split standing in for the curated domain.
 
-    Scale shape: the corpus contributes one featurize scan (the
-    text_feature_hash_64 plan) plus ONE per-doc aggregation; the two
-    distribution estimates are 64-row aggregates whose log-ratio table
-    broadcasts back — nothing but the (doc, dim, val) COO rows ever
-    shuffles, so at 100 TB cost is the featurization scan itself.
+    Scale shape: both distribution estimates come from ONE aggregation
+    over the COO rows (pool and target counts as two aggregates of the
+    same groupBy), the 64-row log-ratio table broadcasts back, and
+    scoring is one per-doc aggregation — two featurize passes total,
+    one with the COO persisted/staged (see the in-body note). Nothing
+    but the (doc, dim, val) COO rows ever shuffles.
     Determinism: per-term round(·, 9) then exact DECIMAL summation, so
     the ranking is immune to double-addition order across engines and
     partitionings (same discipline as PQ's ADC distances)."""
@@ -561,25 +562,31 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     coo = text_feature_hash_64(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    tgt = (
-        coo.join(docs, "doc_id")
-        .filter(F.col("source") == DSIR_TARGET)
-        .groupBy("dim")
-        .agg(F.sum("val").alias("ct"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("source") == DSIR_TARGET).alias("is_t")
     )
-    srcs = coo.groupBy("dim").agg(F.sum("val").alias("cs"))
-    tt = tgt.agg(F.sum("ct").alias("tt"))
-    ts = srcs.agg(F.sum("cs").alias("ts"))
+    # Both distribution estimates from ONE pass over the COO rows: the
+    # pool count and the target count are two aggregates of the same
+    # groupBy, so the corpus featurizes twice total (here + the scoring
+    # join below), not once per distribution. At 100 TB persist the COO
+    # (or stage it to parquet) to make it exactly one scan — the same
+    # staged-materialization tradeoff the curation pipeline documents.
+    dists = (
+        coo.join(docs, "doc_id")
+        .groupBy("dim")
+        .agg(
+            F.sum("val").alias("cs"),
+            F.sum(F.when(F.col("is_t"), F.col("val")).otherwise(0)).alias("ct"),
+        )
+    )
+    tots = dists.agg(F.sum("cs").alias("ts"), F.sum("ct").alias("tt"))
     delta = (
-        srcs.join(tgt, "dim", "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(ts))
+        dists.crossJoin(F.broadcast(tots))
         .select(
             "dim",
             (
                 F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    (F.col("ct") + F.lit(1.0))
                     / (F.col("tt") + F.lit(float(FEATURE_DIMS)))
                 )
                 - F.log(
