@@ -48,82 +48,39 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-4 budget math (the r01-r03 gates each recorded exactly 50 rows):
-# 46 never-driver-certified queries (everything added in r04, all waves) +
-# 2 whose code changed this round (text_tfidf_top_term's min_by argmax
-# rewrite, mm_features' real-codec dispatch — VERDICT_r03 items 3 and 5
-# both require an r04 green row) fill the gate; remaining slots go to the
-# most complex of the 19 rows whose newest green evidence is r01
-# (VERDICT_r03 item 4); the rest roll to the top of r05's rotation — all 19 were re-verified
-# THIS round through tools/check_oracle.py's stricter exact-value compare
-# (19/19 pass, 2026-08-14), so the roll-over is a scheduling fact, not a
-# correctness doubt. After those: the r02-only rows, highest-information
-# first.
+# Round-5 budget math (r04 recorded exactly 50 rows; VERDICT_r04 items 1+2
+# name the must-certify set):
+# 3 rows red in r04 whose code was FIXED this round (the two _ROUNDTRIP_ORACLE
+# BIGINT casts; sim_pq_encode's hashable string reshape) + the 6 queries that
+# have never been in any gate rotation (VERDICT_r04 item 2, verbatim) +
+# pipeline_pack_sequences whose window was re-sharded this round (VERDICT
+# item 3) + any new r05 queries (inserted at the top block as they land).
+# After those: the 19 rows whose newest green evidence is r01 (re-verified
+# locally through check_oracle's stricter compare in r04, 19/19 — scheduling
+# debt, not correctness doubt), the 4 r03-green rows with r04 guard changes,
+# then the r02-only rows. Everything r04-green sits at the bottom; overflow
+# rolls to r06.
 _PRIORITY = (
-    # --- never driver-certified (r04 additions), highest information first
-    "sim_ivfpq_top5",  # IVF+PQ: the FAISS production ANN shape
-    "dedup_incremental",  # new-batch-vs-corpus asymmetric LSH probe
-    "dedup_recall_planted",  # dedup quality metrics vs planted dups
-    "text_lm_score",  # corpus-LM fluency scoring (CCNet-style)
-    "text_pii_scrub",  # PII redaction with planted synthetic PII
-    "pipeline_pack_sequences",  # fixed-token-budget training-stream layout
-    "pipeline_split_leakage_safe",  # split by near-dup cluster (no leakage)
-    "text_bpe_merges_k3",  # distributed BPE training, zero driver actions
-    "sim_pq_encode",  # product quantization codes
-    "sim_pq_adc_top5",  # PQ asymmetric-distance search
-    "pipeline_decontaminate",  # benchmark 5-gram overlap hygiene
-    "pipeline_domain_mix",  # temperature-scaled domain rebalancing
-    "text_repetition",  # Gopher duplicate-ngram quality signals
-    "g_random_walks_k3",  # hash-seeded node2vec-style walks
-    "pipeline_curation_staged",  # staged-materialization curation
-    "pipeline_curation_staged_funnel",  # funnel from staged tables
-    "stream_curation_gate",  # streaming curation front-end
-    "mm_png_decode",  # real PNG codec, text-derived pixel oracle
-    "g_clustering_coeff",  # per-vertex Watts-Strogatz coefficient
-    "g_scc_of_source_k4",  # fwd∩bwd bounded reachability (Kosaraju pivot)
-    "g_multi_bfs_k4",  # batched multi-source BFS, one shared pass
-    "g_pagerank_weighted_k3",  # weighted kernel vs unrolled oracle
-    "g_harmonic_k4",  # harmonic centrality from batched BFS
-    "dedup_wcc_canonical",  # transitive-closure dedup (pairs -> WCC)
-    "sql_recursive_bfs_k3",  # Spark 4 WITH RECURSIVE surface proof
-    "pipeline_class_balance",  # per-class quota sampler, md5 gate
-    "text_bigrams_top20",  # n-gram LM counts via in-row zip_with
-    "stream_enrich_features",  # stream-static broadcast feature join
-    "udf_grouped_agg_wmean",  # vectorized UDAF (grouped-agg pandas UDF)
-    "sim_quantize_int8",  # embedding compression + error report
-    "g_degree_assortativity",  # Newman degree correlation
-    "sim_knn_join_top3",  # all-vectors ANN join via bucket self-join
-    "rel_upsert_merge",  # CDC MERGE shape (full outer + coalesce)
-    "rel_retention_cohorts",  # cohort/retention triangle
-    "rel_q7_volume_shipping",  # TPC-H-shape breadth (r04)
-    "rel_q8_market_share",
-    "rel_q10_returned_items",
-    "rel_q13_order_distribution",
-    "rel_q19_disjunctive",
-    "rel_q22_idle_customers",
-    "rel_q14_promo_revenue",  # conditional-agg promo share (exact decimal)
-    "rel_q15_top_supplier",  # shared-view max-equality (broadcast, no sort)
-    "rel_q17_small_quantity",  # decorrelated avg-threshold subquery
-    "source_json_corrupt_records",  # PERMISSIVE quarantine (dead-letter)
-    "source_json_roundtrip",  # JSON-lines source/sink fidelity
-    "source_csv_roundtrip",  # CSV source/sink fidelity
-    # --- code changed this round, r03 green row exists
-    "text_tfidf_top_term",  # row_number window -> min_by aggregate argmax
-    "mm_features",  # codec dispatch added behind the mapInPandas seam
-    # --- r01-only rows: the most complex take any remaining gate slots
+    # --- red in r04, fixed this round: must re-certify
+    "source_json_roundtrip",  # JSON fidelity (oracle now casts to BIGINT)
+    "source_csv_roundtrip",  # CSV fidelity (same oracle fix)
+    "sim_pq_encode",  # PQ codes now '_'-joined string (hashable)
+    # --- never in any gate rotation (VERDICT_r04 item 2)
+    "dedup_semantic",  # SemDedup cluster-then-prune
+    "pipeline_dsir_resample",  # DSIR importance resampling (hashed n-grams)
+    "pipeline_quality_bins",  # broadcast-threshold curriculum binning
+    "sim_filtered_top5",  # metadata-filtered ANN (pre-filter semantics)
+    "source_schema_evolution",  # mergeSchema scan over evolved batches
+    "storage_zorder_buckets",  # Morton-key 2-D clustering audit
+    # --- code changed this round (r05), needs fresh green row
+    "pipeline_pack_sequences",  # window re-keyed (source, shard) — VERDICT #3
+    "dedup_incremental_indexed",  # durable band-index probe — VERDICT #5
+    "rel_scd2_history",  # CDC -> SCD2 versioned rows — VERDICT #7
+    "sim_cosine_top10_vectorized",  # Arrow-kernel distance twin — VERDICT #6
+    "stream_late_data_gate",  # watermark lateness accounting — VERDICT #8
+    # --- r01-only rows (19; locally re-certified 19/19 in r04)
     "rel_outer_join",
     "rel_agg_rollup",
-    # (slots end here: 46 new + 2 changed + 2 stale fill the 50-row gate.
-    # Queries below this line roll to r05's rotation: first the late-r04
-    # additions — never driver-certified, but each check_oracle-verified
-    # locally the day it landed — then the 17 r01-stale rows, all 19
-    # locally re-verified this round)
-    "dedup_semantic",  # SemDedup cluster-then-prune (late r04)
-    "source_schema_evolution",  # mergeSchema scan over evolved batches
-    "pipeline_quality_bins",  # broadcast-threshold curriculum binning
-    "storage_zorder_buckets",  # Morton-key 2-D clustering audit
-    "sim_filtered_top5",  # metadata-filtered ANN (pre-filter semantics)
-    "pipeline_dsir_resample",  # DSIR importance resampling (hashed n-grams)
     "rel_agg_cube",
     "rel_distinct_agg",
     "rel_having",
@@ -131,7 +88,6 @@ _PRIORITY = (
     "rel_win_rank",
     "rel_win_running",
     "rel_win_lag",
-    # --- r01-only overflow (locally re-certified 19/19 this round)
     "rel_win_ranking_family",
     "rel_intersect",
     "rel_except",
@@ -148,7 +104,7 @@ _PRIORITY = (
     "sim_ivf_trained_top5",
     "g_hits_k2",  # rounds >= 1 guard
     # r02-only rows, next-oldest; composite/stateful surfaces first, the
-    # overflow past the budget rolls to r05
+    # overflow past the budget rolls to r06
     "stream_dedup_counts",
     "stream_session_30m",
     "stream_tumbling_15m",

@@ -555,7 +555,8 @@ def _pq_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sim_pq_encode",
     oracle=f"""WITH {_PQ_CTES}
-SELECT vec_id, list(cid ORDER BY s) AS codes
+SELECT vec_id,
+       array_to_string(list(CAST(cid AS VARCHAR) ORDER BY s), '_') AS codes
 FROM best WHERE rn = 1 GROUP BY vec_id""",
 )
 def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -565,13 +566,19 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle reconstructs identical codebooks) — 256 bytes -> 4 bytes,
     the compression step that makes billion-vector indexes RAM-resident.
     Shuffle-free nested higher-order argmin against the one-row broadcast
-    codebook, same plan family as sim_ivf_assign."""
+    codebook, same plan family as sim_ivf_assign. The codes array is
+    emitted '_'-joined as a string: the driver's value canonicalizer can't
+    hash array cells, and the underscore join is lossless for the
+    code-sequence comparison (order + every element land in the hash)."""
     from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
         pq_encode,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_encode(emb, _pq_centroids(spark, sf_dir), m=PQ_M, dim=64)
+    enc = pq_encode(emb, _pq_centroids(spark, sf_dir), m=PQ_M, dim=64)
+    return enc.select(
+        "vec_id", F.concat_ws("_", F.col("codes").cast("array<string>")).alias("codes")
+    )
 
 
 @query(

@@ -17,6 +17,8 @@ ingests.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,9 +28,9 @@ from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
 from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
 
 _ROUNDTRIP_ORACLE = """SELECT lang,
-       count(*) AS n_docs,
-       sum(n_chars) AS sum_n_chars,
-       sum(CAST(strlen(text) AS BIGINT)) AS sum_bytes,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(sum(CAST(strlen(text) AS BIGINT)) AS BIGINT) AS sum_bytes,
        min(text) AS min_text,
        max(text) AS max_text
 FROM documents GROUP BY lang"""
@@ -46,13 +48,27 @@ def _roundtrip_agg(df: DataFrame) -> DataFrame:
 
 _DOC_SCHEMA = "doc_id bigint, text string, lang string, n_chars bigint"
 
+# One staging dir per (prefix, sf_dir), reused across invocations and removed
+# at process exit — repeated gate/bench runs must not accumulate
+# documents-sized copies in /tmp.
+_STAGING: dict[tuple[str, str], str] = {}
+
+
+def _staging_dir(prefix: str, sf_dir: str) -> str:
+    key = (prefix, sf_dir)
+    if key not in _STAGING:
+        path = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _STAGING[key] = path
+    return _STAGING[key]
+
 
 @query("source_json_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> JSON-lines -> read back (explicit schema) -> per-lang
     aggregate. Certifies the JSON source/sink path end-to-end: unicode
     escaping, quoting and bigint fidelity all land in the value hash."""
-    out = tempfile.mkdtemp(prefix="src_json_")
+    out = _staging_dir("src_json_", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
@@ -67,7 +83,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back (explicit schema, multiLine) -> per-lang aggregate. The text
     column carries commas and quotes, so a wrong quote/escape option
     pair corrupts min/max_text and fails the oracle."""
-    out = tempfile.mkdtemp(prefix="src_csv_")
+    out = _staging_dir("src_csv_", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
@@ -103,7 +119,7 @@ def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     go to their own sink). The oracle derives the expected valid/corrupt
     split and the valid-id checksum from the original table, so a reader
     that silently drops or half-parses rows breaks the hash."""
-    out = tempfile.mkdtemp(prefix="src_json_bad_")
+    out = _staging_dir("src_json_bad_", sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     lines = docs.select(
         F.when(
@@ -155,7 +171,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     original table (evolved rows are doc_id % 2 = 1), so dropped rows,
     misaligned columns, or a reader that nulls the wrong side all break
     the hash."""
-    out = tempfile.mkdtemp(prefix="src_evo_")
+    out = _staging_dir("src_evo_", sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.mode(
         "overwrite"
