@@ -373,6 +373,7 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_BUDGET = 512
+PACK_SHARDS = 8  # per-domain parallel packing lanes (VERDICT_r04 item 3)
 
 
 @query(
@@ -381,31 +382,53 @@ PACK_BUDGET = 512
   SELECT doc_id, source,
          CAST((length(text) - length(replace(text, ' ', ''))) + 1 AS BIGINT)
            AS n_toks,
-         md5(CAST(doc_id AS VARCHAR)) AS okey
+         md5(CAST(doc_id AS VARCHAR)) AS okey,
+         doc_id % {PACK_SHARDS} AS shard
   FROM documents),
 streamed AS (
-  SELECT doc_id, source, n_toks,
-         sum(n_toks) OVER (PARTITION BY source ORDER BY okey
+  SELECT doc_id, source, shard, n_toks,
+         sum(n_toks) OVER (PARTITION BY source, shard ORDER BY okey
                            ROWS UNBOUNDED PRECEDING) AS cum
-  FROM toks)
-SELECT doc_id, source, n_toks,
-       CAST(floor(CAST(cum - n_toks AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
-         AS bin,
-       CAST((cum - n_toks) % {PACK_BUDGET} AS BIGINT) AS offset_in_bin
-FROM streamed""",
+  FROM toks),
+shard_bins AS (
+  SELECT source, shard,
+         CAST(floor((sum(n_toks) + {PACK_BUDGET} - 1) / {PACK_BUDGET})
+              AS BIGINT) AS n_bins
+  FROM toks GROUP BY source, shard),
+bases AS (
+  SELECT source, shard,
+         COALESCE(sum(n_bins) OVER (
+             PARTITION BY source ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_base
+  FROM shard_bins)
+SELECT s.doc_id, s.source, s.n_toks,
+       CAST(b.bin_base
+            + floor(CAST(s.cum - s.n_toks AS DOUBLE) / {PACK_BUDGET})
+         AS BIGINT) AS bin,
+       CAST((s.cum - s.n_toks) % {PACK_BUDGET} AS BIGINT) AS offset_in_bin
+FROM streamed s
+JOIN bases b ON b.source = s.source AND b.shard = s.shard""",
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — the training-prep step that lays documents into
-    fixed-token-budget streams ({PACK_BUDGET} tokens here): per source
-    domain, documents are concatenated in a deterministic hash order and
-    each is assigned the bin (training sequence) where it STARTS plus its
-    offset inside that bin; documents straddle bin boundaries exactly as
-    real packed pretraining batches do. One windowed running sum per
-    domain — the stream order is md5(doc_id), so retries and the oracle
-    replay the identical layout. At 100 TB packing is per-partition by
-    construction (the window key is the domain/shard), so no global sort
-    exists; within a shard the running sum is the textbook
-    rows-unbounded-preceding frame."""
+    fixed-token-budget streams ({PACK_BUDGET} tokens here): documents are
+    concatenated in a deterministic hash order and each is assigned the
+    bin (training sequence) where it STARTS plus its offset inside that
+    bin; documents straddle bin boundaries exactly as real packed
+    pretraining batches do.
+
+    The running-sum window is keyed on (source, shard) with
+    shard = doc_id % {PACK_SHARDS} — NOT on raw source (VERDICT_r04 item
+    3): at 100 TB a whale domain would serialize its entire running sum
+    through one task, so each domain is split into {PACK_SHARDS}
+    deterministic shards that pack independently and in parallel. Global
+    bin ids stay deterministic via per-shard bin bases: shard s's bins
+    start after the ceil(tokens/budget) bins of shards < s, computed by a
+    tiny per-(source, shard) aggregate (|sources|*{PACK_SHARDS} rows)
+    whose prefix-sum window is negligible and which broadcast-joins back
+    onto the stream. Each shard's final partial bin is padded, exactly
+    like real per-worker packing. The stream order within a shard is
+    md5(doc_id), so retries and the oracle replay the identical layout."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
@@ -419,19 +442,37 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         n_toks.alias("n_toks"),
         F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
     )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("okey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     streamed = toks.withColumn("cum", F.sum("n_toks").over(w))
+    shard_bins = toks.groupBy("source", "shard").agg(
+        F.floor((F.sum("n_toks") + PACK_BUDGET - 1) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("n_bins")
+    )
+    w_base = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = shard_bins.select(
+        "source",
+        "shard",
+        F.coalesce(F.sum("n_bins").over(w_base), F.lit(0)).alias("bin_base"),
+    )
     start = F.col("cum") - F.col("n_toks")
-    return streamed.select(
+    return streamed.join(
+        F.broadcast(bases), ["source", "shard"]
+    ).select(
         "doc_id",
         "source",
         "n_toks",
-        F.floor(start.cast("double") / PACK_BUDGET)
+        (F.col("bin_base") + F.floor(start.cast("double") / PACK_BUDGET))
         .cast("bigint")
         .alias("bin"),
         (start % PACK_BUDGET).cast("bigint").alias("offset_in_bin"),

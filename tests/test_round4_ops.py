@@ -238,8 +238,7 @@ def test_pack_sequences_layout_invariants(spark, sf_oracle_dir):
 
     load_all_queries()
     rows = QUERIES["pipeline_pack_sequences"](spark, sf_oracle_dir).collect()
-    # per (source, bin) the packed tokens never exceed budget + one
-    # straddling doc; offsets are < budget; every doc appears exactly once
+    # offsets are < budget; every doc appears exactly once
     assert len({r["doc_id"] for r in rows}) == len(rows)
     by_stream = {}
     for r in rows:
@@ -248,10 +247,36 @@ def test_pack_sequences_layout_invariants(spark, sf_oracle_dir):
     for src, docs in by_stream.items():
         total = sum(r["n_toks"] for r in docs)
         max_bin = max(r["bin"] for r in docs)
-        # stream is contiguous: last bin index == floor((total-1)/budget)
-        # only if the last doc STARTS in it; weaker invariant: max start
-        # bin <= total tokens / budget
-        assert max_bin <= total // 512
+        # each of the 8 shards pads (ceils) its final partial bin, so the
+        # max start-bin is bounded by total/budget plus one bin per shard
+        assert max_bin <= total // 512 + 8
+        # shard streams never share a bin: a bin's docs all come from one
+        # shard (doc_id % 8), so bin -> shard is a function
+        bin_shard = {}
+        for r in docs:
+            s = r["doc_id"] % 8
+            assert bin_shard.setdefault(r["bin"], s) == s
+
+
+def test_pack_sequences_window_is_sharded(spark, sf_oracle_dir):
+    # VERDICT_r04 item 3: the running-sum window must partition by
+    # (source, shard), never raw source — one whale domain must not
+    # serialize through a single task at 100 TB.
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    df = QUERIES["pipeline_pack_sequences"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    wins = re.findall(r"Window \[sum\(n_toks[^\]]*windowspecdefinition\(([^,]+, [^,]+),", plan)
+    assert any(
+        "source" in w and "shard" in w for w in wins
+    ), f"running-sum window not keyed by (source, shard): {wins}\n{plan}"
 
 
 def test_semantic_dedup_drops_near_dups_within_cluster(spark):
