@@ -18,7 +18,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.functions.hashing import (
@@ -142,6 +142,47 @@ def banded_keys(
         )
         banded = part if banded is None else banded.unionAll(part)
     return banded
+
+
+def write_band_index(
+    banded: DataFrame, table: str, path: str, buckets: int = 16
+) -> None:
+    """Persist an LSH band index (the ``banded_keys`` output) as a DURABLE
+    bucketed+sorted parquet table — the corpus-side artifact of
+    incremental dedup. Bucketing on the join key (band, bkey) means every
+    future new-batch probe sort-merge-joins against the index with ZERO
+    exchange on the index side: at 100 TB the corpus index is laid down
+    once and daily probes shuffle only the (batch-sized) new rows into
+    the index's bucketing. ``buckets`` sizes the static parallelism of
+    every future probe — pick it for the CORPUS size, not the batch."""
+    (
+        banded.write.bucketBy(buckets, "band", "bkey")
+        .sortBy("band", "bkey")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def probe_band_index(
+    spark: SparkSession, table: str, batch_banded: DataFrame
+) -> DataFrame:
+    """Candidate (id_new, id_old) pairs from probing a durable band index
+    written by ``write_band_index`` with a new batch's band rows. The
+    equi-join keys equal the index's bucket columns, so the index side is
+    scanned in place (no Exchange below its FileScan — pinned by
+    tests/test_plan_shapes.py:test_band_index_probe_does_not_shuffle_index);
+    only the batch side is shuffled into the index's bucketing."""
+    idx = spark.table(table).select(
+        F.col("id").alias("id_old"), "band", "bkey"
+    )
+    return (
+        batch_banded.select(F.col("id").alias("id_new"), "band", "bkey")
+        .join(idx, ["band", "bkey"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(

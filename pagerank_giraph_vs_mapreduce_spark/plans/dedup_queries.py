@@ -564,3 +564,111 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jaccard"), 6).alias("best_jaccard"),
         )
     )
+
+
+# The durable band index is written once per (sf_dir) and reused across
+# invocations — the point of the exercise is that the corpus is NOT
+# re-banded per batch.
+_BAND_INDEX: dict[str, str] = {}
+
+
+def _corpus_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the durable bucketed LSH band index for the incremental
+    fixture's corpus; returns the catalog table name."""
+    if sf_dir in _BAND_INDEX:
+        return _BAND_INDEX[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        banded_keys,
+        write_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    sig = minhash_signatures(corpus, "doc_id", "text", N_HASHES, SHINGLE_LEN)
+    banded = banded_keys(sig, bands=BANDS, rows_per_band=ROWS_PER_BAND)
+    table = f"band_index_{abs(hash(sf_dir)) % 10**8}"
+    path = tempfile.mkdtemp(prefix="band_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    write_band_index(banded, table, path, buckets=16)
+    _BAND_INDEX[sf_dir] = table
+    return table
+
+
+@query(
+    "dedup_incremental_indexed",
+    oracle=f"""WITH docs2 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+newb AS (
+  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+alld AS (SELECT * FROM docs2 UNION ALL SELECT * FROM newb),
+{SHINGLES_SQL.replace("FROM docs2", "FROM alld")},
+{SIG_SQL},
+{BANDED_SQL},
+cand AS (
+  SELECT DISTINCT a.id AS id_new, b.id AS id_old
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.id >= 20000 AND b.id < 20000),
+{JACCARD_SQL.replace("c.id_a", "c.id_new").replace("c.id_b", "c.id_old")
+             .replace("i.id_a", "i.id_new").replace("i.id_b", "i.id_old")
+             .replace("id_a,", "id_new,").replace("id_a AS", "id_new AS")
+             .replace("id_b,", "id_old,").replace("id_b AS", "id_old AS")}
+SELECT id_new, min(id_old) AS dup_of, round(max(jaccard), 6) AS best_jaccard
+FROM jac WHERE jaccard >= 0.8
+GROUP BY id_new""",
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against the DURABLE band index (VERDICT_r04 item
+    5): the corpus's LSH bands are written ONCE as a bucketed(16 on band,
+    bkey) sorted parquet table (operators/dedup.py:write_band_index) and
+    every new batch probes it via probe_band_index — a sort-merge join in
+    which the index side is scanned in place with NO exchange (bucketing
+    matches the join key; pinned by test_plan_shapes) while only the
+    batch-sized probe rows shuffle. Same fixture and same oracle as
+    dedup_incremental; what changes is the corpus side's physical shape —
+    the daily-ingest cost at 100 TB becomes O(batch), with the corpus
+    banding amortized to index-build time. Jaccard verification then
+    touches only candidate ids' shingles."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        banded_keys,
+        probe_band_index,
+    )
+
+    table = _corpus_band_index(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    sig_new = minhash_signatures(batch, "doc_id", "text", N_HASHES, SHINGLE_LEN)
+    banded_new = banded_keys(sig_new, bands=BANDS, rows_per_band=ROWS_PER_BAND)
+    cand = probe_band_index(spark, table, banded_new)
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    sh = shingles(corpus.unionAll(batch), "doc_id", "text", SHINGLE_LEN)
+    jac = jaccard_pairs(
+        sh,
+        cand.select(
+            F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b")
+        ),
+    )
+    return (
+        jac.filter(F.col("jaccard") >= 0.8)
+        .groupBy(F.col("id_a").alias("id_new"))
+        .agg(
+            F.min("id_b").alias("dup_of"),
+            F.round(F.max("jaccard"), 6).alias("best_jaccard"),
+        )
+    )

@@ -85,6 +85,54 @@ def test_cosine_topk_is_take_ordered_not_global_sort(spark, sf_oracle_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_band_index_probe_does_not_shuffle_index(spark, sf_oracle_dir):
+    # VERDICT_r04 item 5: the durable band index is bucketed on the join
+    # key, so a new-batch probe must read it with NO exchange on the
+    # index side — only the batch rows shuffle into the index bucketing.
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        banded_keys,
+        minhash_signatures,
+        probe_band_index,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.plans.dedup_queries import (
+        BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        SHINGLE_LEN,
+        _corpus_band_index,
+    )
+
+    table = _corpus_band_index(spark, sf_oracle_dir)
+    docs = (
+        spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    )
+    sig = minhash_signatures(docs, "doc_id", "text", N_HASHES, SHINGLE_LEN)
+    banded = banded_keys(sig, bands=BANDS, rows_per_band=ROWS_PER_BAND)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = probe_band_index(spark, table, banded)
+        plan = _executed_plan(probe)
+        # AQE prints the Initial Plan too — assert on the final plan only
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final, final
+        # the index scan rides its bucketing (no exchange feeds it) ...
+        assert "Bucketed: true" in final, final
+        # ... and exactly ONE side of the join is exchanged into the
+        # (band, bkey) partitioning — the batch side. A second
+        # band/bkey exchange would mean the index got shuffled too.
+        n_join_key_exchanges = len(
+            re.findall(r"Exchange hashpartitioning\(band", final)
+        )
+        assert n_join_key_exchanges == 1, (
+            f"expected only the batch-side (band, bkey) exchange:\n{final}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
 def test_tfidf_argmax_has_no_window(spark, sf_oracle_dir):
     # VERDICT_r03 item 3: the per-doc argmax must stay an aggregate
     load_all_queries()
