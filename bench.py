@@ -402,6 +402,43 @@ def main() -> int:
     ):
         timed(q, run_query_rows(q))
 
+    def kernel_bench(vectorized: bool):
+        """Distance-kernel A/B (VERDICT_r04 item 6): the same cosine
+        scoring over the embeddings table replicated 40x (~200k rows at
+        sf0.1), builtin higher-order-function fold vs Arrow/numpy
+        pandas_udf. Forced via a sum aggregate; winner per scale is
+        recorded in SCALING.md §10."""
+
+        def fn() -> None:
+            from pyspark.sql import functions as SF
+
+            from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+                cosine_scores,
+                cosine_scores_vectorized,
+            )
+
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            )
+            big = emb.crossJoin(
+                spark.range(40).select(SF.col("id").alias("rep"))
+            ).select(
+                (SF.col("vec_id") * 100 + SF.col("rep")).alias("vec_id"),
+                "embedding",
+            )
+            q = emb.filter(SF.col("vec_id") == 0)
+            op = cosine_scores_vectorized if vectorized else cosine_scores
+            scored = op(big, q)
+            key = "kernel_numpy_sum" if vectorized else "kernel_hof_sum"
+            extras[key] = round(
+                scored.agg(SF.sum("cos_sim")).collect()[0][0], 3
+            )
+
+        return fn
+
+    timed("kernel_cosine_hof", kernel_bench(False))
+    timed("kernel_cosine_numpy", kernel_bench(True))
+
     def run_semantic_k64() -> None:
         # The registry twin (dedup_semantic) is pinned to the oracle's
         # 8-centroid codebook, which at sf0.1 leaves ~700-vector clusters
@@ -418,8 +455,11 @@ def main() -> int:
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             .select("vec_id", "embedding")
         )
+        # planted-dup ids offset past the real id range — a fixed +10000
+        # silently collides once the table exceeds 10000 rows (sf >= ~1)
+        offset = emb.agg(SF.max("vec_id")).collect()[0][0] + 1
         dups = emb.filter(SF.col("vec_id") % 10 == 0).select(
-            (SF.col("vec_id") + 10000).alias("vec_id"), "embedding"
+            (SF.col("vec_id") + offset).alias("vec_id"), "embedding"
         )
         cents = emb.filter(
             (SF.col("vec_id") >= 10) & (SF.col("vec_id") < 74)

@@ -35,6 +35,27 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def cosine_scores(
+    emb: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, cos_sim[, keep...]) raw cosine of every ``emb`` row against the
+    single-row ``query`` — the builtin higher-order-function scoring
+    kernel (broadcast query, narrow map, no shuffle)."""
+    q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("qv")))
+    return emb.crossJoin(q).select(
+        F.col(id_col),
+        (
+            _dot(_as_double(F.col(vec_col)), F.col("qv"))
+            / (_norm(_as_double(F.col(vec_col))) * _norm(F.col("qv")))
+        ).alias("cos_sim"),
+        *keep,
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query: DataFrame,
@@ -47,17 +68,71 @@ def cosine_topk(
     ``query`` DataFrame (same vec_col). Deterministic tie-break on id.
     ``keep`` carries extra ``emb`` columns (e.g. metadata the caller
     filtered on) through scoring into the result."""
-    q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("qv")))
-    scored = emb.crossJoin(q).select(
-        F.col(id_col),
-        (
-            _dot(_as_double(F.col(vec_col)), F.col("qv"))
-            / (_norm(_as_double(F.col(vec_col))) * _norm(F.col("qv")))
-        ).alias("cos_sim"),
-        *keep,
-    )
+    scored = cosine_scores(emb, query, id_col, vec_col, keep)
     return (
         scored.select(id_col, F.round("cos_sim", 6).alias("cos_sim"), *keep)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_scores_vectorized(
+    emb: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized twin of the cosine scoring kernel: a scalar
+    pandas_udf that lifts each Arrow batch into one numpy matmul instead
+    of evaluating the aggregate-lambda higher-order expression per row.
+    The HOF form (``_dot``/``_norm``) does not whole-stage-codegen, so at
+    100 TB the distance kernel — the hot loop of every ANN probe — is
+    worth a measured comparison per scale (VERDICT_r04 item 6; decision
+    in SCALING.md §10). Plan shape is identical to ``cosine_topk``:
+    broadcast 1-row query, narrow map over the scan, no shuffle.
+
+    Arithmetic: elements are cast FLOAT→DOUBLE before multiplication
+    (exact), but BLAS sums in a different order than the sequential HOF
+    fold — the difference is ~1e-15, absorbed by the 6-dp rounding
+    contract both kernels already publish."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and pandas_udf can't resolve `pd` from here —
+    # the explicit returnType + legacy scalar form carries the contract
+    def _cos_batch_fn(vecs, qvs):
+        import numpy as np
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        q = np.asarray(qvs.iloc[0], dtype=np.float64)
+        dots = m @ q
+        norms = np.sqrt((m * m).sum(axis=1)) * np.sqrt((q * q).sum())
+        return pd.Series(dots / norms)
+
+    _cos_batch = pandas_udf(_cos_batch_fn, returnType="double")
+
+    q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("qv")))
+    return emb.crossJoin(q).select(
+        F.col(id_col),
+        _cos_batch(_as_double(F.col(vec_col)), F.col("qv")).alias("cos_sim"),
+    )
+
+
+def cosine_topk_vectorized(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``cosine_topk`` with the Arrow/numpy scoring kernel; same
+    deterministic contract (round 6 dp, id tie-break, TakeOrdered)."""
+    scored = cosine_scores_vectorized(emb, query, id_col, vec_col)
+    return (
+        scored.select(id_col, F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )

@@ -52,6 +52,29 @@ def sim_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+@query(
+    "sim_cosine_top10_vectorized",
+    oracle=f"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_ID})
+SELECT e.vec_id, round({_sql_cos('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings e, q
+ORDER BY cos_sim DESC, e.vec_id LIMIT {TOP_K}""",
+)
+def sim_cosine_top10_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy distance-kernel twin of sim_cosine_top10
+    (operators/similarity.py:cosine_topk_vectorized, VERDICT_r04 item 6):
+    same oracle, same 6-dp contract — certifying that the vectorized
+    kernel is drop-in value-identical to the higher-order-function form.
+    bench.py's kernel_cosine_* entries record which one wins per scale
+    (SCALING.md §10)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    return cosine_topk_vectorized(emb, q, k=TOP_K)
+
+
 _PLANES_SQL = f"""planes AS (
   SELECT vec_id - 1 AS plane_id, embedding FROM embeddings
   WHERE vec_id BETWEEN 1 AND {N_PLANES})"""
