@@ -1045,6 +1045,64 @@ def rel_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_scd2_history",
+    oracle="""WITH vers AS (
+  SELECT o_orderkey, o_totalprice AS price, CAST(1 AS BIGINT) AS seq
+  FROM orders WHERE o_orderkey % 50 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 100.0, CAST(2 AS BIGINT)
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 250.0, CAST(3 AS BIGINT)
+  FROM orders WHERE o_orderkey % 200 = 0)
+SELECT o_orderkey, price,
+       seq AS valid_from,
+       lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS valid_to,
+       lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) IS NULL
+         AS is_current
+FROM vers""",
+)
+def rel_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build — rel_upsert_merge extended from
+    latest-wins to VERSIONED rows (VERDICT_r04 item 7), the ingest
+    pattern a long-lived corpus pipeline hits when provenance must
+    survive updates: a stream of keyed change versions (here three
+    deterministic CDC batches over orders, seq = batch ordinal) becomes
+    one row per version carrying [valid_from, valid_to) and an
+    is_current flag, via a single lead() window per key. At 100 TB the
+    window is key-partitioned (key cardinality = table size; no skew —
+    versions per key are bounded by batch count) and there is no global
+    sort; in a real pipeline valid_from/valid_to are the batch
+    event-times, which changes nothing structurally. Price arithmetic is
+    an exact double shift so the oracle needs no rounding."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def batch(mod: int, shift: float, seq: int) -> DataFrame:
+        return o.filter(F.col("o_orderkey") % mod == 0).select(
+            "o_orderkey",
+            (F.col("o_totalprice") + shift).alias("price"),
+            F.lit(seq).cast("bigint").alias("seq"),
+        )
+
+    vers = (
+        batch(50, 0.0, 1)
+        .unionAll(batch(100, 100.0, 2))
+        .unionAll(batch(200, 250.0, 3))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("seq")
+    nxt = F.lead("seq").over(w)
+    return vers.select(
+        "o_orderkey",
+        "price",
+        F.col("seq").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
     "rel_retention_cohorts",
     oracle="""WITH firsts AS (
   SELECT user_id, min(epoch_us(ts)) // 604800000000 AS cohort_week

@@ -266,3 +266,101 @@ def stream_enrich_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "user_n_events", "user_sum_value"
     )
     return _drain(enriched, "append")
+
+
+# Late-arrival staging dirs, one per sf_dir, cleaned at exit (same
+# discipline as plans/source_queries._staging_dir).
+_LATE_STAGING: dict[str, str] = {}
+
+
+def _late_arrival_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as three arrival files in deliberately
+    scrambled event-time order: f1 = rows in the BACK half of each hour
+    (so the stream's max event time races ahead), f2 = the front-of-hour
+    rows — every one of them now late by up to ~30 days relative to the
+    watermark frontier — and f3 = one far-future sentinel row that
+    pushes the final watermark past every real window so append mode
+    flushes all state. mtimes force the file-source arrival order."""
+    if sf_dir in _LATE_STAGING:
+        return _LATE_STAGING[sf_dir]
+    import atexit
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_events
+
+    out = tempfile.mkdtemp(prefix="late_events_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    minute = F.minute("ts")
+    sentinel = ev.limit(1).select(
+        F.lit(-1).cast(ev.schema["event_id"].dataType).alias("event_id"),
+        F.lit("2100-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(-1).cast(ev.schema["user_id"].dataType).alias("user_id"),
+        F.lit("sentinel").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    parts = [
+        ("f1", ev.filter(minute >= 30)),
+        ("f2", ev.filter(minute < 30)),
+        ("f3", sentinel),
+    ]
+    for i, (name, df) in enumerate(parts):
+        stage = f"{out}/_stage_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{out}/{name}.parquet"
+        shutil.copy(part, dest)
+        t = 1_700_000_000 + i * 60
+        os.utime(dest, (t, t))
+        shutil.rmtree(stage)
+    _LATE_STAGING[sf_dir] = out
+    return out
+
+
+@query(
+    "stream_late_data_gate",
+    oracle=f"""SELECT (epoch_us(ts) // 900000000) * 900 AS ws,
+       event_type, count(*) AS n, {_DSUM_VALUE}
+FROM events GROUP BY 1, 2""",
+)
+def stream_late_data_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness accounting, driver-certified (VERDICT_r04 item
+    8): the events table arrives as three micro-batches in SCRAMBLED
+    event-time order (back-of-hour rows first, then every front-of-hour
+    row — up to ~30 days late vs the watermark frontier — then a
+    far-future sentinel), through an APPEND-mode tumbling aggregation
+    whose watermark (45 days) exceeds the worst injected lateness. The
+    contract certified: late-but-within-watermark rows are absorbed into
+    their windows across micro-batch boundaries and append mode flushes
+    every window exactly once when the sentinel advances the watermark —
+    so the streamed result equals the batch oracle over the full input.
+    Complete-mode twins (stream_tumbling_15m) can't see either property:
+    they re-emit everything each batch. The eviction/drop side of the
+    watermark contract is pinned by tests/test_watermark_lateness.py
+    (engine behavior there is not batch-expressible, so it is pytest-,
+    not oracle-, certified)."""
+    src = _late_arrival_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "45 days")
+        .groupBy(F.window("ts", "900 seconds").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("ws"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    # drop the sentinel's own window (year 2100) from the result
+    return _drain(agg, "append").filter(F.col("ws") < 3_000_000_000)

@@ -1,0 +1,190 @@
+"""Watermark correctness under late / out-of-order arrival (VERDICT_r04
+item 8): the session-window stream must (a) absorb late rows that arrive
+within the watermark across micro-batch boundaries — agreeing with the
+batch answer over the full input — and (b) once the watermark has
+evicted a session, emit it exactly once and DROP stragglers older than
+the watermark instead of resurrecting state. (b) is the
+state-boundedness property: an engine that never drops is "correct" on
+(a) but its state store grows without bound at 100 TB/day.
+
+File arrival order is forced with explicit mtimes + maxFilesPerTrigger=1
+so each file IS one micro-batch, and a far-future sentinel file pushes
+the final watermark past every real session so append mode flushes them.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from pagerank_giraph_vs_mapreduce_spark.streaming.events_stream import (
+    streaming_session_counts,
+)
+
+_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+T0 = datetime(2026, 1, 1, 0, 0, 0)
+SENTINEL_USER = 99
+
+
+def _mins(m: float) -> datetime:
+    return T0 + timedelta(minutes=m)
+
+
+def _write_file(spark, rows, src, name, seq, tmp_path):
+    """One parquet file = one micro-batch; mtime forces arrival order."""
+    staging = tmp_path / f"_stage_{name}"
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(staging))
+    part = globmod.glob(str(staging / "part-*.parquet"))[0]
+    src.mkdir(exist_ok=True)
+    dest = src / f"{name}.parquet"
+    shutil.copy(part, dest)
+    t = 1_700_000_000 + seq * 60
+    os.utime(dest, (t, t))
+    shutil.rmtree(staging)
+
+
+def _ev(eid, ts, user):
+    return (eid, ts, user, "click", 1.0)
+
+
+def _drain_sessions(spark, src, watermark, sink_name):
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    sess = streaming_session_counts(stream, gap_secs=1800, watermark=watermark)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table(sink_name).collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+
+
+def _batch_sessions(spark, rows):
+    df = spark.createDataFrame(rows, _SCHEMA)
+    return {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in (
+            df.groupBy(
+                "user_id", F.session_window("ts", "1800 seconds").alias("w")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_timestamp("w.start").alias("session_start"),
+                "n_events",
+            )
+            .collect()
+        )
+    }
+
+
+def test_late_within_watermark_is_absorbed(spark, tmp_path):
+    """Out-of-order arrival ACROSS micro-batches, lateness < watermark:
+    the late row must merge into its session and the final streamed
+    sessions equal the batch answer over the full input."""
+    src = tmp_path / "src_a"
+    on_time = [
+        _ev(1, _mins(0), 1),
+        _ev(2, _mins(10), 1),
+        _ev(3, _mins(20), 1),
+        _ev(4, _mins(0), 2),
+    ]
+    late = [
+        _ev(5, _mins(5), 1),  # 15 min late vs max seen (00:20)
+        _ev(6, _mins(120), 2),  # new session for u2
+    ]
+    sentinel = [_ev(999, T0 + timedelta(days=10), SENTINEL_USER)]
+    _write_file(spark, on_time, src, "f1", 1, tmp_path)
+    _write_file(spark, late, src, "f2", 2, tmp_path)
+    _write_file(spark, sentinel, src, "f3", 3, tmp_path)
+
+    got = _drain_sessions(spark, src, "4 hours", "wm_absorb")
+    want = _batch_sessions(spark, on_time + late)
+    assert got == want
+    # and the late row really did merge: u1 has ONE 4-event session
+    assert (1, int(T0.timestamp()), 4) in got
+
+
+def test_beyond_watermark_dropped_after_eviction(spark, tmp_path):
+    """The state-boundedness property: once the watermark passes a
+    session's end the session is EVICTED and emitted exactly once, and a
+    straggler arriving after that is dropped by the watermark filter
+    (observable in numRowsDroppedByWatermark) instead of resurrecting
+    state — so emitted results are final and the state store cannot grow
+    with arbitrarily old keys. Arrival script (one file = one batch):
+
+      b0  u1 @ 00:00           (opens session A = [00:00, 00:30))
+      b1  u1 @ 10:00           -> wm for b2 becomes 09:30
+      b2  u2 @ 10:01           eviction pass emits A (end 00:30 < wm)
+      b3  u1 @ 00:05           straggler: state gone, ts << wm -> DROP
+      b4  sentinel +10 days    flushes the 10:00/10:01 sessions
+
+    Spark's contract is one-directional (within-watermark data is never
+    dropped; beyond-watermark data MAY merge while its session is still
+    live — test A exercises that), so the drop is only asserted in this
+    state-already-evicted arrangement, where merging is impossible."""
+    src = tmp_path / "src_b"
+    _write_file(spark, [_ev(1, _mins(0), 1)], src, "f1", 1, tmp_path)
+    _write_file(spark, [_ev(2, _mins(600), 1)], src, "f2", 2, tmp_path)
+    _write_file(spark, [_ev(3, _mins(601), 2)], src, "f3", 3, tmp_path)
+    _write_file(spark, [_ev(4, _mins(5), 1)], src, "f4", 4, tmp_path)
+    _write_file(
+        spark,
+        [_ev(999, T0 + timedelta(days=10), SENTINEL_USER)],
+        src,
+        "f5",
+        5,
+        tmp_path,
+    )
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    sess = streaming_session_counts(
+        stream, gap_secs=1800, watermark="30 minutes"
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("wm_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("wm_drop").collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    # the straggler is gone; everything else emitted exactly once
+    assert got == {
+        (1, int(T0.timestamp()), 1),
+        (1, int(_mins(600).timestamp()), 1),
+        (2, int(_mins(601).timestamp()), 1),
+    }
+    # and the drop shows up in the engine's own watermark accounting
+    n_dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert n_dropped == 1
