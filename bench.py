@@ -232,6 +232,13 @@ def main() -> int:
         extras["pagerank_s2scale_n_vertices"] = res.n_vertices
         extras["pagerank_s2scale_build_sec"] = round(res.build_seconds, 3)
         extras["pagerank_s2scale_sec_per_iter"] = round(sum(secs) / len(secs), 3)
+        # median + last: the 5-iter MEAN is contaminated by the first
+        # supersteps' cache-promotion/JIT warm-in (SCALING.md §11 — the
+        # r04 "s2 slower than s3" inversion was exactly this artifact)
+        extras["pagerank_s2scale_iter_median_sec"] = round(
+            sorted(secs)[len(secs) // 2], 3
+        )
+        extras["pagerank_s2scale_iter_last_sec"] = round(secs[-1], 3)
 
     def run_pagerank_s3scale() -> None:
         """Reference S3 scale (soc-LiveJournal1: 4.8M V / 69M E,
@@ -246,6 +253,10 @@ def main() -> int:
         extras["pagerank_s3scale_n_vertices"] = res.n_vertices
         extras["pagerank_s3scale_build_sec"] = round(res.build_seconds, 3)
         extras["pagerank_s3scale_sec_per_iter"] = round(sum(secs) / len(secs), 3)
+        extras["pagerank_s3scale_iter_median_sec"] = round(
+            sorted(secs)[len(secs) // 2], 3
+        )
+        extras["pagerank_s3scale_iter_last_sec"] = round(secs[-1], 3)
 
     def run_pagerank_s3scale_converged() -> None:
         """The reference's actual headline workload: S3 scale TO CONVERGENCE
