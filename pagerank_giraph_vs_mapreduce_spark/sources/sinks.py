@@ -145,7 +145,14 @@ def zvalue_col(a, b, bits: int = 16):
     non-negative integer columns (a's bit i lands at position 2i+1, b's at
     2i). Pure JVM-side shift/mask expression — one codegen'd projection,
     no UDF. Points close in (a, b) space get close z-values, so range-
-    partitioning + sorting by z clusters BOTH dimensions at once."""
+    partitioning + sorting by z clusters BOTH dimensions at once.
+
+    WIDTH CONTRACT: inputs must be in [0, 2**bits); values outside alias
+    to unrelated z-keys (the high bits are silently ignored, negatives
+    interleave their two's-complement low bits), which quietly destroys
+    the clustering property. ``write_zordered`` asserts the bound at
+    write time; callers using this column directly should bound-check or
+    widen ``bits`` themselves (bits <= 31 keeps 2*bits in BIGINT range)."""
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         abit = F.shiftright(a.cast("bigint"), i).bitwiseAND(F.lit(1))
@@ -173,8 +180,27 @@ def write_zordered(
     dimensions (e.g. partkey x suppkey, user x time) need multi-dimensional
     clustering or every file intersects one of the two predicates. The
     range-exchange on z is the one shuffle; the sort is within partitions.
+
+    Enforces zvalue_col's width contract (both columns in [0, 2**bits))
+    with an in-plan assertion: out-of-range values would silently alias
+    z-keys and destroy the clustering this writer promises, so the write
+    fails instead. raise_error costs one codegen'd comparison per row.
     """
-    z = zvalue_col(F.col(c1), F.col(c2), bits)
+    hi = F.lit(1 << bits).cast("bigint")
+    in_range = (
+        (F.col(c1).cast("bigint") >= 0)
+        & (F.col(c1).cast("bigint") < hi)
+        & (F.col(c2).cast("bigint") >= 0)
+        & (F.col(c2).cast("bigint") < hi)
+    )
+    z = F.when(in_range, zvalue_col(F.col(c1), F.col(c2), bits)).otherwise(
+        F.raise_error(
+            F.lit(
+                f"write_zordered: {c1}/{c2} outside [0, 2**{bits}) — "
+                "z-keys would alias; widen bits"
+            )
+        ).cast("bigint")
+    )
     (
         df.withColumn("_z", z)
         .repartitionByRange(n_files, "_z")
