@@ -1045,6 +1045,51 @@ def rel_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_salted_skew_join",
+    oracle="""WITH fact AS (
+  SELECT l_orderkey % 10 AS hot_key, l_quantity FROM lineitem),
+dim AS (
+  SELECT o_orderkey % 10 AS hot_key, min(o_totalprice) AS dim_price
+  FROM orders GROUP BY 1)
+SELECT f.hot_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(f.l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_qty,
+       min(d.dim_price) AS dim_price
+FROM fact f JOIN dim d USING (hot_key)
+GROUP BY f.hot_key""",
+)
+def rel_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join, driver-certified (operators/skew.py:salted_join):
+    the fact side is collapsed onto 10 deliberately hot keys (every key
+    ~6k rows at sf0.01, ~600M at 100 TB — exactly the shape where one
+    reducer drowns), the dim side is replicated salt_n=8 times, and the
+    join key becomes (key, salt) so each hot key spreads over 8 reducers.
+    The salt is a content hash, not rand(), so retries and the oracle are
+    deterministic; results must equal the plain join bit-for-bit (exact
+    DECIMAL sum). Plan-level spreading is pinned by
+    tests/test_skew_and_adjacency.py; this row certifies the semantics
+    end-to-end in the gate."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fact = li.select(
+        (F.col("l_orderkey") % 10).alias("hot_key"), "l_quantity"
+    )
+    dim = o.groupBy((F.col("o_orderkey") % 10).alias("hot_key")).agg(
+        F.min("o_totalprice").alias("dim_price")
+    )
+    joined = salted_join(fact, dim, "hot_key", salt_n=8)
+    return joined.groupBy("hot_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.min("dim_price").alias("dim_price"),
+    )
+
+
+@query(
     "rel_scd2_history",
     oracle="""WITH vers AS (
   SELECT o_orderkey, o_totalprice AS price, CAST(1 AS BIGINT) AS seq
