@@ -96,7 +96,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def decode_png(payload: bytes) -> dict | None:
+def decode_png(payload: bytes, keep_pixels: bool = False) -> dict | None:
     """Pure-stdlib PNG decoder: chunk parse, zlib inflate, and scanline
     reconstruction for all five filter types (None/Sub/Up/Average/Paeth,
     PNG spec §6). Supports 8-bit depth, color types 0/2/4/6, no interlace.
@@ -142,6 +142,7 @@ def decode_png(payload: bytes) -> dict | None:
         return None
     prior = bytearray(stride)
     total = 0
+    pixels = bytearray() if keep_pixels else None
     for y in range(height):
         row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
         ftype, filt = row[0], bytearray(row[1:])
@@ -165,14 +166,19 @@ def decode_png(payload: bytes) -> dict | None:
                 return None
             recon[x] = v & 0xFF
         total += sum(recon)
+        if pixels is not None:
+            pixels.extend(recon)
         prior = recon
-    return {
+    out = {
         "width": width,
         "height": height,
         "channels": channels,
         "bit_depth": bit_depth,
         "pixel_mean": total / (stride * height),
     }
+    if pixels is not None:
+        out["pixels"] = bytes(pixels)
+    return out
 
 
 def with_binary_payload(docs: DataFrame) -> DataFrame:
@@ -413,3 +419,69 @@ def resize_payload(media: DataFrame, target: int = 32) -> DataFrame:
             )
 
     return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor image resize through the multimodal seam — the
+    transform step of an image-pretraining pipeline (decode → RESIZE →
+    feature/patchify), Arrow-batched like the decode: each batch decodes
+    the PNG payload (full pixel buffer, not just stats) and samples
+    src[(floor(y*H/out_h))*W + floor(x*W/out_w)] per output pixel and
+    channel — pure index arithmetic, so text-derived fixtures keep an
+    exact SQL oracle. Rows whose payload the decoder cannot handle emit
+    NULL dims (degrade, not fail — same contract as extract_features).
+    At 100 TB this is a narrow map over the media scan: no shuffle, and
+    only the (much smaller) resized buffers leave the stage."""
+    import hashlib
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("resized_mean", T.DoubleType()),
+            T.StructField("resized_md5", T.StringType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_png(payload, keep_pixels=True)
+                if d is None:
+                    rows.append((int(doc_id), None, None, None, None))
+                    continue
+                w, h, ch = d["width"], d["height"], d["channels"]
+                src = d["pixels"]
+                out = bytearray()
+                for y in range(out_h):
+                    sy = (y * h) // out_h
+                    for x in range(out_w):
+                        sx = (x * w) // out_w
+                        base = (sy * w + sx) * ch
+                        out.extend(src[base : base + ch])
+                mean = sum(out) / len(out)
+                rows.append(
+                    (
+                        int(doc_id),
+                        out_w,
+                        out_h,
+                        mean,
+                        hashlib.md5(bytes(out)).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "resized_mean", "resized_md5"],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "resized_mean": "Float64",
+                    "resized_md5": "object",
+                }
+            )
+
+    return media.mapInPandas(batches, schema)

@@ -127,3 +127,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ascii_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, frame_chars=64, every=4)
+
+
+@query(
+    "mm_resize",
+    oracle="""WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), k ->
+           CASE WHEN (32*(k//8) + 2*(k%8)) < length(text)
+                THEN substr(text, CAST(32*(k//8) + 2*(k%8) + 1 AS INT), 1)
+                ELSE ' ' END) AS chars
+  FROM documents)
+SELECT doc_id, 8 AS width, 2 AS height,
+       round(list_sum(list_transform(chars,
+             c -> CAST(ascii(c) AS BIGINT))) / 16.0, 9) AS resized_mean,
+       md5(array_to_string(chars, '')) AS resized_md5
+FROM px""",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE through the multimodal seam — the transform the
+    decode/feature/frame queries didn't yet cover: each doc's 16x4
+    text-derived PNG is decoded to its full pixel buffer and
+    nearest-neighbor downsampled to 8x2 inside the Arrow batch loop
+    (operators/multimodal.py:resize_nearest). Sampling is pure index
+    arithmetic — out(x, y) = src(2x, 2y) — so the oracle reconstructs the
+    resized bytes from the text column directly; md5 over the resized
+    buffer makes any stride/filter/offset bug a hash mismatch, and
+    resized_mean (exact /16 fraction, 9 dp) pins the values."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        png_payload,
+        resize_nearest,
+    )
+
+    media = png_payload(load_table(spark, sf_dir, "documents"))
+    r = resize_nearest(media, 8, 2)
+    return r.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("resized_mean", 9).alias("resized_mean"),
+        "resized_md5",
+    )
