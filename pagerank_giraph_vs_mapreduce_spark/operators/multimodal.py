@@ -325,7 +325,10 @@ def png_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(batches, schema)
+    # explicit projection: mapInPandas consumes whole input rows, so
+    # without it the parquet scan reads every column of `docs` (measured
+    # in PLANS.md — 5-column ReadSchema for a 2-column need)
+    return docs.select("doc_id", text_col).mapInPandas(batches, schema)
 
 
 FRAME_SCHEMA = T.StructType(
