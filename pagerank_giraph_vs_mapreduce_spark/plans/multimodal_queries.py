@@ -168,3 +168,39 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("resized_mean", 9).alias("resized_mean"),
         "resized_md5",
     )
+
+
+@query(
+    "mm_thumbnail",
+    oracle="""WITH media AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS payload
+  FROM documents),
+s AS (
+  SELECT doc_id, payload,
+         CASE WHEN length(payload) = 0 THEN 1
+              ELSE (length(payload) + 31) // 32 END AS stride
+  FROM media)
+SELECT doc_id,
+       CASE WHEN length(payload) = 0 THEN ''
+            ELSE array_to_string(list_transform(
+                   range(0, (length(payload) + stride - 1) // stride),
+                   i -> substr(payload, CAST(i * stride + 1 AS INT), 1)), '')
+       END AS thumb,
+       CAST(stride AS BIGINT) AS stride
+FROM s""",
+)
+def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided thumbnail/resample stand-in
+    (operators/multimodal.py:resize_payload) driver-certified: each
+    sanitized payload is downsampled to <=32 chars by stride
+    ceil(len/32) selection — the 1-D audio-resample shape next to
+    mm_resize's true 2-D pixel resize. The oracle replays the stride
+    arithmetic and character picks exactly (ASCII sanitization makes
+    chars = bytes)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        ascii_payload,
+        resize_payload,
+    )
+
+    media = ascii_payload(load_table(spark, sf_dir, "documents"))
+    return resize_payload(media, target=32)

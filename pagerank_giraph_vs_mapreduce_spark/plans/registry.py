@@ -78,6 +78,7 @@ _PRIORITY = (
     "rel_scd2_history",  # CDC -> SCD2 versioned rows — VERDICT #7
     "rel_salted_skew_join",  # content-hash salt spreads hot keys (new r05)
     "mm_resize",  # nearest-neighbor resize via decoded PNG pixels (new r05)
+    "mm_thumbnail",  # strided 1-D resample stand-in certified (new r05)
     "sim_cosine_top10_vectorized",  # Arrow-kernel distance twin — VERDICT #6
     "stream_late_data_gate",  # watermark lateness accounting — VERDICT #8
     # --- r01-only rows (19; locally re-certified 19/19 in r04)
