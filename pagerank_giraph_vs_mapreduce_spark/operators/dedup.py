@@ -165,6 +165,25 @@ def write_band_index(
     )
 
 
+def append_band_index(banded: DataFrame, table: str, buckets: int = 16) -> None:
+    """Fold a new batch's band rows INTO the durable index after its
+    probe — the maintenance half of incremental dedup (probe against the
+    index, then index the batch so tomorrow's batch sees it). Append mode
+    preserves the table's (band, bkey) bucketing (``buckets`` must match
+    the spec the table was created with — Spark rejects a mismatch): each
+    append writes one more file per bucket, so probes stay exchange-free
+    on the index side; periodic compaction (the
+    sources/sinks.py:compact_parquet discipline) folds the accumulated
+    per-batch files back to one per bucket."""
+    (
+        banded.write.bucketBy(buckets, "band", "bkey")
+        .sortBy("band", "bkey")
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def probe_band_index(
     spark: SparkSession, table: str, batch_banded: DataFrame
 ) -> DataFrame:

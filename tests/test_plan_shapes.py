@@ -138,3 +138,50 @@ def test_tfidf_argmax_has_no_window(spark, sf_oracle_dir):
     load_all_queries()
     plan = _executed_plan(QUERIES["text_tfidf_top_term"](spark, sf_oracle_dir))
     assert "Window" not in plan, plan
+
+
+def test_band_index_append_keeps_probe_exchange_free(spark, tmp_path):
+    """Index maintenance: appending a day-2 batch's bands into the durable
+    index keeps (a) probe results complete across both generations and
+    (b) the index side bucketed — no exchange under its scan."""
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        append_band_index,
+        banded_keys,
+        minhash_signatures,
+        probe_band_index,
+        write_band_index,
+    )
+
+    def docs_df(rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    day1 = docs_df([(1, base), (2, "completely different text about spark shuffles and joins here")])
+    day2 = docs_df([(3, base + " again")])
+    batch = docs_df([(100, base), (101, "nothing like anything indexed before in this corpus at all")])
+
+    def bands(df):
+        return banded_keys(minhash_signatures(df, "doc_id", "text", 24, 5), 4, 6)
+
+    spark.sql("DROP TABLE IF EXISTS band_idx_append_t")
+    write_band_index(bands(day1), "band_idx_append_t", str(tmp_path / "idx"), buckets=4)
+    append_band_index(bands(day2), "band_idx_append_t", buckets=4)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = probe_band_index(spark, "band_idx_append_t", bands(batch))
+        got = {(r["id_new"], r["id_old"]) for r in probe.collect()}
+        # doc 100 collides with BOTH generations (1 from day1, 3 from day2)
+        assert (100, 1) in got and (100, 3) in got
+        assert not any(i == 101 for i, _ in got)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final, final
+        import re as _re
+
+        assert len(_re.findall(r"Exchange hashpartitioning\(band", final)) == 1, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS band_idx_append_t")
