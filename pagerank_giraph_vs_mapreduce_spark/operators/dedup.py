@@ -182,6 +182,12 @@ def append_band_index(banded: DataFrame, table: str, buckets: int = 16) -> None:
         .format("parquet")
         .saveAsTable(table)
     )
+    # the append lands on disk but other sessions' cached relation (file
+    # listing) can go stale — notably streaming foreachBatch, which hands
+    # the batch a CLONED session (measured: appended rows invisible to the
+    # outer session until refresh). Refresh here for this session; readers
+    # refresh again in probe_band_index, which covers the cross-session case.
+    banded.sparkSession.catalog.refreshTable(table)
 
 
 def probe_band_index(
@@ -193,6 +199,9 @@ def probe_band_index(
     scanned in place (no Exchange below its FileScan — pinned by
     tests/test_plan_shapes.py:test_band_index_probe_does_not_shuffle_index);
     only the batch side is shuffled into the index's bucketing."""
+    # see append_band_index: appends from another session (streaming
+    # foreachBatch clones) leave this session's cached file listing stale
+    spark.catalog.refreshTable(table)
     idx = spark.table(table).select(
         F.col("id").alias("id_old"), "band", "bkey"
     )
