@@ -190,6 +190,46 @@ def append_band_index(banded: DataFrame, table: str, buckets: int = 16) -> None:
     banded.sparkSession.catalog.refreshTable(table)
 
 
+def compact_band_index(
+    spark: SparkSession, table: str, buckets: int = 16
+) -> int:
+    """Maintenance compaction for an appended band index: each
+    ``append_band_index`` adds one file per bucket, so after B batches a
+    probe opens B files per bucket — correctness is unaffected (bucketing
+    holds per file) but open/seek overhead accretes. Rewrite the table in
+    place as one generation: stage the rows, overwrite with the same
+    (band, bkey) bucket spec, and the next probe reads one file per
+    bucket again. Returns the row count preserved (cheap invariant for
+    callers to assert). At 100 TB this runs on the usual table-maintenance
+    cadence, amortized across every probe in between."""
+    spark.catalog.refreshTable(table)
+    location = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    rows = spark.table(table)
+    n = rows.count()
+    # sever lineage from the table being overwritten, then route each
+    # bucket's rows to exactly one task: repartition's Murmur3 hash on the
+    # bucket columns is the same function bucketing uses, so the rewrite
+    # emits ONE file per bucket instead of files x prior partitioning
+    staged = rows.localCheckpoint(eager=True).repartition(
+        buckets, F.col("band"), F.col("bkey")
+    )
+    (
+        staged.write.bucketBy(buckets, "band", "bkey")
+        .sortBy("band", "bkey")
+        .option("path", location)  # keep the external location — without
+        # it, overwrite recreates the table at the default warehouse path
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    spark.catalog.refreshTable(table)
+    return n
+
+
 def probe_band_index(
     spark: SparkSession, table: str, batch_banded: DataFrame
 ) -> DataFrame:

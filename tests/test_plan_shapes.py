@@ -185,3 +185,46 @@ def test_band_index_append_keeps_probe_exchange_free(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS band_idx_append_t")
+
+
+def test_band_index_compaction_preserves_rows_and_bucketing(spark, tmp_path):
+    """Compaction rewrites the appended index to one generation: same
+    rows, still bucketed (probe plan unchanged), fewer files."""
+    import glob as globmod
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        append_band_index,
+        banded_keys,
+        compact_band_index,
+        minhash_signatures,
+        probe_band_index,
+        write_band_index,
+    )
+
+    def bands(rows):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        return banded_keys(minhash_signatures(df, "doc_id", "text", 24, 5), 4, 6)
+
+    txt = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    spark.sql("DROP TABLE IF EXISTS band_idx_compact_t")
+    path = str(tmp_path / "cidx")
+    write_band_index(bands([(1, txt)]), "band_idx_compact_t", path, buckets=4)
+    append_band_index(bands([(2, txt + " two")]), "band_idx_compact_t", buckets=4)
+    append_band_index(bands([(3, txt + " three")]), "band_idx_compact_t", buckets=4)
+    try:
+        files_before = len(globmod.glob(f"{path}/*.parquet"))
+        n = compact_band_index(spark, "band_idx_compact_t", buckets=4)
+        assert n == 3 * 4  # 3 docs x 4 bands survived the rewrite
+        assert spark.table("band_idx_compact_t").count() == n
+        files_after = len(globmod.glob(f"{path}/*.parquet"))
+        assert files_after < files_before
+        # probe still exchange-free on the index side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = probe_band_index(spark, "band_idx_compact_t", bands([(9, txt)]))
+        assert {(r["id_new"], r["id_old"]) for r in probe.collect()} >= {(9, 1)}
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS band_idx_compact_t")
