@@ -650,14 +650,32 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig_new = minhash_signatures(batch, "doc_id", "text", N_HASHES, SHINGLE_LEN)
     banded_new = banded_keys(sig_new, bands=BANDS, rows_per_band=ROWS_PER_BAND)
-    cand = probe_band_index(spark, table, banded_new)
+    from pyspark.storagelevel import StorageLevel
+
+    # candidates feed BOTH the old-doc semi-join and the jaccard verify:
+    # persist the (small) pair set so the probe evaluates once
+    cand = probe_band_index(spark, table, banded_new).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     corpus = docs.filter(F.col("doc_id") % 5 != 0).unionAll(
         docs.filter(F.col("doc_id") % 10 == 0).select(
             (F.col("doc_id") + 10000).alias("doc_id"), "text"
         )
     )
-    sh = shingles(corpus.unionAll(batch), "doc_id", "text", SHINGLE_LEN)
+    # verify cost is O(batch + MATCHED old docs), never O(corpus): only
+    # corpus docs that appear as a candidate's id_old get re-shingled
+    # (semi-join; in production the shingle/signature table is stored and
+    # this is a keyed lookup instead). Measured at sf0.1 the semi-join is
+    # actually ~2x slower warm (3.4 s vs 1.5 s) — the corpus is so small
+    # that a full re-shingle beats adding the probe into the shingle
+    # path's critical chain — but the full scan is O(corpus) per daily
+    # batch, which is the one shape that CANNOT survive 100 TB, so the
+    # pruned form stays.
+    matched_old = corpus.join(
+        cand.select(F.col("id_old").alias("doc_id")).distinct(), "doc_id"
+    )
+    sh = shingles(matched_old.unionAll(batch), "doc_id", "text", SHINGLE_LEN)
     jac = jaccard_pairs(
         sh,
         cand.select(
