@@ -81,6 +81,7 @@ _PRIORITY = (
     "mm_thumbnail",  # strided 1-D resample stand-in certified (new r05)
     "sim_cosine_top10_vectorized",  # Arrow-kernel distance twin — VERDICT #6
     "stream_late_data_gate",  # watermark lateness accounting — VERDICT #8
+    "stream_stateful_totals",  # applyInPandasWithState certified (new r05)
     # --- r01-only rows (19; locally re-certified 19/19 in r04)
     "rel_outer_join",
     "rel_agg_rollup",

@@ -364,3 +364,73 @@ def stream_late_data_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # drop the sentinel's own window (year 2100) from the result
     return _drain(agg, "append").filter(F.col("ws") < 3_000_000_000)
+
+
+def _two_batch_events_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events as two arrival files (event_id parity split, mtimes
+    forcing order) so per-key state must carry across micro-batches."""
+    key = f"stateful::{sf_dir}"
+    if key in _LATE_STAGING:
+        return _LATE_STAGING[key]
+    import atexit
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_events
+
+    out = tempfile.mkdtemp(prefix="stateful_events_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "value")
+    for i, half in enumerate(
+        (ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1))
+    ):
+        stage = f"{out}/_stage_{i}"
+        half.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = globmod.glob(f"{stage}/part-*.parquet")[0]
+        dest = f"{out}/f{i}.parquet"
+        shutil.copy(part, dest)
+        t = 1_700_000_000 + i * 60
+        os.utime(dest, (t, t))
+        shutil.rmtree(stage)
+    _LATE_STAGING[key] = out
+    return out
+
+
+@query(
+    "stream_stateful_totals",
+    oracle="""SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_micros
+FROM events GROUP BY user_id""",
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator, driver-certified: per-user
+    running (count, sum) via applyInPandasWithState
+    (streaming/stateful.py:stateful_user_totals_exact) over events
+    arriving as TWO micro-batches (event_id parity split), so the typed
+    per-key state tuple must survive the batch boundary. Append mode
+    emits one running-total row per key per batch; the final totals are
+    the max-n row per key (n_events is strictly increasing), which must
+    equal the batch aggregate. The state accumulates integer micro-units
+    (floor(v*1e6 + 0.5), pure IEEE-double arithmetic) so the total is
+    exact and order-independent — the float-accumulator twin could never
+    hash-match a SQL oracle."""
+    from pagerank_giraph_vs_mapreduce_spark.streaming.stateful import (
+        stateful_user_totals_exact,
+    )
+
+    src = _two_batch_events_src(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("user_id", "value")
+    )
+    drained = _drain(stateful_user_totals_exact(stream), "append")
+    return drained.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_micros", "n_events").alias("total_micros"),
+    )

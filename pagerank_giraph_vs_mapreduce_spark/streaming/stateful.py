@@ -47,3 +47,39 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EXACT_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_micros bigint"
+EXACT_STATE_SCHEMA = "n bigint, total_micros bigint"
+
+
+def _update_user_totals_exact(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    n, micros = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # integer micro-units: floor(v*1e6 + 0.5) is pure IEEE-double
+        # arithmetic, so the running total is exact and ORDER-INDEPENDENT
+        # — a float accumulator would drift with arrival order and could
+        # never hash-match a SQL oracle
+        micros += sum(int(math.floor(v * 1_000_000 + 0.5)) for v in pdf["value"])
+    state.update((n, micros))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_micros": [micros]}
+    )
+
+
+def stateful_user_totals_exact(events: DataFrame) -> DataFrame:
+    """Streaming per-user running (count, exact micro-unit sum) — the
+    oracle-certifiable twin of stateful_user_totals (used by the
+    stream_stateful_totals gate query)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals_exact,
+        EXACT_OUTPUT_SCHEMA,
+        EXACT_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
