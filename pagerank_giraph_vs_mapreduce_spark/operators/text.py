@@ -327,6 +327,13 @@ def bpe_learn(
     At 100 TB only step 1 touches the corpus; rounds iterate over the
     vocabulary (multi-K rows), which is why BPE training is feasible at
     corpus scale at all."""
+    results, _vocab = _bpe_rounds_impl(df, text_col, merges)
+    return results
+
+
+def _bpe_rounds_impl(
+    df: DataFrame, text_col: str, merges: int
+) -> tuple[DataFrame, DataFrame]:
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
     )
@@ -336,6 +343,7 @@ def bpe_learn(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     cur = words.select(
+        "w",
         F.transform(
             F.sequence(F.lit(1), F.length("w")),
             lambda i: F.substring(F.col("w"), i, F.lit(1)),
@@ -381,10 +389,38 @@ def bpe_learn(
             ).otherwise(F.concat(acc, F.array(x))),
         )
         cur = cur.crossJoin(F.broadcast(top)).select(
-            merged.alias("syms"), "cnt"
+            "w", merged.alias("syms"), "cnt"
         )
     assert results is not None
-    return results
+    return results, cur
+
+
+def bpe_encode_counts(
+    df: DataFrame, id_col: str, text_col: str, merges: int = 3
+) -> DataFrame:
+    """BPE tokenizer APPLY: (id, n_words, n_bpe_tokens) per document,
+    encoding with the merges learned by ``bpe_learn`` over the same
+    corpus. The scale shape that makes encoding feasible: every DISTINCT
+    word is encoded exactly once (the vocabulary-sized ``_bpe_rounds``
+    fold — corpus-size work is only the word explode), and documents just
+    broadcast-join their words to the (w → token-count) table. Documents
+    with zero alpha tokens drop (inner join), matching the oracle. This
+    is the token-budget counter real packing/pricing uses once a real
+    tokenizer's merge table replaces the in-plan learned one."""
+    _results, vocab = _bpe_rounds_impl(df, text_col, merges)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    docw = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    vt = vocab.select("w", F.size("syms").alias("n_toks"))
+    return (
+        docw.join(F.broadcast(vt), "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -376,11 +376,13 @@ def text_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 3
 
 
-def _bpe_oracle(merges: int) -> str:
+def _bpe_ctes(merges: int, full_rounds: bool) -> list[str]:
     """Classic BPE unrolled into SQL: per round, pair counts + top-1, then
     a windowed greedy-leftmost merge replay (gaps-and-islands picks every
     other position inside a run of identical overlapping pairs, which only
-    occurs when a == b)."""
+    occurs when a == b). ``full_rounds`` also materializes the FINAL
+    round's merge replay (s{merges}) — needed by the encode oracle, not by
+    the merge-table oracle."""
     ctes = [
         """words AS (
   SELECT t.tok AS w, count(*) AS cnt
@@ -406,7 +408,7 @@ def _bpe_oracle(merges: int) -> str:
             f"t{r} AS (SELECT pair, n_occ FROM p{r} "
             "ORDER BY n_occ DESC, pair LIMIT 1)"
         )
-        if r == merges:
+        if r == merges and not full_rounds:
             break
         ctes.append(
             f"""e{r} AS (
@@ -439,11 +441,40 @@ def _bpe_oracle(merges: int) -> str:
   WHERE sp.pos IS NULL
   GROUP BY e.w, e.cnt)"""
         )
+    return ctes
+
+
+def _bpe_oracle(merges: int) -> str:
+    ctes = _bpe_ctes(merges, full_rounds=False)
     selects = [
         f"SELECT CAST({r} AS INT) AS merge_round, pair, n_occ FROM t{r}"
         for r in range(1, merges + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bpe_encode_oracle(merges: int) -> str:
+    """Per-doc BPE token counts with the learned merges: every distinct
+    word's final symbol list comes from the full merge replay (s{merges});
+    documents just join their words to it."""
+    ctes = _bpe_ctes(merges, full_rounds=True)
+    ctes.append(
+        """docw AS (
+  SELECT doc_id, t.tok AS w
+  FROM documents, LATERAL unnest(
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')
+  ) AS t(tok))"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(v.syms)) AS BIGINT) AS n_bpe_tokens
+FROM docw d JOIN s{merges} v ON v.w = d.w
+GROUP BY d.doc_id"""
+    )
 
 
 @query("text_bpe_merges_k3", oracle=_bpe_oracle(BPE_MERGES))
