@@ -570,6 +570,10 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # invocations — the point of the exercise is that the corpus is NOT
 # re-banded per batch.
 _BAND_INDEX: dict[str, str] = {}
+# At most one persisted candidate-pair DF stays alive per session (see
+# dedup_incremental_indexed): the previous invocation's blocks are
+# unpersisted when a new invocation persists its own.
+_CAND_CACHE: dict[str, DataFrame] = {}
 
 
 def _corpus_band_index(spark: SparkSession, sf_dir: str) -> str:
@@ -578,6 +582,7 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _BAND_INDEX:
         return _BAND_INDEX[sf_dir]
     import atexit
+    import hashlib
     import shutil
     import tempfile
 
@@ -594,7 +599,9 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str) -> str:
     )
     sig = minhash_signatures(corpus, "doc_id", "text", N_HASHES, SHINGLE_LEN)
     banded = banded_keys(sig, bands=BANDS, rows_per_band=ROWS_PER_BAND)
-    table = f"band_index_{abs(hash(sf_dir)) % 10**8}"
+    # stable digest, not hash(): PYTHONHASHSEED randomizes str hash per
+    # process, which made the catalog name nondeterministic across runs
+    table = f"band_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     path = tempfile.mkdtemp(prefix="band_index_")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     write_band_index(banded, table, path, buckets=16)
@@ -653,10 +660,16 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     # candidates feed BOTH the old-doc semi-join and the jaccard verify:
-    # persist the (small) pair set so the probe evaluates once
+    # persist the (small) pair set so the probe evaluates once. Bound the
+    # cache to ONE live copy: repeated gate/driver invocations in a session
+    # would otherwise accumulate cached blocks (each call makes a new DF).
+    prev = _CAND_CACHE.pop("cand", None)
+    if prev is not None:
+        prev.unpersist()
     cand = probe_band_index(spark, table, banded_new).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _CAND_CACHE["cand"] = cand
 
     corpus = docs.filter(F.col("doc_id") % 5 != 0).unionAll(
         docs.filter(F.col("doc_id") % 10 == 0).select(
