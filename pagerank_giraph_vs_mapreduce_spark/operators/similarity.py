@@ -46,11 +46,14 @@ def cosine_scores(
     single-row ``query`` — the builtin higher-order-function scoring
     kernel (broadcast query, narrow map, no shuffle)."""
     q = F.broadcast(query.select(_as_double(F.col(vec_col)).alias("qv")))
+    # try_divide: a zero-norm vector (or query) scores NULL — identically
+    # under ANSI (where bare `/` would THROW mid-scan) and non-ANSI mode.
+    # NULL sorts last under desc, so degenerate rows can never enter top-k.
     return emb.crossJoin(q).select(
         F.col(id_col),
-        (
-            _dot(_as_double(F.col(vec_col)), F.col("qv"))
-            / (_norm(_as_double(F.col(vec_col))) * _norm(F.col("qv")))
+        F.try_divide(
+            _dot(_as_double(F.col(vec_col)), F.col("qv")),
+            _norm(_as_double(F.col(vec_col))) * _norm(F.col("qv")),
         ).alias("cos_sim"),
         *keep,
     )
@@ -110,7 +113,14 @@ def cosine_scores_vectorized(
         q = np.asarray(qvs.iloc[0], dtype=np.float64)
         dots = m @ q
         norms = np.sqrt((m * m).sum(axis=1)) * np.sqrt((q * q).sum())
-        return pd.Series(dots / norms)
+        # zero-norm parity with the HOF kernel: Spark's non-ANSI Divide
+        # yields NULL on a zero divisor, while numpy would yield nan/inf
+        # (which sorts FIRST under desc, flipping top-k on degenerate
+        # vectors) — mask zero norms to true nulls via the nullable dtype
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = pd.Series(dots / norms, dtype="Float64")
+        out[norms == 0] = pd.NA
+        return out
 
     _cos_batch = pandas_udf(_cos_batch_fn, returnType="double")
 

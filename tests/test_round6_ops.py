@@ -1,0 +1,53 @@
+"""Round-6 fixes: kernel parity on degenerate inputs, index durability,
+streaming replay idempotence."""
+
+from __future__ import annotations
+
+import math
+
+from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+    cosine_scores,
+    cosine_scores_vectorized,
+)
+
+
+def _emb_fixture(spark):
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero-norm: cos undefined
+        (3, [-1.0, 0.5, 2.0]),
+        (4, [3.0, 2.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_vectorized_kernel_nulls_zero_norm_like_hof(spark):
+    emb = _emb_fixture(spark)
+    query = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0])], "vec_id bigint, embedding array<float>"
+    )
+    hof = {r["vec_id"]: r["cos_sim"] for r in cosine_scores(emb, query).collect()}
+    vec = {
+        r["vec_id"]: r["cos_sim"]
+        for r in cosine_scores_vectorized(emb, query).collect()
+    }
+    assert set(hof) == set(vec) == {1, 2, 3, 4}
+    # the zero vector must be NULL in BOTH kernels (Spark's non-ANSI
+    # divide-by-zero), never nan/inf — nan sorts first under desc and
+    # would flip top-k
+    assert hof[2] is None and vec[2] is None
+    for k in (1, 3, 4):
+        assert hof[k] is not None and vec[k] is not None
+        assert not math.isnan(vec[k])
+        assert abs(hof[k] - vec[k]) < 1e-9
+
+
+def test_vectorized_kernel_nulls_all_on_zero_query(spark):
+    emb = _emb_fixture(spark)
+    zq = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0])], "vec_id bigint, embedding array<float>"
+    )
+    hof = [r["cos_sim"] for r in cosine_scores(emb, zq).collect()]
+    vec = [r["cos_sim"] for r in cosine_scores_vectorized(emb, zq).collect()]
+    assert hof == [None] * 4
+    assert vec == [None] * 4
