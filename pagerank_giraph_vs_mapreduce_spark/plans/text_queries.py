@@ -493,6 +493,28 @@ def text_bpe_merges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_bpe_encode", oracle=_bpe_encode_oracle(BPE_MERGES))
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY (operators/text.py:bpe_encode_counts): per-doc
+    (n_words, n_bpe_tokens) encoding with the merges learned in-plan by
+    the 3-round trainer. The scale shape: each DISTINCT word is encoded
+    once in the vocabulary-sized merge replay; documents broadcast-join
+    their exploded words to the (word → token count) table — corpus-sized
+    work is one explode + one aggregated join, never per-doc re-encoding.
+    The oracle replays the same merges in windowed SQL and joins docs to
+    the final symbol table."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+        bpe_encode_counts,
+    )
+
+    return bpe_encode_counts(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        merges=BPE_MERGES,
+    )
+
+
 @query(
     "text_lm_score",
     oracle="""WITH toks AS (
