@@ -18,6 +18,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -190,43 +192,83 @@ def append_band_index(banded: DataFrame, table: str, buckets: int = 16) -> None:
     banded.sparkSession.catalog.refreshTable(table)
 
 
+def _table_location(spark: SparkSession, table: str) -> str:
+    return (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+
+
+def _delete_path(spark: SparkSession, location: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for any
+    scheme the cluster can read (file:, hdfs:, s3a:, ...)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(location)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
+_GEN_RE = re.compile(r"^(.*?)__gen(\d+)$")
+
+
 def compact_band_index(
     spark: SparkSession, table: str, buckets: int = 16
 ) -> int:
     """Maintenance compaction for an appended band index: each
     ``append_band_index`` adds one file per bucket, so after B batches a
     probe opens B files per bucket — correctness is unaffected (bucketing
-    holds per file) but open/seek overhead accretes. Rewrite the table in
-    place as one generation: stage the rows, overwrite with the same
-    (band, bkey) bucket spec, and the next probe reads one file per
-    bucket again. Returns the row count preserved (cheap invariant for
-    callers to assert). At 100 TB this runs on the usual table-maintenance
-    cadence, amortized across every probe in between."""
+    holds per file) but open/seek overhead accretes. Returns the row
+    count preserved (cheap invariant for callers to assert). At 100 TB
+    this runs on the usual table-maintenance cadence, amortized across
+    every probe in between.
+
+    Failure-atomic generation swap (never overwrite the only durable
+    copy in place): the compacted rows are written to a FRESH sibling
+    location (``<base>__gen<k+1>``) under a scratch table name while the
+    current generation stays intact and readable; only after that write
+    commits is the catalog name repointed (metadata-only drop+rename) and
+    only after the repoint are the previous generation's files deleted.
+    A crash at any step leaves at least one complete durable generation
+    on disk: before the repoint the old table still serves reads; between
+    drop and rename the catalog entry is briefly absent but BOTH
+    generations persist (re-run the compaction or re-register the table
+    to recover — no data loss window)."""
     spark.catalog.refreshTable(table)
-    location = (
-        spark.sql(f"DESCRIBE FORMATTED {table}")
-        .filter(F.col("col_name") == "Location")
-        .first()["data_type"]
-    )
-    rows = spark.table(table)
-    n = rows.count()
-    # sever lineage from the table being overwritten, then route each
-    # bucket's rows to exactly one task: repartition's Murmur3 hash on the
-    # bucket columns is the same function bucketing uses, so the rewrite
-    # emits ONE file per bucket instead of files x prior partitioning
-    staged = rows.localCheckpoint(eager=True).repartition(
-        buckets, F.col("band"), F.col("bkey")
-    )
-    (
-        staged.write.bucketBy(buckets, "band", "bkey")
-        .sortBy("band", "bkey")
-        .option("path", location)  # keep the external location — without
-        # it, overwrite recreates the table at the default warehouse path
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    location = _table_location(spark, table)
+    m = _GEN_RE.match(location)
+    base, gen = (m.group(1), int(m.group(2))) if m else (location, 1)
+    new_location = f"{base}__gen{gen + 1}"
+    scratch = f"{table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    # Force the BUCKETED scan for the rewrite: one task per bucket reads
+    # all of that bucket's generation files and writes exactly one file —
+    # a zero-shuffle, per-bucket-local file merge. (The planner treats a
+    # repartition on the bucket columns as redundant against the bucket
+    # spec and then auto-DISABLES the bucketed read as "not useful",
+    # which would leave file-split partitioning and multi-file buckets —
+    # pinning autoBucketedScan off here closes that trap.)
+    abs_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prior = spark.conf.get(abs_key)
+    spark.conf.set(abs_key, "false")
+    try:
+        rows = spark.table(table)
+        n = rows.count()
+        (
+            rows.write.bucketBy(buckets, "band", "bkey")
+            .sortBy("band", "bkey")
+            .option("path", new_location)
+            .mode("errorifexists")
+            .format("parquet")
+            .saveAsTable(scratch)
+        )
+    finally:
+        spark.conf.set(abs_key, prior)
+    # commit point: repoint the public name at the new generation
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {scratch} RENAME TO {table}")
     spark.catalog.refreshTable(table)
+    _delete_path(spark, location)
     return n
 
 

@@ -216,7 +216,14 @@ def test_band_index_compaction_preserves_rows_and_bucketing(spark, tmp_path):
         n = compact_band_index(spark, "band_idx_compact_t", buckets=4)
         assert n == 3 * 4  # 3 docs x 4 bands survived the rewrite
         assert spark.table("band_idx_compact_t").count() == n
-        files_after = len(globmod.glob(f"{path}/*.parquet"))
+        # generation swap: the compacted copy lives at a FRESH sibling
+        # path (<base>__gen2), one file per bucket; the previous
+        # generation's files are deleted only after the repoint commits
+        import os
+
+        assert not os.path.exists(path)
+        files_after = len(globmod.glob(f"{path}__gen2/*.parquet"))
+        assert 0 < files_after <= 4
         assert files_after < files_before
         # probe still exchange-free on the index side
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
