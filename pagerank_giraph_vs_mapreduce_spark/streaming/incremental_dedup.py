@@ -8,11 +8,24 @@ store — state survives restarts, is queryable offline, and its size is
 corpus-bands, not stream-history (no watermark needed: dedup lookback is
 deliberately unbounded).
 
+Exactly-once under replay: foreachBatch is at-least-once — after a crash
+between the sink writes and the checkpoint commit, the SAME batch_id is
+replayed. Both tables are therefore partitioned by ``batch_id`` and every
+write is a dynamic-partition OVERWRITE of exactly the replayed batch's
+partition: re-running batch N rewrites partition N with the identical
+(deterministic) rows instead of appending duplicates, so the dup sink
+stays duplicate-free and the index keeps its docs-x-bands count
+invariant. The probe excludes the current ``batch_id``'s own partition,
+which both preserves the "within-batch dups are not self-flagged"
+contract and makes the probe itself replay-correct when the index write
+landed but the checkpoint commit did not.
+
 At 100 TB/day this is the shape that holds: per-batch cost is
-O(batch bands) for the probe (the index side never shuffles —
-operators/dedup.py:probe_band_index) plus an O(batch) append; the index
-accretes one file per bucket per batch, compacted on the usual
-maintenance cadence (sources/sinks.py:compact_parquet discipline).
+O(batch bands) for the probe (the index side never shuffles — the
+equi-join keys equal the table's (band, bkey) bucketing, with the
+batch_id partitioning orthogonal to it) plus an O(batch) partition
+write; the index accretes one partition per batch, compacted on the
+usual maintenance cadence.
 
 Candidate pairs are emitted WITHOUT the exact-Jaccard verify step: that
 needs the old docs' shingles (a doc-store lookup, policy-dependent —
@@ -22,15 +35,97 @@ emits the LSH candidates, which is the recall-critical, index-bound part.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
-    append_band_index,
     banded_keys,
     minhash_signatures,
-    probe_band_index,
-    write_band_index,
 )
+
+
+def process_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_table: str,
+    index_path: str,
+    dup_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 24,
+    shingle_len: int = 5,
+    bands: int = 4,
+    buckets: int = 16,
+) -> None:
+    """One micro-batch of the probe→flag→index loop, idempotent in
+    ``batch_id``: safe to re-run with the same id after a partial failure
+    (every write is a dynamic overwrite of this batch's partition; the
+    probe never sees this batch's own partition)."""
+    if batch.isEmpty():
+        return
+    # foreachBatch hands the batch a CLONED session — do everything
+    # through it so catalog/file-listing caches stay coherent
+    bs = batch.sparkSession
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(batch, id_col, text_col, n_hashes, shingle_len)
+    banded = banded_keys(sig, bands=bands, rows_per_band=rows_per_band)
+    # batch_id LAST: insertInto binds by position and the partition
+    # column sits at the end of the table schema
+    banded = banded.withColumn("batch_id", F.lit(batch_id)).persist()
+    try:
+        if bs.catalog.tableExists(index_table):
+            bs.catalog.refreshTable(index_table)
+            idx = (
+                bs.table(index_table)
+                # probe strictly EARLIER batches (ids are monotonic from
+                # the checkpoint): no self-flagging, and a replayed batch
+                # recomputes exactly its original candidates even if
+                # later batches already landed before the crash replay —
+                # a partition-pruned read either way
+                .filter(F.col("batch_id") < batch_id)
+                .select(F.col("id").alias("id_old"), "band", "bkey")
+            )
+            cand = (
+                banded.select(F.col("id").alias("id_new"), "band", "bkey")
+                .join(idx, ["band", "bkey"])
+                .select("id_new", "id_old")
+                .distinct()
+                .withColumn("batch_id", F.lit(batch_id))
+            )
+            # DYNAMIC partition overwrite: replace only the partitions
+            # present in the data (this batch's), never the whole table.
+            # Session conf, not a writer option — the option form is
+            # silently ignored by the V1 insertInto path.
+            pom_key = "spark.sql.sources.partitionOverwriteMode"
+            prior = bs.conf.get(pom_key)
+            bs.conf.set(pom_key, "dynamic")
+            try:
+                if bs.catalog.tableExists(dup_table):
+                    cand.write.mode("overwrite").insertInto(dup_table)
+                else:
+                    (
+                        cand.write.partitionBy("batch_id")
+                        .format("parquet")
+                        .saveAsTable(dup_table)
+                    )
+                banded.write.mode("overwrite").insertInto(index_table)
+            finally:
+                bs.conf.set(pom_key, prior)
+            bs.catalog.refreshTable(index_table)
+        else:
+            # bootstrap: create the index partitioned by batch_id AND
+            # bucketed on the probe's join key — every later write is a
+            # per-partition dynamic overwrite into this spec
+            (
+                banded.write.partitionBy("batch_id")
+                .bucketBy(buckets, "band", "bkey")
+                .sortBy("band", "bkey")
+                .option("path", index_path)
+                .format("parquet")
+                .saveAsTable(index_table)
+            )
+    finally:
+        banded.unpersist()
 
 
 def run_streaming_incremental_dedup(
@@ -52,38 +147,23 @@ def run_streaming_incremental_dedup(
     batch probes the accumulated index BEFORE indexing itself, so
     within-batch duplicates are deliberately not self-flagged (exact
     within-batch dedup is the cheap groupBy upstream)."""
-    spark = stream.sparkSession
-    rows_per_band = n_hashes // bands
     seen: list[int] = []
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         seen.append(batch_id)
-        if batch.isEmpty():
-            return
-        # foreachBatch hands the batch a CLONED session — do everything
-        # through it so catalog/file-listing caches stay coherent (the
-        # probe/append helpers also refresh the table defensively)
-        bs = batch.sparkSession
-        sig = minhash_signatures(
-            batch, id_col, text_col, n_hashes, shingle_len
+        process_batch(
+            batch,
+            batch_id,
+            index_table,
+            index_path,
+            dup_table,
+            id_col,
+            text_col,
+            n_hashes,
+            shingle_len,
+            bands,
+            buckets,
         )
-        banded = banded_keys(sig, bands=bands, rows_per_band=rows_per_band)
-        banded = banded.persist()
-        try:
-            if bs.catalog.tableExists(index_table):
-                cand = probe_band_index(bs, index_table, banded)
-                (
-                    cand.write.mode("append")
-                    .format("parquet")
-                    .saveAsTable(dup_table)
-                )
-                append_band_index(banded, index_table, buckets=buckets)
-            else:
-                write_band_index(
-                    banded, index_table, index_path, buckets=buckets
-                )
-        finally:
-            banded.unpersist()
 
     writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)
     if checkpoint_dir:

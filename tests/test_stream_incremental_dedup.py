@@ -78,6 +78,32 @@ def test_streaming_incremental_dedup_flags_cross_batch_dups(spark, tmp_path):
         assert not any(i in (11, 22) for i, _ in dups)
         # the index now carries every shard's bands: 7 docs x 4 bands
         assert spark.table("sid_index").count() == 7 * 4
+
+        # --- replay idempotence: foreachBatch is at-least-once, so a
+        # crash between the sink writes and the checkpoint commit
+        # re-runs the SAME batch_id. Re-running a batch must rewrite its
+        # own partition, not append duplicates.
+        from pagerank_giraph_vs_mapreduce_spark.streaming.incremental_dedup import (
+            process_batch,
+        )
+
+        s2 = spark.read.parquet(str(src / "s2.parquet"))
+        replay_id = sorted(batch_ids)[1]  # the batch that carried s2
+        for _ in range(2):  # replay twice for good measure
+            process_batch(
+                s2,
+                replay_id,
+                index_table="sid_index",
+                index_path=str(tmp_path / "sid_idx"),
+                dup_table="sid_dups",
+                buckets=4,
+            )
+        assert spark.table("sid_index").count() == 7 * 4
+        assert {
+            (r["id_new"], r["id_old"])
+            for r in spark.table("sid_dups").collect()
+        } == dups
+        assert spark.table("sid_dups").count() == len(dups)
     finally:
         for t in ("sid_index", "sid_dups"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
