@@ -48,81 +48,27 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-5 budget math (r04 recorded exactly 50 rows; VERDICT_r04 items 1+2
-# name the must-certify set):
-# 3 rows red in r04 whose code was FIXED this round (the two _ROUNDTRIP_ORACLE
-# BIGINT casts; sim_pq_encode's hashable string reshape) + the 6 queries that
-# have never been in any gate rotation (VERDICT_r04 item 2, verbatim) +
-# pipeline_pack_sequences whose window was re-sharded this round (VERDICT
-# item 3) + any new r05 queries (inserted at the top block as they land).
-# After those: the 19 rows whose newest green evidence is r01 (re-verified
-# locally through check_oracle's stricter compare in r04, 19/19 — scheduling
-# debt, not correctness doubt), the 4 r03-green rows with r04 guard changes,
-# then the r02-only rows. Everything r04-green sits at the bottom; overflow
-# rolls to r06.
+# Round-6 budget math (r05 recorded exactly 50 rows, all green, covering the
+# r05 _PRIORITY head down through dedup_simhash64_near_dups):
+# first the queries that are NEW or whose code changed this round (the cosine
+# kernel's zero-norm semantics moved to try_divide, touching every cosine
+# consumer; dedup_incremental_indexed's cache/table-name plumbing changed;
+# text_bpe_encode is newly registered), then the rotation CONTINUES from
+# where the r05 budget stopped: the remaining r02-only rows, then the
+# fn_*/win_*/text_* tail that has not had a fresh row since r02/r03.
+# Everything r05-green sits at the bottom; overflow rolls to r07.
 _PRIORITY = (
-    # --- red in r04, fixed this round: must re-certify
-    "source_json_roundtrip",  # JSON fidelity (oracle now casts to BIGINT)
-    "source_csv_roundtrip",  # CSV fidelity (same oracle fix)
-    "sim_pq_encode",  # PQ codes now '_'-joined string (hashable)
-    # --- never in any gate rotation (VERDICT_r04 item 2)
-    "dedup_semantic",  # SemDedup cluster-then-prune
-    "pipeline_dsir_resample",  # DSIR importance resampling (hashed n-grams)
-    "pipeline_quality_bins",  # broadcast-threshold curriculum binning
-    "sim_filtered_top5",  # metadata-filtered ANN (pre-filter semantics)
-    "source_schema_evolution",  # mergeSchema scan over evolved batches
-    "storage_zorder_buckets",  # Morton-key 2-D clustering audit
-    # --- code changed this round (r05), needs fresh green row
-    "pipeline_pack_sequences",  # window re-keyed (source, shard) — VERDICT #3
-    "dedup_incremental_indexed",  # durable band-index probe — VERDICT #5
-    "rel_scd2_history",  # CDC -> SCD2 versioned rows — VERDICT #7
-    "rel_salted_skew_join",  # content-hash salt spreads hot keys (new r05)
-    "mm_resize",  # nearest-neighbor resize via decoded PNG pixels (new r05)
-    "mm_thumbnail",  # strided 1-D resample stand-in certified (new r05)
-    "sim_cosine_top10_vectorized",  # Arrow-kernel distance twin — VERDICT #6
-    "stream_late_data_gate",  # watermark lateness accounting — VERDICT #8
-    "stream_stateful_totals",  # applyInPandasWithState certified (new r05)
-    # --- r01-only rows (19; locally re-certified 19/19 in r04)
-    "rel_outer_join",
-    "rel_agg_rollup",
-    "rel_agg_cube",
-    "rel_distinct_agg",
-    "rel_having",
-    "rel_pivot",
-    "rel_win_rank",
-    "rel_win_running",
-    "rel_win_lag",
-    "rel_win_ranking_family",
-    "rel_intersect",
-    "rel_except",
-    "rel_json_extract",
-    "rel_date_funcs",
-    "rel_sort_limit",
-    "rel_union_all",
-    "rel_string_funcs",
-    "rel_case_coalesce",
-    "rel_filter_project",
-    # --- code changed in r03 only (r03 green rows, guards added in r04)
-    "sim_ivf_top5",  # ivf_query_cells limit(1) contract
-    "sim_ivf_top5_nprobe2",
-    "sim_ivf_trained_top5",
-    "g_hits_k2",  # rounds >= 1 guard
-    # r02-only rows, next-oldest; composite/stateful surfaces first, the
-    # overflow past the budget rolls to r06
-    "stream_dedup_counts",
-    "stream_session_30m",
-    "stream_tumbling_15m",
-    "udf_grouped_zscore",
-    "udf_pandas_normalize",
-    "udf_udtf_tokenize",
-    "mm_meta",
-    "mm_frame_sample",
-    "dedup_simhash64_near_dups",
+    # --- new or code-changed in r06: must (re)certify
+    "text_bpe_encode",  # NEW: BPE tokenizer APPLY path (advice r05 #4)
+    "sim_cosine_top10",  # HOF kernel now try_divide (zero-norm → NULL)
+    "sim_cosine_top10_vectorized",  # Arrow kernel masks zero norms to NULL
+    "dedup_embedding_cosine",  # consumes cosine_scores
+    "sim_ann_recall",  # brute-force arm consumes cosine_topk
+    "sim_lsh_ann_top5",  # bucket-pruned rescore consumes the kernel
+    "dedup_incremental_indexed",  # bounded cand cache + digest table name
+    # --- rotation continuation: rows whose newest green evidence is r02
     "dedup_simhash_near_dups",
     "dedup_simhash",
-    "dedup_embedding_cosine",
-    "sim_ann_recall",
-    "sim_lsh_ann_top5",
     "asof_click_purchase",
     "range_join_signup_errors",
     "g_kcore64_r4",
