@@ -703,3 +703,77 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("jaccard"), 6).alias("best_jaccard"),
         )
     )
+
+
+@query(
+    "stream_incremental_dedup",
+    oracle=f"""WITH docs2 AS (SELECT doc_id, text FROM documents),
+{SHINGLES_SQL},
+{SIG_SQL},
+{BANDED_SQL}
+SELECT DISTINCT a.id AS id_new, b.id AS id_old
+FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+WHERE (a.id % 3) > (b.id % 3)""",
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONTINUOUS-ingest dedup loop, driver-certified end-to-end:
+    the documents table arrives as three file shards (doc_id % 3, in
+    modification-time order) through a real Structured Streaming file
+    source; each micro-batch probes the durable batch_id-partitioned
+    bucketed band index for near-dups against every EARLIER batch, then
+    folds itself in (streaming/incremental_dedup.py — writes are
+    dynamic-partition overwrites, idempotent under foreachBatch replay).
+    Returns the accumulated dup-sink pairs; the oracle computes the same
+    strictly-earlier-batch LSH collisions in one batch SQL pass. The
+    replay/restart behavior itself is pinned by
+    tests/test_stream_incremental_dedup.py (no batch oracle can express
+    a mid-stream crash)."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from pagerank_giraph_vs_mapreduce_spark.streaming.incremental_dedup import (
+        run_streaming_incremental_dedup,
+    )
+
+    import atexit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_sid_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "shards")
+    os.makedirs(src)
+    for b in range(3):
+        staging = os.path.join(work, f"stage{b}")
+        (
+            docs.filter(F.col("doc_id") % 3 == b)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        part = globmod.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = os.path.join(src, f"b{b}.parquet")
+        shutil.copy(part, dest)
+        t = 1_700_000_000 + b * 60  # mtime order fixes batch order
+        os.utime(dest, (t, t))
+    idx_t, dup_t = "stream_sid_index_q", "stream_sid_dups_q"
+    for t_ in (idx_t, dup_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t_}")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_streaming_incremental_dedup(
+        stream,
+        index_table=idx_t,
+        index_path=os.path.join(work, "idx"),
+        dup_table=dup_t,
+        n_hashes=N_HASHES,
+        shingle_len=SHINGLE_LEN,
+        bands=BANDS,
+        buckets=16,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return spark.table(dup_t).select("id_new", "id_old")

@@ -59,6 +59,7 @@ _QUERY_MODULES = (
 # Everything r05-green sits at the bottom; overflow rolls to r07.
 _PRIORITY = (
     # --- new or code-changed in r06: must (re)certify
+    "stream_incremental_dedup",  # NEW: continuous probe→flag→index loop
     "text_bpe_encode",  # NEW: BPE tokenizer APPLY path (advice r05 #4)
     "sim_cosine_top10",  # HOF kernel now try_divide (zero-norm → NULL)
     "sim_cosine_top10_vectorized",  # Arrow kernel masks zero norms to NULL
