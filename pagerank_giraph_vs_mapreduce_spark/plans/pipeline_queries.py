@@ -650,3 +650,33 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return w.orderBy(F.desc("log_w"), F.asc("doc_id")).limit(DSIR_TOP)
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle="""SELECT doc_id, source
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+      substr('0123456789abcdef',
+             ((ascii(substr(source, 1, 1)) % 5) + 1) + 1, 1)""",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling — the corpus-rebalancing
+    primitive (cap an over-represented domain at rate r, keep the rest
+    denser). Each source gets its own keep rate (here k/16 with
+    k = ascii(source[0]) % 5 + 1 — a stand-in for a broadcast
+    rate table); a row is kept iff its md5 first hex digit < k's digit.
+    md5 makes the SAME rows survive on any engine, any partitioning, any
+    retry — unlike rng TABLESAMPLE, whose selection is seed- and
+    split-dependent. At 100 TB this is a pure row-local predicate: it
+    pushes to the scan, shuffles nothing, and composes with any
+    downstream operator; changing the mix is a rate-table edit, not a
+    recluster."""
+    d = load_table(spark, sf_dir, "documents")
+    # per-source keep rate k/16, encoded as the k-th hex digit threshold
+    thr = F.expr(
+        "substr('0123456789abcdef', ((ascii(substr(source,1,1)) % 5) + 1) + 1, 1)"
+    )
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < thr
+    ).select("doc_id", "source")

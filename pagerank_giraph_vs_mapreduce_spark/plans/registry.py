@@ -61,6 +61,9 @@ _PRIORITY = (
     # --- new or code-changed in r06: must (re)certify
     "stream_incremental_dedup",  # NEW: continuous probe→flag→index loop
     "text_bpe_encode",  # NEW: BPE tokenizer APPLY path (advice r05 #4)
+    "pipeline_stratified_sample",  # NEW: per-stratum md5 downsampling
+    "sim_range_search",  # NEW: cosine radius search (shuffle-free)
+    "text_dedup_paragraphs",  # NEW: intra-doc chunk dedup audit
     "sim_cosine_top10",  # HOF kernel now try_divide (zero-norm → NULL)
     "sim_cosine_top10_vectorized",  # Arrow kernel masks zero norms to NULL
     "dedup_embedding_cosine",  # consumes cosine_scores

@@ -828,3 +828,33 @@ def sim_filtered_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "vec_id", "label", F.round("cos_sim", 6).alias("cos_sim")
     )
+
+
+@query(
+    "sim_range_search",
+    oracle=f"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_ID})
+SELECT e.vec_id, round({_sql_cos('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id <> {QUERY_ID}
+  AND round({_sql_cos('e.embedding', 'q.embedding')}, 6) >= 0.2""",
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE similarity search — ALL vectors within a cosine radius of
+    the query, not a fixed top-k. The retrieval mode dedup/clustering
+    pipelines need (\"everything at least this similar\"), where result
+    size is data-dependent. Same broadcast-query scoring kernel as
+    cosine_topk; the radius predicate is a post-scoring row-local filter,
+    so the plan is scan → narrow map → filter with NO shuffle at all
+    (top-k at least needs a TakeOrdered reduction) — at 100 TB the
+    output streams straight to the sink. Threshold compares the 6-dp
+    ROUNDED score on both engines so the boundary is bit-stable."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        cosine_scores,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    scored = cosine_scores(emb.filter(F.col("vec_id") != QUERY_ID), q)
+    return scored.select(
+        "vec_id", F.round("cos_sim", 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.2)

@@ -665,3 +665,47 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ptext"),
     )
     return pii_scrub(planted, "doc_id", "ptext")
+
+
+@query(
+    "text_dedup_paragraphs",
+    oracle="""WITH chunks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(text, '\\.\\s+'),
+                          c -> lower(trim(c))),
+           c -> c != '') AS cl
+  FROM documents)
+SELECT doc_id,
+       CAST(len(cl) AS BIGINT) AS n_chunks,
+       CAST(len(list_distinct(cl)) AS BIGINT) AS n_unique,
+       round(CAST(len(list_distinct(cl)) AS DOUBLE) / len(cl), 6)
+         AS unique_ratio
+FROM chunks WHERE len(cl) > 0""",
+)
+def text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document dedup audit — the within-doc repetition-removal
+    preprocessing step (boilerplate paragraphs, templated sentences
+    repeated inside one document, the kind corpus-level MinHash cannot
+    see). Text splits into sentence chunks on '. ', chunks normalize to
+    lower+trim, and the per-doc unique ratio is emitted; the removal
+    variant is the same plan with array_distinct kept instead of
+    counted. Entirely per-row array expressions — zero shuffle, scales
+    linearly, pushes the text column scan only."""
+    d = load_table(spark, sf_dir, "documents")
+    cl = F.filter(
+        F.transform(
+            F.split(F.col("text"), "\\.\\s+"),
+            lambda c: F.lower(F.trim(c)),
+        ),
+        lambda c: c != "",
+    )
+    out = d.select(
+        "doc_id",
+        F.size(cl).cast("bigint").alias("n_chunks"),
+        F.size(F.array_distinct(cl)).cast("bigint").alias("n_unique"),
+    ).filter(F.col("n_chunks") > 0)
+    return out.withColumn(
+        "unique_ratio",
+        F.round(F.col("n_unique") / F.col("n_chunks"), 6),
+    )
