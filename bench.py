@@ -416,6 +416,13 @@ def main() -> int:
         "mm_resize",
         "mm_thumbnail",
         "stream_late_data_gate",
+        # round-6 additions
+        "text_bpe_encode",
+        "stream_incremental_dedup",
+        "pipeline_stratified_sample",
+        "sim_range_search",
+        "text_dedup_paragraphs",
+        "stream_stream_join",
     ):
         timed(q, run_query_rows(q))
 

@@ -64,6 +64,7 @@ _PRIORITY = (
     "pipeline_stratified_sample",  # NEW: per-stratum md5 downsampling
     "sim_range_search",  # NEW: cosine radius search (shuffle-free)
     "text_dedup_paragraphs",  # NEW: intra-doc chunk dedup audit
+    "stream_stream_join",  # NEW: watermarked interval join, state-bounded
     "sim_cosine_top10",  # HOF kernel now try_divide (zero-norm → NULL)
     "sim_cosine_top10_vectorized",  # Arrow kernel masks zero norms to NULL
     "dedup_embedding_cosine",  # consumes cosine_scores

@@ -434,3 +434,40 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("total_micros", "n_events").alias("total_micros"),
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(c.ts) // 1000000 AS BIGINT) AS click_s,
+       CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_s,
+       p.value AS value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 3600 SECOND""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join driven to end-of-input
+    (streaming/events_stream.py:streaming_click_purchase_join): each
+    purchase joins clicks by the same user within the preceding hour.
+    Both sides carry watermarks and the join condition time-bounds the
+    buffered state, so a click older than watermark+horizon is evicted —
+    the state-boundedness that makes the join run forever at 100 TB/day
+    (state shards by user_id; without the time bound the buffer grows
+    without limit). The batch oracle is the identical interval join; on
+    a fully consumed source the two must agree row-for-row."""
+    from pagerank_giraph_vs_mapreduce_spark.streaming.events_stream import (
+        streaming_click_purchase_join,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = streaming_click_purchase_join(
+        clicks, purchases, horizon_secs=3600
+    )
+    return _drain(joined, "append")
