@@ -51,3 +51,35 @@ def test_vectorized_kernel_nulls_all_on_zero_query(spark):
     vec = [r["cos_sim"] for r in cosine_scores_vectorized(emb, zq).collect()]
     assert hof == [None] * 4
     assert vec == [None] * 4
+
+
+def test_range_search_plan_has_no_exchange(spark, sf_dir):
+    """sim_range_search is scan -> narrow map -> filter: a radius
+    predicate needs no top-k reduction, so the whole plan must be
+    shuffle-free."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.similarity_queries import (
+        sim_range_search,
+    )
+
+    df = sim_range_search(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # the 1-row query vector travels by BroadcastExchange (fine); there
+    # must be no SHUFFLE exchange anywhere
+    assert "Exchange hashpartitioning" not in final, final
+    assert "Exchange rangepartitioning" not in final, final
+
+
+def test_stratified_sample_filter_pushes_to_scan(spark, sf_dir):
+    """The md5 keep-predicate is row-local: it must sit in the scan
+    stage (Filter directly over FileScan), not behind any exchange."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        pipeline_stratified_sample,
+    )
+
+    df = pipeline_stratified_sample(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final
