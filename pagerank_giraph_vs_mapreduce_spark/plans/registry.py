@@ -65,6 +65,17 @@ _PRIORITY = (
     "sim_range_search",  # NEW: cosine radius search (shuffle-free)
     "text_dedup_paragraphs",  # NEW: intra-doc chunk dedup audit
     "stream_stream_join",  # NEW: watermarked interval join, state-bounded
+    # --- NEW in r06: the remaining 8 TPC-H query shapes (fixture-adapted
+    # where partsupp/shipmode/receiptdate don't exist — see the module
+    # comment in relational_queries.py)
+    "rel_q2_min_cost_supplier",
+    "rel_q4_order_priority",
+    "rel_q9_product_profit",
+    "rel_q11_important_parts",
+    "rel_q12_priority_lines",
+    "rel_q16_supplier_part_count",
+    "rel_q20_excess_shipped",
+    "rel_q21_waiting_supplier",
     "sim_cosine_top10",  # HOF kernel now try_divide (zero-norm → NULL)
     "sim_cosine_top10_vectorized",  # Arrow kernel masks zero norms to NULL
     "dedup_embedding_cosine",  # consumes cosine_scores

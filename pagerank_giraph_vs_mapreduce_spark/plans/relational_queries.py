@@ -1320,3 +1320,374 @@ def rel_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_yearly")
         )
     )
+
+
+# ------------------------------------------- remaining TPC-H query shapes
+# (q2/q4/q9/q11/q12/q16/q20/q21 — the fixture has no partsupp table and no
+# l_shipmode/l_commitdate/l_receiptdate columns, so where the official
+# query touches those, the same PLAN SHAPE is kept with the nearest
+# derivable stand-in: supplier-part pairs come from DISTINCT
+# (l_partkey, l_suppkey), supply cost from 0.5 * p_retailprice, and
+# lateness from l_shipdate vs o_orderdate. The point of each query is its
+# shape — correlated EXISTS, anti-correlated NOT EXISTS, HAVING against a
+# global scalar, per-group argmin — and how Catalyst plans it.)
+
+
+@query(
+    "rel_q4_order_priority",
+    oracle="""SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""",
+)
+def rel_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS decorrelated to a LEFT SEMI join
+    with a non-equi residual (late line = shipped >60 days after order).
+    Catalyst plans the semi join on the l_orderkey equi-key with the date
+    comparison as a join residual — one shuffle pair, no row explosion
+    (semi join emits each order at most once, no distinct needed)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "rel_q9_product_profit",
+    oracle=f"""SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS yr,
+       {_sql_dsum('l_extendedprice * (1 - l_discount) - 0.5 * p_retailprice * l_quantity', 'profit')}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE 'red%'
+GROUP BY 1, 2""",
+)
+def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: 4-way join then profit aggregation by (supplier
+    nation, ship year). The fact-fact join (lineitem x part-filter) keys
+    on l_partkey; part/supplier/nation are broadcast dims (all far under
+    the threshold), so the only shuffle is the final group-by — at 100 TB
+    the p_name filter prunes part BEFORE broadcast. Supply cost is
+    0.5*p_retailprice (no partsupp in the fixture)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(_dsum(profit, "profit"))
+    )
+
+
+@query(
+    "rel_q12_priority_lines",
+    oracle="""SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus""",
+)
+def rel_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact equi-join with a non-equi residual
+    (very-late lines), then conditional CASE-sum pivot by priority class.
+    Lateness stands in for the missing receipt/commit dates."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "rel_q16_supplier_part_count",
+    oracle="""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+)
+def rel_q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute group
+    with a NOT IN exclusion subquery (the complaint-supplier filter) —
+    planned as a broadcast LEFT ANTI join against the (tiny) excluded-
+    supplier list. Supplier-part pairs derive from distinct lineitem
+    pairs (no partsupp in the fixture); the distinct is the only
+    fact-sized shuffle and doubles as the join-input dedup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.count_distinct(F.col("l_suppkey"))
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+    )
+
+
+@query(
+    "rel_q20_excess_shipped",
+    oracle="""SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 60)""",
+)
+def rel_q20_excess_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: semi-join chain — suppliers having shipped an
+    excess quantity (>60) of some 'red' part. The inner aggregate groups
+    the fact table by (suppkey, partkey) after a broadcast part-filter
+    join; the outer IN becomes a LEFT SEMI join against the (small)
+    qualifying-supplier set. Shipped quantity stands in for ps_availqty."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    qual = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    return s.join(
+        qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
+
+
+@query(
+    "rel_q21_waiting_supplier",
+    oracle="""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10""",
+)
+def rel_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest decorrelation in the suite — a
+    correlated EXISTS (another supplier touched the order) AND a
+    correlated NOT EXISTS (no OTHER supplier was late on it), both
+    against the same fact table. Expressed as LEFT SEMI then LEFT ANTI
+    joins on the l_orderkey equi-key with suppkey/date residuals; the
+    anti join carries the outer o_orderdate into its residual, which is
+    exactly what the correlated subquery does. Lateness = shipped >30
+    days after order (no receipt/commit dates in the fixture)."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.select(
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_suppkey").alias("sk1"),
+        F.col("l_shipdate").alias("ship1"),
+    )
+    base = l1.join(o, F.col("k1") == F.col("o_orderkey")).filter(
+        F.col("ship1") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2")
+    )
+    base = base.join(
+        l2,
+        (F.col("k2") == F.col("k1")) & (F.col("sk2") != F.col("sk1")),
+        "left_semi",
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    base = base.join(
+        l3,
+        (F.col("k3") == F.col("k1"))
+        & (F.col("sk3") != F.col("sk1"))
+        & (F.col("ship3") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_anti",
+    )
+    return (
+        base.join(F.broadcast(s), F.col("s_suppkey") == F.col("sk1"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "rel_q2_min_cost_supplier",
+    oracle="""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+ranked AS (
+  SELECT p_partkey, p_name, s_name, round(s_acctbal, 6) AS s_acctbal,
+         row_number() OVER (PARTITION BY p_partkey
+                            ORDER BY s_acctbal, s_suppkey) AS rn
+  FROM ps
+  JOIN part ON p_partkey = l_partkey
+  JOIN eu ON s_suppkey = l_suppkey
+  WHERE p_size = 15)
+SELECT p_partkey, p_name, s_name, s_acctbal
+FROM ranked WHERE rn = 1""",
+)
+def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin over a region-restricted supplier
+    candidate set (the correlated MIN(ps_supplycost) subquery,
+    decorrelated to a partition-window argmin with a deterministic
+    suppkey tie-break). Candidate pairs derive from distinct lineitem
+    pairs and min acctbal stands in for min supplycost (no partsupp).
+    nation⋈region⋈supplier collapses to a broadcast dim; the window
+    partitions by p_partkey — at scale the same key the pairs shuffle
+    already produced, so AQE coalesces rather than re-exchanges."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("s_acctbal_raw"), F.asc("s_suppkey")
+    )
+    cand = (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("s_acctbal").alias("s_acctbal_raw"),
+            "s_suppkey",
+        )
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.round("s_acctbal_raw", 6).alias("s_acctbal"),
+        )
+    )
+
+
+@query(
+    "rel_q11_important_parts",
+    oracle=f"""WITH val AS (
+  SELECT l_partkey,
+         {_sql_dsum('l_extendedprice * (1 - l_discount)', 'value')}
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7')
+  GROUP BY l_partkey)
+SELECT l_partkey, value FROM val
+WHERE value > (SELECT 0.002 * sum(value) FROM val)""",
+)
+def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value restricted to two nations'
+    suppliers, HAVING against a GLOBAL scalar (0.2% of total) — the
+    scalar subquery becomes a 1-row broadcast crossJoin over the same
+    aggregate, so the fact table is scanned and shuffled exactly once
+    and the threshold comparison is a row-local filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    val = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "value"))
+    )
+    total = val.agg(
+        (F.sum(F.col("value").cast("decimal(38,12)")) * F.lit(0.002))
+        .cast("double")
+        .alias("thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", "value")
+    )
