@@ -770,6 +770,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_table=idx_t,
         index_path=os.path.join(work, "idx"),
         dup_table=dup_t,
+        dup_path=os.path.join(work, "dups"),
         n_hashes=N_HASHES,
         shingle_len=SHINGLE_LEN,
         bands=BANDS,

@@ -56,6 +56,7 @@ def process_batch(
     shingle_len: int = 5,
     bands: int = 4,
     buckets: int = 16,
+    dup_path: str | None = None,
 ) -> None:
     """One micro-batch of the probe→flag→index loop, idempotent in
     ``batch_id``: safe to re-run with the same id after a partial failure
@@ -103,11 +104,14 @@ def process_batch(
                 if bs.catalog.tableExists(dup_table):
                     cand.write.mode("overwrite").insertInto(dup_table)
                 else:
-                    (
-                        cand.write.partitionBy("batch_id")
-                        .format("parquet")
-                        .saveAsTable(dup_table)
-                    )
+                    # explicit external location when given: a MANAGED
+                    # table's warehouse dir outlives its (session-local)
+                    # catalog entry, and a later session's bootstrap then
+                    # fails with LOCATION_ALREADY_EXISTS
+                    w = cand.write.partitionBy("batch_id").format("parquet")
+                    if dup_path:
+                        w = w.option("path", dup_path)
+                    w.saveAsTable(dup_table)
                 banded.write.mode("overwrite").insertInto(index_table)
             finally:
                 bs.conf.set(pom_key, prior)
@@ -140,6 +144,7 @@ def run_streaming_incremental_dedup(
     bands: int = 4,
     buckets: int = 16,
     checkpoint_dir: str | None = None,
+    dup_path: str | None = None,
 ) -> list[int]:
     """Drive ``stream`` (doc_id, text) to end-of-input through the
     probe→flag→index loop. Returns the processed batch ids. The first
@@ -163,6 +168,7 @@ def run_streaming_incremental_dedup(
             shingle_len,
             bands,
             buckets,
+            dup_path,
         )
 
     writer = stream.writeStream.foreachBatch(handle).trigger(availableNow=True)

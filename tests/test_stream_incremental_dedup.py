@@ -60,6 +60,7 @@ def test_streaming_incremental_dedup_flags_cross_batch_dups(spark, tmp_path):
         index_table="sid_index",
         index_path=str(tmp_path / "sid_idx"),
         dup_table="sid_dups",
+        dup_path=str(tmp_path / "sid_dups"),
         buckets=4,
         checkpoint_dir=str(tmp_path / "ckpt"),
     )
@@ -96,6 +97,7 @@ def test_streaming_incremental_dedup_flags_cross_batch_dups(spark, tmp_path):
                 index_table="sid_index",
                 index_path=str(tmp_path / "sid_idx"),
                 dup_table="sid_dups",
+                dup_path=str(tmp_path / "sid_dups"),
                 buckets=4,
             )
         assert spark.table("sid_index").count() == 7 * 4
