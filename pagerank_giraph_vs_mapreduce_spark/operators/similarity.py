@@ -425,8 +425,11 @@ def embedding_near_dups(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(_as_double(F.col("va")), _as_double(F.col("vb"))) / (
-        _norm(_as_double(F.col("va"))) * _norm(_as_double(F.col("vb")))
+    # try_divide: zero-norm vectors score NULL (never enter any pair
+    # set) instead of aborting the job under ANSI mode
+    cos = F.try_divide(
+        _dot(_as_double(F.col("va")), _as_double(F.col("vb"))),
+        _norm(_as_double(F.col("va"))) * _norm(_as_double(F.col("vb"))),
     )
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
@@ -470,8 +473,11 @@ def semantic_dedup(
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), centroid_id
     )
-    cos = _dot(_as_double(F.col("va")), _as_double(F.col("vb"))) / (
-        _norm(_as_double(F.col("va"))) * _norm(_as_double(F.col("vb")))
+    # try_divide: zero-norm vectors score NULL (never enter any pair
+    # set) instead of aborting the job under ANSI mode
+    cos = F.try_divide(
+        _dot(_as_double(F.col("va")), _as_double(F.col("vb"))),
+        _norm(_as_double(F.col("va"))) * _norm(_as_double(F.col("vb"))),
     )
     dominated = (
         a.join(b, centroid_id)

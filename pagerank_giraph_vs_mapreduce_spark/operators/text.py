@@ -53,13 +53,16 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def quality_col(t: Column) -> Column:
-    """The (fixed, arbitrary) quality score as a reusable expression."""
+    """The (fixed, arbitrary) quality score as a reusable expression.
+    try_divide on the length ratio: an EMPTY document scores NULL instead
+    of aborting the whole job under ANSI mode — at corpus scale empty
+    rows exist and one of them must not kill a 100 TB pass."""
     n_tokens = _count_occurrences(t, " ") + 1
     stop_hits = _count_occurrences(t, " the ") + _count_occurrences(t, " a ")
     digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
     return F.round(
         F.lit(1.0)
-        - digits / F.length(t)
+        - F.try_divide(digits, F.length(t))
         - F.when(F.length(t) < 100, 0.5).otherwise(0.0)
         + (stop_hits / n_tokens) * 0.1,
         9,
@@ -76,8 +79,8 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_tokens = _count_occurrences(t, " ") + 1
     stop_hits = _count_occurrences(t, " the ") + _count_occurrences(t, " a ")
     digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
-    stop_ratio = stop_hits / n_tokens
-    digit_ratio = digits / F.length(t)
+    stop_ratio = stop_hits / n_tokens  # n_tokens >= 1 always
+    digit_ratio = F.try_divide(digits, F.length(t))  # empty doc -> NULL
     return df.select(
         F.col(id_col),
         F.round(stop_ratio, 9).alias("stopword_ratio"),

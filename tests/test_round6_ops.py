@@ -83,3 +83,53 @@ def test_stratified_sample_filter_pushes_to_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in final, final
+
+
+def test_text_operators_survive_empty_documents(spark):
+    """ANSI-mode robustness: at corpus scale empty documents exist, and a
+    bare `/` with a zero denominator would abort the entire job. Every
+    per-row text signal must come back (NULL where undefined), never
+    throw."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+        fingerprints,
+        language_id,
+        quality_score,
+        repetition_stats,
+        token_stats,
+    )
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "the cat sat on the mat. 42 times.")],
+        "doc_id bigint, text string",
+    )
+    q = {r["doc_id"]: r for r in quality_score(d, "doc_id", "text").collect()}
+    assert q[1]["digit_ratio"] is None and q[1]["quality"] is None
+    assert q[3]["digit_ratio"] is not None
+    for fn in (token_stats, language_id, fingerprints, repetition_stats):
+        assert fn(d, "doc_id", "text").count() == 3
+
+
+def test_similarity_operators_survive_zero_vectors(spark):
+    """Zero-norm embeddings must score NULL (and so never pair), not
+    abort the scan under ANSI mode."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [1.0, 2.0, 3.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    planes = emb.filter("vec_id = 1").selectExpr(
+        "0 AS plane_id", "embedding"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(emb, planes, threshold=0.99).collect()
+    }
+    assert (1, 3) in pairs
+    assert not any(2 in p for p in pairs)
