@@ -59,6 +59,9 @@ _QUERY_MODULES = (
 # Everything r05-green sits at the bottom; overflow rolls to r07.
 _PRIORITY = (
     # --- new or code-changed in r06: must (re)certify
+    # (the ANSI-robustness sweep moved quality_score's ratios and the
+    # bucketed-cosine pair kernels to try_divide — value-identical on
+    # defined rows, but the touched queries re-certify first)
     "stream_incremental_dedup",  # NEW: continuous probe→flag→index loop
     "text_bpe_encode",  # NEW: BPE tokenizer APPLY path (advice r05 #4)
     "pipeline_stratified_sample",  # NEW: per-stratum md5 downsampling
@@ -82,6 +85,10 @@ _PRIORITY = (
     "sim_ann_recall",  # brute-force arm consumes cosine_topk
     "sim_lsh_ann_top5",  # bucket-pruned rescore consumes the kernel
     "dedup_incremental_indexed",  # bounded cand cache + digest table name
+    "text_quality",  # quality_col ratios now try_divide
+    "dedup_semantic",  # pair kernel now try_divide
+    "pipeline_curation",  # composes quality_col
+    "pipeline_quality_bins",  # composes quality_col
     # --- rotation continuation: rows whose newest green evidence is r02
     "dedup_simhash_near_dups",
     "dedup_simhash",
@@ -99,7 +106,6 @@ _PRIORITY = (
     "win_sliding_1h_30m",
     "win_tumbling_15m",
     "text_lang_id",
-    "text_quality",
     "text_regexp_tokens",
     "text_token_stats",
     "fn_sketch_bounds",
