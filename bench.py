@@ -423,6 +423,8 @@ def main() -> int:
         "sim_range_search",
         "text_dedup_paragraphs",
         "stream_stream_join",
+        "source_orc_roundtrip",
+        "source_python_datasource",
     ):
         timed(q, run_query_rows(q))
 

@@ -68,6 +68,8 @@ _PRIORITY = (
     "sim_range_search",  # NEW: cosine radius search (shuffle-free)
     "text_dedup_paragraphs",  # NEW: intra-doc chunk dedup audit
     "stream_stream_join",  # NEW: watermarked interval join, state-bounded
+    "source_orc_roundtrip",  # NEW: built-in ORC source/sink fidelity
+    "source_python_datasource",  # NEW: custom Python DataSource connector
     # --- NEW in r06: the remaining 8 TPC-H query shapes (fixture-adapted
     # where partsupp/shipmode/receiptdate don't exist — see the module
     # comment in relational_queries.py)

@@ -228,3 +228,53 @@ def storage_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").alias("max_sk"),
         )
     )
+
+
+@query("source_orc_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> ORC -> read back -> per-lang aggregate. ORC is the
+    other columnar format long-lived warehouses carry; the round trip
+    certifies the built-in ORC source/sink (dictionary + RLE encodings,
+    unicode strings, bigint fidelity) against the same oracle as the
+    JSON/CSV trips."""
+    out = _staging_dir("src_orc_", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return _roundtrip_agg(back)
+
+
+@query(
+    "source_python_datasource",
+    oracle="""SELECT grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(txt)) AS BIGINT) AS sum_len,
+       min(txt) AS min_text,
+       max(txt) AS max_text
+FROM (
+  SELECT 'g' || (i % 7) AS grp,
+         'document ' || i || ' body ' || repeat('ab', CAST(i % 5 AS INT)) AS txt
+  FROM (SELECT unnest(range(0, 1000)) AS i))
+GROUP BY grp""",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM CONNECTOR through Spark 4's Python DataSource API
+    (sources/python_datasource.py): a deterministic generator source with
+    real partition planning (8 independent id-range slices — the shape a
+    sharded-service connector scales with). The oracle reproduces the
+    generator in SQL, so schema declaration, partition iteration, and
+    the Arrow hand-off all land in the value hash."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    df = spark.read.format("synthetic_docs").option("n", "1000").load()
+    return df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text").cast("bigint")).alias("sum_len"),
+        F.min("text").alias("min_text"),
+        F.max("text").alias("max_text"),
+    )
