@@ -425,6 +425,7 @@ def main() -> int:
         "stream_stream_join",
         "source_orc_roundtrip",
         "source_python_datasource",
+        "mm_audio_stats",
     ):
         timed(q, run_query_rows(q))
 

@@ -488,3 +488,85 @@ def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema)
+
+
+# ------------------------------------------------------------------ audio
+
+WAV_SCHEMA = "doc_id bigint, wav binary"
+AUDIO_STATS_SCHEMA = (
+    "doc_id bigint, n_samples int, sample_rate int, peak int, rms double"
+)
+
+
+def _synth_samples(doc_id: int) -> list[int]:
+    """Deterministic 16-bit PCM samples — pure function of doc_id, shared
+    contract with the SQL oracle."""
+    n = 100 + doc_id % 50
+    return [((doc_id * 31 + k * 17) % 65536) - 32768 for k in range(n)]
+
+
+def synth_wav(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, wav BINARY): a REAL RIFF/WAVE file per row (stdlib
+    ``wave`` encoder, mono 16-bit PCM @ 8 kHz) over deterministic
+    samples. Arrow-batched mapInPandas; the payload is a valid .wav any
+    player opens — the audio twin of the real PNG codec path."""
+    import pandas as pd
+
+    def batches(it):
+        import io
+        import struct
+        import wave
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf[id_col]:
+                samples = _synth_samples(int(doc_id))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        struct.pack(f"<{len(samples)}h", *samples)
+                    )
+                rows.append((int(doc_id), buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+    return docs.select(id_col).mapInPandas(batches, WAV_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """Decode the WAV payloads back (stdlib ``wave`` parser — header
+    validation, frame extraction) and emit per-clip signal stats:
+    n_samples, sample_rate, peak |amplitude|, RMS (6 dp). The decode is
+    row-local Arrow-batched Python — the mapInPandas seam where a real
+    audio featurizer (mel spectrogram, VAD) drops in; everything around
+    it (schema, batching, partition locality) is the tested contract."""
+    import pandas as pd
+
+    def batches(it):
+        import io
+        import math
+        import struct
+        import wave
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    n = w.getnframes()
+                    rate = w.getframerate()
+                    raw = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", raw)
+                sq = sum(s * s for s in samples)  # exact in int
+                rms = round(math.sqrt(sq / n), 6) if n else 0.0
+                peak = max(abs(s) for s in samples) if n else 0
+                rows.append((int(doc_id), n, rate, peak, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "sample_rate", "peak", "rms",
+                ],
+            )
+
+    return media.mapInPandas(batches, AUDIO_STATS_SCHEMA)

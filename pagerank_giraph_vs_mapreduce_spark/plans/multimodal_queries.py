@@ -204,3 +204,39 @@ def mm_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ascii_payload(load_table(spark, sf_dir, "documents"))
     return resize_payload(media, target=32)
+
+
+@query(
+    "mm_audio_stats",
+    oracle="""WITH clips AS (
+  SELECT doc_id, 100 + doc_id % 50 AS n
+  FROM documents),
+samples AS (
+  SELECT doc_id, n,
+         ((doc_id * 31 + r.k * 17) % 65536) - 32768 AS v
+  FROM clips, LATERAL unnest(range(0, n)) AS r(k))
+SELECT doc_id,
+       CAST(any_value(n) AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(max(abs(v)) AS INT) AS peak,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / any_value(n)), 6) AS rms
+FROM samples GROUP BY doc_id""",
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO modality end-to-end through a REAL codec: deterministic
+    16-bit PCM clips are encoded to genuine RIFF/WAVE files (stdlib
+    ``wave``) in one Arrow-batched pass, then a second pass parses the
+    WAV headers back and emits per-clip n_samples/peak/RMS
+    (operators/multimodal.py:synth_wav/audio_stats). The oracle
+    regenerates the sample function in SQL, so the encode→decode round
+    trip — header layout, frame packing, byte order — lands in the
+    value hash. The decode seam is where a real featurizer (mel
+    spectrogram, VAD) drops in at 100 TB: row-local mapInPandas,
+    no shuffle."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        audio_stats,
+        synth_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(synth_wav(docs))

@@ -70,6 +70,7 @@ _PRIORITY = (
     "stream_stream_join",  # NEW: watermarked interval join, state-bounded
     "source_orc_roundtrip",  # NEW: built-in ORC source/sink fidelity
     "source_python_datasource",  # NEW: custom Python DataSource connector
+    "mm_audio_stats",  # NEW: real WAV encode->decode round trip
     # --- NEW in r06: the remaining 8 TPC-H query shapes (fixture-adapted
     # where partsupp/shipmode/receiptdate don't exist — see the module
     # comment in relational_queries.py)
