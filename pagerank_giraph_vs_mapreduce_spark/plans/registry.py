@@ -71,6 +71,7 @@ _PRIORITY = (
     "source_orc_roundtrip",  # NEW: built-in ORC source/sink fidelity
     "source_python_datasource",  # NEW: custom Python DataSource connector
     "mm_audio_stats",  # NEW: real WAV encode->decode round trip
+    "sql_lateral_topk",  # NEW: correlated LATERAL ORDER BY+LIMIT
     # --- NEW in r06: the remaining 8 TPC-H query shapes (fixture-adapted
     # where partsupp/shipmode/receiptdate don't exist — see the module
     # comment in relational_queries.py)

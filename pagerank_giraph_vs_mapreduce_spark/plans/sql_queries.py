@@ -303,3 +303,28 @@ def sql_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entries"),
         )
     )
+
+
+@query(
+    "sql_lateral_topk",
+    oracle="""SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, round(c_acctbal, 6) AS c_acctbal
+         FROM customer c WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c.c_acctbal DESC, c_name LIMIT 2) t""",
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-outer-row ORDER BY + LIMIT —
+    the top-K-per-group idiom written the SQL-standard way instead of a
+    window + filter. Catalyst decorrelates it into the same
+    rank-and-filter shape the window formulation plans to, so the
+    declared surface covers both spellings; the lateral form is what
+    users migrating warehouse SQL bring with them."""
+    _register(spark, sf_dir, "nation", "customer")
+    return spark.sql(
+        """SELECT n.n_name, t.c_name, t.c_acctbal
+           FROM nation n,
+           LATERAL (SELECT c_name, round(c_acctbal, 6) AS c_acctbal
+                    FROM customer c WHERE c.c_nationkey = n.n_nationkey
+                    ORDER BY c.c_acctbal DESC, c_name LIMIT 2) t"""
+    )
