@@ -176,6 +176,35 @@ def main() -> int:
         extras["pagerank_iter15_sec"] = round(secs[-1], 3)
         extras["pagerank_iter_median_sec"] = round(mid, 3)
 
+    def run_pagerank_incremental() -> None:
+        """Incremental graph update: converge on the derived graph, add
+        ~10% new edges (shifted lineitem pairs), reconverge COLD (uniform
+        init) vs WARM (initial_ranks = previous fixpoint). Warm-start is
+        the daily-crawl-update shape at 100 TB — records both iteration
+        counts; warm must need fewer supersteps to the same tolerance."""
+        from pyspark.sql import functions as F
+
+        base = derived_edges(spark, sf_dir)
+        res0 = pagerank(base, max_iter=100, tol=1e-8, min_iter=2)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(
+            int(base.count() * 0.1)
+        )
+        delta = li.select(
+            (F.col("l_partkey") % 1500).alias("src"),
+            (F.col("l_suppkey") % 1500).alias("dst"),
+        )
+        updated = base.unionAll(delta)
+        cold = pagerank(updated, max_iter=100, tol=1e-8, min_iter=2)
+        warm = pagerank(
+            updated,
+            max_iter=100,
+            tol=1e-8,
+            min_iter=2,
+            initial_ranks=res0.ranks,
+        )
+        extras["pagerank_incr_cold_iterations"] = cold.iterations
+        extras["pagerank_incr_warm_iterations"] = warm.iterations
+
     def synth_powerlaw(n_v: int, n_e: int, seed: int = 1):
         """Deterministic web-graph-shaped synthetic edges: uniform-ish src
         (out-deg ~ n_e/n_v), zipf-ish dst via inverse-transform u^2.5 —
@@ -352,6 +381,7 @@ def main() -> int:
     timed("pagerank_skewed_3iter", run_pagerank_skewed)
     timed("pagerank_large_3iter", run_pagerank_large)
     timed("pagerank_flatness_15iter", run_pagerank_flatness)
+    timed("pagerank_incremental", run_pagerank_incremental)
     timed("pagerank_s1scale_15iter", run_pagerank_s1scale)
     timed("pagerank_s2scale_5iter", run_pagerank_s2scale)
     timed("pagerank_s3scale_5iter", run_pagerank_s3scale)

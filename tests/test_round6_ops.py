@@ -166,3 +166,32 @@ def test_wav_payloads_are_real_wave_files(spark):
         with wave.open(io.BytesIO(payload), "rb") as w:
             assert w.getframerate() == 8000
             assert w.getnframes() == 100 + doc_id % 50
+
+
+def test_warm_start_pagerank_converges_faster_same_fixpoint(spark):
+    """Incremental-update shape: after adding edges, warm-starting from
+    the previous fixpoint must reach the same ranks in fewer supersteps
+    than a cold uniform init."""
+    from tests.conftest import make_edges
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+
+    # skewed graph: the fixpoint must differ from uniform, else warm
+    # init == cold init (a plain ring is degenerate that way)
+    base_edges = [(i, (i * 7 + 3) % 60) for i in range(60)] + [
+        (i, i % 10) for i in range(60)
+    ]
+    extra = [(i, (i * 11 + 5) % 60) for i in range(0, 60, 12)]
+    base = make_edges(spark, base_edges)
+    res0 = pagerank(base, max_iter=200, tol=1e-10, min_iter=2)
+    updated = make_edges(spark, base_edges + extra)
+    cold = pagerank(updated, max_iter=200, tol=1e-10, min_iter=2)
+    warm = pagerank(
+        updated, max_iter=200, tol=1e-10, min_iter=2,
+        initial_ranks=res0.ranks,
+    )
+    assert warm.iterations < cold.iterations
+    c = {r["id"]: r["pr"] for r in cold.ranks.collect()}
+    w = {r["id"]: r["pr"] for r in warm.ranks.collect()}
+    assert set(c) == set(w)
+    assert all(abs(c[k] - w[k]) < 1e-7 for k in c)
