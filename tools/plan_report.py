@@ -111,6 +111,10 @@ HEADLINE = [
     "rel_q16_supplier_part_count",
     "rel_q20_excess_shipped",
     "rel_q21_waiting_supplier",
+    "mm_audio_stats",
+    "sql_lateral_topk",
+    "source_orc_roundtrip",
+    "source_python_datasource",
 ]
 
 
