@@ -178,16 +178,18 @@ def main() -> int:
 
     def run_pagerank_incremental() -> None:
         """Incremental graph update: converge on the derived graph, add
-        ~10% new edges (shifted lineitem pairs), reconverge COLD (uniform
+        ~1% new edges (shifted lineitem pairs), reconverge COLD (uniform
         init) vs WARM (initial_ranks = previous fixpoint). Warm-start is
         the daily-crawl-update shape at 100 TB — records both iteration
-        counts; warm must need fewer supersteps to the same tolerance."""
+        counts (warm <= cold; the gap scales with how small the delta is
+        relative to the graph — the fixpoint-identity contract is pinned
+        by tests/test_round6_ops.py)."""
         from pyspark.sql import functions as F
 
         base = derived_edges(spark, sf_dir)
         res0 = pagerank(base, max_iter=100, tol=1e-8, min_iter=2)
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(
-            int(base.count() * 0.1)
+            max(1, int(base.count() * 0.01))
         )
         delta = li.select(
             (F.col("l_partkey") % 1500).alias("src"),
