@@ -72,6 +72,7 @@ _PRIORITY = (
     "source_python_datasource",  # NEW: custom Python DataSource connector
     "mm_audio_stats",  # NEW: real WAV encode->decode round trip
     "sql_lateral_topk",  # NEW: correlated LATERAL ORDER BY+LIMIT
+    "udf_arrow_optimized",  # NEW: Spark 4 Arrow-optimized scalar UDF
     # --- NEW in r06: the remaining 8 TPC-H query shapes (fixture-adapted
     # where partsupp/shipmode/receiptdate don't exist — see the module
     # comment in relational_queries.py)

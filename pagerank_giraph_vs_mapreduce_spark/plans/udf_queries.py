@@ -158,3 +158,33 @@ def udf_grouped_agg_wmean(spark: SparkSession, sf_dir: str) -> DataFrame:
             wmean(F.col("l_quantity"), F.col("l_linenumber").cast("double")), 9
         ).alias("wmean_qty")
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""SELECT doc_id,
+       CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+         AS n_words,
+       upper(substr(text, 1, 12)) AS head_up
+FROM documents""",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ARROW-OPTIMIZED scalar Python UDF (``useArrow=True``):
+    row-at-a-time author ergonomics with Arrow-batched transfer —
+    ~2-5x over pickled row UDFs without rewriting to pandas Series.
+    Still slower than builtin expressions (docstring discipline: UDFs
+    only where expressions can't express the logic — this query exists
+    to certify the API path, not to recommend it for string ops)."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="n_words bigint, head_up string", useArrow=True)
+    def word_stats(text: str):
+        return (text.count(" ") + 1, text[:12].upper())
+
+    d = load_table(spark, sf_dir, "documents")
+    out = d.select("doc_id", word_stats(F.col("text")).alias("s"))
+    return out.select(
+        "doc_id",
+        F.col("s.n_words").alias("n_words"),
+        F.col("s.head_up").alias("head_up"),
+    )
