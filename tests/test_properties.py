@@ -69,3 +69,34 @@ def test_minhash_estimates_jaccard():
     siga, sigb = py_signature(a), py_signature(b)
     est = sum(x == y for x, y in zip(siga, sigb)) / len(siga)
     assert abs(est - true_j) < 0.35  # 12 hashes → wide but bounded
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_pagerank_matches_python_oracle_on_random_graphs(spark, pairs):
+    """On ARBITRARY small digraphs (self-loops, parallel edges, dangling
+    vertices, disconnected pieces — whatever hypothesis draws), the Spark
+    kernel must match the independent pure-Python implementation to
+    1e-9 and keep the Σpr=1 invariant."""
+    from tests.py_oracle import py_pagerank
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+
+    edges = [(int(a), int(b)) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    res = pagerank(df, damping=0.85, max_iter=60, tol=-1.0, min_iter=0)
+    got = {r["id"]: r["pr"] for r in res.ranks.collect()}
+    want = py_pagerank(edges, d=0.85, max_iter=60, tol=-1.0)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
