@@ -561,3 +561,27 @@ def simhash_near_dups(
     blocking; see ``simhash_pairs_from_sigs``."""
     s = simhash(df, id_col, text_col, shingle_len)
     return simhash_pairs_from_sigs(s, max_hamming)
+
+
+def lsh_candidate_pairs_star(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 3
+) -> DataFrame:
+    """STAR-shaped LSH candidates: per (band, bkey) bucket, each member
+    pairs with the bucket's MIN id only — B-1 edges per bucket instead
+    of C(B,2). Loses no clusters (every bucket member is connected to
+    the representative, so transitive closure over these edges yields
+    the same components as the full pair set) — it drops only redundant
+    edges, which is exactly the mega-cluster mitigation SCALING.md §13
+    prescribes: a boilerplate bucket with 10k members emits 9,999 pairs
+    instead of ~50M. The trade: pairwise Jaccard is verified against the
+    representative rather than every member, so per-EDGE thresholding is
+    star-local; cluster-level dedup (the WCC canonicalization path) is
+    unaffected."""
+    banded = banded_keys(sigs, bands, rows_per_band)
+    rep = banded.groupBy("band", "bkey").agg(F.min("id").alias("id_a"))
+    return (
+        banded.join(rep, ["band", "bkey"])
+        .filter(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+    )

@@ -778,3 +778,32 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=os.path.join(work, "ckpt"),
     )
     return spark.table(dup_t).select("id_new", "id_old")
+
+
+@query(
+    "dedup_lsh_star_candidates",
+    oracle=f"""WITH {DOCS2_SQL},
+{SHINGLES_SQL},
+{SIG_SQL},
+{BANDED_SQL},
+rep AS (
+  SELECT band, bkey, min(id) AS id_a FROM banded GROUP BY band, bkey)
+SELECT DISTINCT r.id_a, b.id AS id_b
+FROM banded b JOIN rep r ON r.band = b.band AND r.bkey = b.bkey
+WHERE b.id <> r.id_a""",
+)
+def dedup_lsh_star_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mega-cluster-safe LSH candidates (operators/dedup.py:
+    lsh_candidate_pairs_star): each bucket member pairs with the bucket
+    representative only — B-1 edges per bucket instead of C(B,2), so a
+    pathological boilerplate bucket cannot go quadratic, while
+    transitive closure still recovers identical clusters (SCALING.md §13
+    mitigation, measured against the 40x stress fixture)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        lsh_candidate_pairs_star,
+    )
+
+    sigs = minhash_signatures(
+        _docs2(spark, sf_dir), "doc_id", "text", N_HASHES, SHINGLE_LEN
+    )
+    return lsh_candidate_pairs_star(sigs, BANDS, ROWS_PER_BAND)
