@@ -74,6 +74,7 @@ _PRIORITY = (
     "sql_lateral_topk",  # NEW: correlated LATERAL ORDER BY+LIMIT
     "udf_arrow_optimized",  # NEW: Spark 4 Arrow-optimized scalar UDF
     "dedup_lsh_star_candidates",  # NEW: mega-cluster-safe B-1 candidates
+    "storage_time_travel",  # NEW: snapshot-versioned reads + atomic commit
     # --- NEW in r06: the remaining 8 TPC-H query shapes (fixture-adapted
     # where partsupp/shipmode/receiptdate don't exist — see the module
     # comment in relational_queries.py)

@@ -278,3 +278,51 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("text").alias("min_text"),
         F.max("text").alias("max_text"),
     )
+
+
+@query(
+    "storage_time_travel",
+    oracle="""SELECT 1 AS version,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT 2 AS version,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents""",
+)
+def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over snapshot-versioned parquet
+    (sources/versioned.py): v1 (even docs) is written and committed,
+    v2 (all docs) supersedes it, then BOTH versions are read back
+    side-by-side — proving a reader pinned to v1 still sees exactly
+    v1's rows after later commits. Commits are manifest renames (atomic
+    on POSIX and object stores); crash-orphaned data dirs are invisible
+    to readers and reclaimed by vacuum(). The pytest twin exercises the
+    crash/orphan and vacuum paths no SQL oracle can express."""
+    import tempfile
+
+    from pagerank_giraph_vs_mapreduce_spark.sources.versioned import (
+        read_version,
+        write_version,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    base = _staging_dir("src_tt_", sf_dir)
+    # idempotent across invocations in one session: fresh subdir per call
+    base = tempfile.mkdtemp(dir=base)
+    write_version(docs.filter(F.col("doc_id") % 2 == 0), base)
+    write_version(docs, base)
+    out = []
+    for v in (1, 2):
+        out.append(
+            read_version(spark, base, v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_n_chars"),
+            ).select("version", "n_docs", "sum_n_chars")
+        )
+    return out[0].unionAll(out[1])

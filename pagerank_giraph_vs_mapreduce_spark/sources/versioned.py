@@ -1,0 +1,98 @@
+"""Snapshot-versioned parquet tables: time travel and atomic commits on
+a plain filesystem, no table-format dependency.
+
+Layout:
+    <base>/v<N>/...parquet        immutable data directories
+    <base>/_versions/<N>.json     commit manifests (one per version)
+
+Write protocol (crash-safe): the data directory is written COMPLETELY
+first; the manifest is then written to a temp name and renamed into
+place — rename is the atomic commit point on any POSIX fs (and a
+single-object PUT on object stores). A crash before the rename leaves an
+orphan data directory and NO manifest: invisible to every reader,
+reclaimed by vacuum(). Readers resolve the manifest set only, so a
+reader pinned to version K sees K's files forever — snapshot isolation
+for batch readers while writers append new versions.
+
+This is the 20-line core of what table formats provide (and the repo
+deliberately stops here: compaction/ACID-merge live in the engines'
+own disciplines — see operators/dedup.py:compact_band_index for the
+generation-swap variant of the same idea).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(base: str) -> str:
+    return os.path.join(base, "_versions")
+
+
+def versions(base: str) -> list[int]:
+    """Committed versions, ascending (uncommitted data dirs invisible)."""
+    d = _manifest_dir(base)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json"):
+            try:
+                out.append(int(f[: -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def write_version(df: DataFrame, base: str) -> int:
+    """Write ``df`` as the next version; returns the committed version
+    number. The manifest rename is the commit point."""
+    os.makedirs(_manifest_dir(base), exist_ok=True)
+    vs = versions(base)
+    v = (vs[-1] if vs else 0) + 1
+    data_dir = os.path.join(base, f"v{v}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    manifest = {"version": v, "path": data_dir}
+    tmp = os.path.join(_manifest_dir(base), f".{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(base), f"{v}.json"))
+    return v
+
+
+def read_version(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned version (default: latest committed)."""
+    vs = versions(base)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {base}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not committed under {base}")
+    with open(os.path.join(_manifest_dir(base), f"{v}.json")) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(manifest["path"])
+
+
+def vacuum(base: str, keep_last: int = 2) -> list[int]:
+    """Drop data+manifest for all but the newest ``keep_last`` versions
+    AND any orphan (uncommitted) data directories. Returns removed
+    versions. Manifest is deleted FIRST so a concurrent reader either
+    resolved the version before the vacuum (files still present while
+    its scan runs locally) or never sees it."""
+    import shutil
+
+    vs = versions(base)
+    drop = vs[:-keep_last] if keep_last > 0 else vs
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(base), f"{v}.json"))
+        shutil.rmtree(os.path.join(base, f"v{v}"), ignore_errors=True)
+    committed = {f"v{v}" for v in versions(base)}
+    for entry in os.listdir(base):
+        if entry.startswith("v") and entry not in committed:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+    return drop

@@ -195,3 +195,37 @@ def test_warm_start_pagerank_converges_faster_same_fixpoint(spark):
     w = {r["id"]: r["pr"] for r in warm.ranks.collect()}
     assert set(c) == set(w)
     assert all(abs(c[k] - w[k]) < 1e-7 for k in c)
+
+
+def test_versioned_table_snapshot_isolation_and_vacuum(spark, tmp_path):
+    """Crash-safety of the snapshot-versioned table: an uncommitted data
+    dir (no manifest — simulated crash) is invisible to readers; vacuum
+    reclaims it plus old versions; pinned reads survive later commits."""
+    import os
+
+    from pagerank_giraph_vs_mapreduce_spark.sources.versioned import (
+        read_version,
+        vacuum,
+        versions,
+        write_version,
+    )
+
+    base = str(tmp_path / "vt")
+    d1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    d2 = spark.range(0, 25).withColumnRenamed("id", "k")
+    assert write_version(d1, base) == 1
+    assert write_version(d2, base) == 2
+    # a crashed writer: data directory exists, manifest never renamed
+    d1.write.parquet(os.path.join(base, "v3"))
+    assert versions(base) == [1, 2]
+    assert read_version(spark, base).count() == 25  # latest = v2, not v3
+    assert read_version(spark, base, 1).count() == 10  # pinned v1 intact
+    # a THIRD committed version works even with the orphan v3 dir gone
+    removed = vacuum(base, keep_last=2)
+    assert removed == []  # both versions kept
+    assert not os.path.exists(os.path.join(base, "v3"))  # orphan reclaimed
+    d3 = spark.range(0, 7).withColumnRenamed("id", "k")
+    assert write_version(d3, base) == 3
+    assert read_version(spark, base).count() == 7
+    assert vacuum(base, keep_last=1) == [1, 2]
+    assert versions(base) == [3]
