@@ -326,3 +326,76 @@ def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("version", "n_docs", "sum_n_chars")
         )
     return out[0].unionAll(out[1])
+
+
+_BUCKETED: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (once per sf_dir per session) orders+lineitem bucketed by the
+    join key; returns the two catalog table names."""
+    if sf_dir in _BUCKETED:
+        return _BUCKETED[sf_dir]
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    to, tl = f"bq_orders_{tag}", f"bq_lineitem_{tag}"
+    base = _staging_dir("src_bucketed_", sf_dir)
+    for t_ in (to, tl):
+        spark.sql(f"DROP TABLE IF EXISTS {t_}")
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/{to}")
+        .mode("overwrite")
+        .saveAsTable(to)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/{tl}")
+        .mode("overwrite")
+        .saveAsTable(tl)
+    )
+    _BUCKETED[sf_dir] = (to, tl)
+    return to, tl
+
+
+@query(
+    "storage_bucketed_join",
+    oracle="""SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,12))), 6) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority""",
+)
+def storage_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED big-big join: both fact tables are written
+    bucketed(8)+sorted by the join key, so the sort-merge join runs with
+    NO shuffle exchange on either side — the storage technique a 100 TB
+    fact table joined on the same key daily pays for once at write time
+    (zero-exchange property pinned by tests/test_bucketing.py; this
+    declared query certifies the bucketed write→read→join VALUES against
+    the plain-table oracle)."""
+    to, tl = _bucketed_pair(spark, sf_dir)
+    o = spark.table(to).select("o_orderkey", "o_orderpriority")
+    li = spark.table(tl).select(
+        "o_orderkey",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev"),
+    )
+    return (
+        o.join(li, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("rev").cast("decimal(38,12)")), 6)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
