@@ -241,6 +241,10 @@ def compact_band_index(
     new_location = f"{base}__gen{gen + 1}"
     scratch = f"{table}__compacting"
     spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    # a crashed previous attempt left orphan files at the same next-gen
+    # path (it is only ever referenced by the catalog AFTER the rename
+    # commit, so an unreferenced copy is safe to clear for the retry)
+    _delete_path(spark, new_location)
     # Force the BUCKETED scan for the rewrite: one task per bucket reads
     # all of that bucket's generation files and writes exactly one file —
     # a zero-shuffle, per-bucket-local file merge. (The planner treats a

@@ -54,6 +54,12 @@ def write_version(df: DataFrame, base: str) -> int:
     vs = versions(base)
     v = (vs[-1] if vs else 0) + 1
     data_dir = os.path.join(base, f"v{v}")
+    # a crashed previous attempt at this same version left an orphan
+    # data dir with no manifest — uncommitted garbage, safe to replace
+    if os.path.isdir(data_dir):
+        import shutil
+
+        shutil.rmtree(data_dir)
     df.write.mode("errorifexists").parquet(data_dir)
     manifest = {"version": v, "path": data_dir}
     tmp = os.path.join(_manifest_dir(base), f".{v}.json.tmp")

@@ -107,8 +107,16 @@ def process_batch(
                     # explicit external location when given: a MANAGED
                     # table's warehouse dir outlives its (session-local)
                     # catalog entry, and a later session's bootstrap then
-                    # fails with LOCATION_ALREADY_EXISTS
-                    w = cand.write.partitionBy("batch_id").format("parquet")
+                    # fails with LOCATION_ALREADY_EXISTS. Overwrite mode:
+                    # a crash between the data write and the catalog
+                    # commit leaves partial files at the path, and the
+                    # replayed batch must be able to re-bootstrap over
+                    # them instead of erroring on a non-empty dir.
+                    w = (
+                        cand.write.partitionBy("batch_id")
+                        .mode("overwrite")
+                        .format("parquet")
+                    )
                     if dup_path:
                         w = w.option("path", dup_path)
                     w.saveAsTable(dup_table)
@@ -119,12 +127,16 @@ def process_batch(
         else:
             # bootstrap: create the index partitioned by batch_id AND
             # bucketed on the probe's join key — every later write is a
-            # per-partition dynamic overwrite into this spec
+            # per-partition dynamic overwrite into this spec. Overwrite
+            # mode for replay-safety: a crash mid-bootstrap leaves
+            # partial files at index_path with no catalog entry, and the
+            # replayed batch re-bootstraps over them.
             (
                 banded.write.partitionBy("batch_id")
                 .bucketBy(buckets, "band", "bkey")
                 .sortBy("band", "bkey")
                 .option("path", index_path)
+                .mode("overwrite")
                 .format("parquet")
                 .saveAsTable(index_table)
             )

@@ -229,3 +229,34 @@ def test_versioned_table_snapshot_isolation_and_vacuum(spark, tmp_path):
     assert read_version(spark, base).count() == 7
     assert vacuum(base, keep_last=1) == [1, 2]
     assert versions(base) == [3]
+
+
+def test_streaming_dedup_bootstrap_replays_over_partial_files(spark, tmp_path):
+    """Crash between the bootstrap data write and its catalog commit
+    leaves partial files at index_path with no table; the replayed batch
+    must re-bootstrap over them, not error on a non-empty dir."""
+    from pagerank_giraph_vs_mapreduce_spark.streaming.incremental_dedup import (
+        process_batch,
+    )
+
+    idx_path = str(tmp_path / "idx")
+    # partial files from the "crashed" first attempt
+    spark.range(3).write.parquet(idx_path)
+    spark.sql("DROP TABLE IF EXISTS sid_replay_idx")
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id bigint, text string",
+    )
+    try:
+        process_batch(
+            b0, 0,
+            index_table="sid_replay_idx",
+            index_path=idx_path,
+            dup_table="sid_replay_dups",
+            dup_path=str(tmp_path / "dups"),
+            buckets=4,
+        )
+        assert spark.table("sid_replay_idx").count() == 4  # 1 doc x 4 bands
+    finally:
+        for t in ("sid_replay_idx", "sid_replay_dups"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
