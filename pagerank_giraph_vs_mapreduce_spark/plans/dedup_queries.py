@@ -574,6 +574,8 @@ _BAND_INDEX: dict[str, str] = {}
 # dedup_incremental_indexed): the previous invocation's blocks are
 # unpersisted when a new invocation persists its own.
 _CAND_CACHE: dict[str, DataFrame] = {}
+# Deterministic stream-shard dirs, one per sf_dir per session.
+_SID_SHARDS: dict[str, str] = {}
 
 
 def _corpus_band_index(spark: SparkSession, sf_dir: str) -> str:
@@ -728,6 +730,7 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay/restart behavior itself is pinned by
     tests/test_stream_incremental_dedup.py (no batch oracle can express
     a mid-stream crash)."""
+    import atexit
     import glob as globmod
     import os
     import shutil
@@ -737,26 +740,32 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_streaming_incremental_dedup,
     )
 
-    import atexit
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    work = tempfile.mkdtemp(prefix="stream_sid_")
+    # shards are deterministic per sf_dir: build once per session and
+    # reuse (only the checkpoint/table dirs are per-invocation) — gate +
+    # bench + sweep in one session must not accumulate documents copies
+    src = _SID_SHARDS.get(sf_dir)
+    if src is None:
+        shard_root = tempfile.mkdtemp(prefix="stream_sid_shards_")
+        atexit.register(shutil.rmtree, shard_root, ignore_errors=True)
+        src = os.path.join(shard_root, "shards")
+        os.makedirs(src)
+        for b in range(3):
+            staging = os.path.join(shard_root, f"stage{b}")
+            (
+                docs.filter(F.col("doc_id") % 3 == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            part = globmod.glob(os.path.join(staging, "part-*.parquet"))[0]
+            dest = os.path.join(src, f"b{b}.parquet")
+            shutil.copy(part, dest)
+            t = 1_700_000_000 + b * 60  # mtime order fixes batch order
+            os.utime(dest, (t, t))
+        _SID_SHARDS[sf_dir] = src
+    work = tempfile.mkdtemp(prefix="stream_sid_run_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
-    src = os.path.join(work, "shards")
-    os.makedirs(src)
-    for b in range(3):
-        staging = os.path.join(work, f"stage{b}")
-        (
-            docs.filter(F.col("doc_id") % 3 == b)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        part = globmod.glob(os.path.join(staging, "part-*.parquet"))[0]
-        dest = os.path.join(src, f"b{b}.parquet")
-        shutil.copy(part, dest)
-        t = 1_700_000_000 + b * 60  # mtime order fixes batch order
-        os.utime(dest, (t, t))
     idx_t, dup_t = "stream_sid_index_q", "stream_sid_dups_q"
     for t_ in (idx_t, dup_t):
         spark.sql(f"DROP TABLE IF EXISTS {t_}")

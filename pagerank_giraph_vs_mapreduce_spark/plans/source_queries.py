@@ -301,21 +301,23 @@ def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     on POSIX and object stores); crash-orphaned data dirs are invisible
     to readers and reclaimed by vacuum(). The pytest twin exercises the
     crash/orphan and vacuum paths no SQL oracle can express."""
-    import tempfile
+    import os
 
     from pagerank_giraph_vs_mapreduce_spark.sources.versioned import (
         read_version,
+        versions,
         write_version,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    base = _staging_dir("src_tt_", sf_dir)
-    # idempotent across invocations in one session: fresh subdir per call
-    base = tempfile.mkdtemp(dir=base)
-    write_version(docs.filter(F.col("doc_id") % 2 == 0), base)
-    write_version(docs, base)
+    base = os.path.join(_staging_dir("src_tt_", sf_dir), "table")
+    # versions are deterministic per sf_dir: write once per session,
+    # re-invocations read the already-committed v1/v2 (no accumulation)
+    if len(versions(base)) < 2:
+        write_version(docs.filter(F.col("doc_id") % 2 == 0), base)
+        write_version(docs, base)
     out = []
     for v in (1, 2):
         out.append(
