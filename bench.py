@@ -458,6 +458,11 @@ def main() -> int:
         "source_orc_roundtrip",
         "source_python_datasource",
         "mm_audio_stats",
+        "udf_arrow_optimized",
+        "dedup_lsh_star_candidates",
+        "storage_time_travel",
+        "storage_bucketed_join",
+        "sql_lateral_topk",
     ):
         timed(q, run_query_rows(q))
 
