@@ -463,6 +463,7 @@ def main() -> int:
         "storage_time_travel",
         "storage_bucketed_join",
         "sql_lateral_topk",
+        "g_pagerank_incremental",
     ):
         timed(q, run_query_rows(q))
 

@@ -902,3 +902,102 @@ def g_random_walks_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, edges, verts, _ = _graph_parts(spark, sf_dir)
     sources = verts.filter(F.col("id") % WALK_MOD == 0)
     return random_walks(edges, sources, steps=WALK_STEPS)
+
+
+def _pagerank_incremental_sql(k0: int, k1: int, d: float = 0.85) -> str:
+    """Two-phase unrolled oracle for WARM-START PageRank: k0 iterations
+    on the base graph, ranks carried onto the UPDATED graph (delta =
+    reversed src%7==0 edges) as the init — vertices new to the updated
+    graph seed at 1/N_updated — then k1 more iterations under the
+    updated degrees/dangling set. Mirrors pagerank(initial_ranks=...)
+    exactly (no renormalization of the carried ranks)."""
+    ctes = [
+        "delta AS (SELECT dst AS src, src AS dst FROM edges WHERE src % 7 = 0)",
+        "uedges AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM delta)",
+        "uverts AS (SELECT src AS id FROM uedges UNION SELECT dst AS id FROM uedges)",
+        "udeg AS (SELECT src AS id, count(*) AS outdeg FROM uedges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS pr FROM verts)",
+    ]
+    for i in range(1, k0 + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""dang{i} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM {p}
+  WHERE id NOT IN (SELECT id FROM deg))"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS id, sum(r.pr / g.outdeg) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.id JOIN deg g ON g.id = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT v.id,
+         (1 - {d}) / (SELECT count(*) FROM verts)
+         + {d} * ((SELECT dm FROM dang{i}) / (SELECT count(*) FROM verts)
+                  + coalesce(c.contrib, 0.0)) AS pr
+  FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    ctes.append(
+        f"""w0 AS (
+  SELECT v.id, coalesce(r.pr, 1.0 / (SELECT count(*) FROM uverts)) AS pr
+  FROM uverts v LEFT JOIN r{k0} r ON r.id = v.id)"""
+    )
+    for i in range(1, k1 + 1):
+        p = f"w{i - 1}"
+        ctes.append(
+            f"""udang{i} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM {p}
+  WHERE id NOT IN (SELECT id FROM udeg))"""
+        )
+        ctes.append(
+            f"""uc{i} AS (
+  SELECT e.dst AS id, sum(r.pr / g.outdeg) AS contrib
+  FROM uedges e JOIN {p} r ON e.src = r.id JOIN udeg g ON g.id = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+  SELECT v.id,
+         (1 - {d}) / (SELECT count(*) FROM uverts)
+         + {d} * ((SELECT dm FROM udang{i}) / (SELECT count(*) FROM uverts)
+                  + coalesce(c.contrib, 0.0)) AS pr
+  FROM uverts v LEFT JOIN uc{i} c ON v.id = c.id)"""
+    )
+    return (
+        f"{GRAPH_CTES},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(pr, 9) AS pr FROM w{k1}"
+    )
+
+
+@query("g_pagerank_incremental", oracle=_pagerank_incremental_sql(2, 2))
+def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL-update PageRank, driver-certified end-to-end: 2
+    supersteps on the base graph, the resulting ranks warm-start 2 more
+    supersteps on the graph grown by a deterministic edge delta (the
+    daily-crawl-update shape — graph/pagerank.py:initial_ranks, the same
+    machinery durable-checkpoint resume uses). Vertices new to the
+    updated graph seed at 1/N_updated; carried ranks are NOT
+    renormalized (the next iteration's dangling/damping arithmetic is
+    state-free). The oracle unrolls BOTH phases into SQL, so the
+    init-carry semantics — not just each phase — land in the value
+    hash."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+
+    _raw, edges, _verts, _deg = _graph_parts(spark, sf_dir)
+    delta = edges.filter(F.col("src") % 7 == 0).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    updated = edges.unionAll(delta).distinct()
+    res0 = pagerank(edges, damping=0.85, max_iter=2, tol=-1.0, min_iter=0)
+    res = pagerank(
+        updated,
+        damping=0.85,
+        max_iter=2,
+        tol=-1.0,
+        min_iter=0,
+        initial_ranks=res0.ranks,
+    )
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))
