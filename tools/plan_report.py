@@ -115,6 +115,11 @@ HEADLINE = [
     "sql_lateral_topk",
     "source_orc_roundtrip",
     "source_python_datasource",
+    "udf_arrow_optimized",
+    "dedup_lsh_star_candidates",
+    "storage_time_travel",
+    "storage_bucketed_join",
+    "g_pagerank_incremental",
 ]
 
 
