@@ -100,3 +100,49 @@ def test_pagerank_matches_python_oracle_on_random_graphs(spark, pairs):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_connected_components_match_union_find(spark, pairs):
+    """WCC on arbitrary random digraphs must equal a plain union-find
+    over the undirected view — independent third implementation."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        connected_components,
+    )
+
+    edges = [(int(a), int(b)) for a, b in pairs]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(df).components.collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    # same vertex set, same PARTITION, and the canonical label is the
+    # component's min id on both sides
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == want[v], (v, got[v], want[v])
