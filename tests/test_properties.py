@@ -146,3 +146,49 @@ def test_connected_components_match_union_find(spark, pairs):
     assert set(got) == set(want)
     for v in want:
         assert got[v] == want[v], (v, got[v], want[v])
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=100), # left ts
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # key
+            st.integers(min_value=0, max_value=100), # right ts
+            st.integers(min_value=0, max_value=999), # payload
+        ),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): ties have
+        # operator-defined order, tested separately by the oracle query
+    ),
+)
+def test_asof_join_matches_python_bisect(spark, lrows, rrows):
+    """As-of join on arbitrary inputs must equal the obvious per-key
+    latest-at-or-before lookup."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.temporal import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lrows)],
+        "k bigint, ts bigint, lid bigint",
+    )
+    right = spark.createDataFrame(
+        rrows, "k bigint, ts bigint, payload bigint"
+    ) if rrows else spark.createDataFrame([], "k bigint, ts bigint, payload bigint")
+    got = {
+        r["lid"]: r["right_payload"]
+        for r in asof_join(left, right, "k", "ts", ["payload"]).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cands = [(rt, p) for rk, rt, p in rrows if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, got[i], want)
