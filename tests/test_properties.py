@@ -192,3 +192,39 @@ def test_asof_join_matches_python_bisect(spark, lrows, rrows):
         cands = [(rt, p) for rk, rt, p in rrows if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, t, got[i], want)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdef gh.,x", min_size=1, max_size=500
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunking_reconstructs_documents(spark, texts):
+    """Sliding-window chunking must lose no characters: dropping each
+    chunk's overlap tail and concatenating in chunk order reconstructs
+    the original text exactly, for arbitrary lengths around the
+    chunk/stride boundaries."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+        chunk_documents,
+    )
+
+    chunk_chars, overlap = 20, 5
+    stride = chunk_chars - overlap
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    rows = chunk_documents(
+        df, "doc_id", "text", chunk_chars=chunk_chars, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk"]))
+    for doc_id, text in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[doc_id])]
+        rebuilt = "".join(c[:stride] for c in chunks[:-1]) + chunks[-1]
+        assert rebuilt == text, (doc_id, text, chunks)
