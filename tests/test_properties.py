@@ -228,3 +228,52 @@ def test_chunking_reconstructs_documents(spark, texts):
         chunks = [c for _, c in sorted(by_doc[doc_id])]
         rebuilt = "".join(c[:stride] for c in chunks[:-1]) + chunks[-1]
         assert rebuilt == text, (doc_id, text, chunks)
+
+
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.sampled_from(WORDS), min_size=4, max_size=10).map(" ".join),
+    st.integers(min_value=2, max_value=5),
+)
+def test_star_candidates_preserve_components(spark, base_text, n_copies):
+    """The star-shaped candidate set must be a SUBSET of the full pair
+    set and yield the identical connected components under transitive
+    closure — the exact claim the mega-cluster mitigation rests on."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_star,
+        minhash_signatures,
+    )
+
+    rows = [(i, base_text) for i in range(n_copies)] + [
+        (100, "completely different spark catalyst tungsten codegen text"),
+        (101, base_text + " with a tiny suffix change here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", 24, 5)
+    full = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, 4, 6).collect()
+    }
+    star = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs_star(sigs, 4, 6).collect()
+    }
+    assert star <= full
+
+    def comps(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    nodes = {i for p in full for i in p} | {i for p in star for i in p}
+    assert comps(star, nodes) == comps(full, nodes)
