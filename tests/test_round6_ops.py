@@ -260,3 +260,31 @@ def test_streaming_dedup_bootstrap_replays_over_partial_files(spark, tmp_path):
     finally:
         for t in ("sid_replay_idx", "sid_replay_dups"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stratified_sample_invariant_to_partitioning(spark, sf_dir):
+    """The md5 keep-predicate must select the SAME rows regardless of
+    physical layout — the reproducibility claim rng TABLESAMPLE cannot
+    make."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        pipeline_stratified_sample,
+    )
+
+    a = {r["doc_id"] for r in pipeline_stratified_sample(spark, sf_dir).collect()}
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(13)
+        .select("doc_id", "source")
+    )
+    thr = (
+        "substr('0123456789abcdef', ((ascii(substr(source,1,1)) % 5) + 1) + 1, 1)"
+    )
+    from pyspark.sql import functions as F
+
+    b = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < F.expr(thr)
+        ).collect()
+    }
+    assert a == b and len(a) > 0
