@@ -102,3 +102,58 @@ def vacuum(base: str, keep_last: int = 2) -> list[int]:
         if entry.startswith("v") and entry not in committed:
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
     return drop
+
+
+def committed_tags(base: str) -> set:
+    """Tags of all committed versions (see write_version_tagged)."""
+    out = set()
+    d = _manifest_dir(base)
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                m = json.load(fh)
+            if "tag" in m:
+                out.add(m["tag"])
+    return out
+
+
+def write_version_tagged(df: DataFrame, base: str, tag) -> int | None:
+    """Idempotent tagged commit: if a committed version already carries
+    ``tag``, do nothing and return None — the EXACTLY-ONCE streaming
+    sink primitive. foreachBatch replays the same batch_id after a crash
+    between the data write and the checkpoint commit; with
+    ``tag=batch_id`` the replayed write sees its tag already committed
+    (manifest rename is atomic, so a crash mid-write leaves no tag and
+    the replay re-writes cleanly over the orphan dir)."""
+    if tag in committed_tags(base):
+        return None
+    os.makedirs(_manifest_dir(base), exist_ok=True)
+    vs = versions(base)
+    v = (vs[-1] if vs else 0) + 1
+    data_dir = os.path.join(base, f"v{v}")
+    if os.path.isdir(data_dir):
+        import shutil
+
+        shutil.rmtree(data_dir)
+    df.write.mode("errorifexists").parquet(data_dir)
+    manifest = {"version": v, "path": data_dir, "tag": tag}
+    tmp = os.path.join(_manifest_dir(base), f".{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(base), f"{v}.json"))
+    return v
+
+
+def read_all_versions(spark: SparkSession, base: str) -> DataFrame:
+    """Union of every committed version — the "whole stream so far" view
+    of a versioned streaming sink (each micro-batch is one version)."""
+    vs = versions(base)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions under {base}")
+    out = None
+    for v in vs:
+        df = read_version(spark, base, v)
+        out = df if out is None else out.unionByName(df)
+    return out

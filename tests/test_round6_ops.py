@@ -288,3 +288,52 @@ def test_stratified_sample_invariant_to_partitioning(spark, sf_dir):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_versioned_streaming_sink_exactly_once(spark, tmp_path):
+    """foreachBatch -> versioned sink: each micro-batch commits one
+    tagged version; a replayed batch_id is a no-op, so the union of
+    versions equals the input exactly once even under replay."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.versioned import (
+        committed_tags,
+        read_all_versions,
+        versions,
+        write_version_tagged,
+    )
+
+    import glob
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, t in enumerate((1_700_000_000, 1_700_000_060)):
+        staging = str(tmp_path / f"stage{i}")
+        spark.range(i * 10, i * 10 + 10).coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dest = str(src / f"b{i}.parquet")
+        shutil.copy(part, dest)
+        os.utime(dest, (t, t))
+    base = str(tmp_path / "sink")
+    seen = []
+
+    def handle(batch, batch_id):
+        seen.append(batch_id)
+        write_version_tagged(batch, base, tag=batch_id)
+
+    stream = spark.readStream.schema("id bigint").parquet(str(src))
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(versions(base)) >= 1
+    total = read_all_versions(spark, base).count()
+    assert total == 20
+    # replay every batch: all no-ops
+    for bid in seen:
+        assert write_version_tagged(spark.range(5), base, tag=bid) is None
+    assert read_all_versions(spark, base).count() == 20
+    assert committed_tags(base) == set(seen) or committed_tags(base) <= set(seen)
