@@ -816,3 +816,62 @@ def dedup_lsh_star_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs2(spark, sf_dir), "doc_id", "text", N_HASHES, SHINGLE_LEN
     )
     return lsh_candidate_pairs_star(sigs, BANDS, ROWS_PER_BAND)
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000 AS doc_id, substr(text, 1, 80) AS text
+  FROM documents WHERE doc_id % 7 = 0),
+{SHINGLES_SQL.replace("FROM docs2", "FROM docs2")},
+{SIG_SQL},
+{BANDED_SQL},
+{CAND_SQL},
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b AND b.code = a.code
+  GROUP BY c.id_a, c.id_b)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.i AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+FROM inter i JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b
+WHERE CAST(i.i AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment = |A∩B| / min(|A|,|B|) — catches
+    an EXCERPT inside a longer document (planted here: 80-char prefixes
+    of every doc_id%7==0 doc), which symmetric Jaccard misses because
+    the union is dominated by the longer side. Same LSH candidate
+    routing as the Jaccard path (a true excerpt shares the prefix's
+    shingles, so its bands collide); only the verify formula changes.
+    The standard signal for quote/boilerplate-fragment removal in
+    training corpora."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.substring("text", 1, 80).alias("text"),
+    )
+    d2 = docs.unionAll(excerpts)
+    sigs = minhash_signatures(d2, "doc_id", "text", N_HASHES, SHINGLE_LEN)
+    cand = lsh_candidate_pairs(sigs, BANDS, ROWS_PER_BAND)
+    sh = shingles(d2, "doc_id", "text", SHINGLE_LEN)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnsRenamed({"id": "id_a"})
+    b = sh.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "code"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.withColumnsRenamed({"id": "id_a", "sz": "sz_a"})
+    sb = sizes.withColumnsRenamed({"id": "id_b", "sz": "sz_b"})
+    cont = F.col("i").cast("double") / F.least("sz_a", "sz_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(cont >= 0.9)
+        .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
+    )

@@ -77,6 +77,7 @@ _PRIORITY = (
     "storage_time_travel",  # NEW: snapshot-versioned reads + atomic commit
     "storage_bucketed_join",  # NEW: co-located zero-exchange fact join
     "g_pagerank_incremental",  # NEW: warm-start carry, two-phase oracle
+    "dedup_containment",  # NEW: asymmetric excerpt detection
     # --- NEW in r06: the remaining 8 TPC-H query shapes (fixture-adapted
     # where partsupp/shipmode/receiptdate don't exist — see the module
     # comment in relational_queries.py)
