@@ -1691,3 +1691,35 @@ def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("thr"))
         .select("l_partkey", "value")
     )
+
+
+@query(
+    "rel_bloom_semi_join",
+    oracle=f"""SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {_sql_dsum("o_totalprice", "sum_price")}
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority""",
+)
+def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-bloom-filtered semi join (operators/bloom.py): orders of
+    BUILDING-segment customers, aggregated by priority. The dim keys fold
+    into an ~8 KB bitmap broadcast as ONE row; the fact side is pre-filtered
+    by codegen'd hash+shift+AND probes BEFORE the exact semi join, so at
+    scale the shuffle/join volume tracks the ~20% selected fraction instead
+    of the full fact table. Value-identical to the plain semi join — the
+    exact join kills bloom false positives, and false negatives are
+    structurally impossible (same hash family on both sides)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.bloom import bloom_semi_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    matched = bloom_semi_join(orders, "o_custkey", dim, "c_custkey")
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "sum_price"),
+    )
