@@ -196,3 +196,83 @@ def random_walks(
         out = out.unionAll(cur)
     links.unpersist()
     return out
+
+def sssp_distances(
+    edges: DataFrame,
+    source: int,
+    rounds: int = 10,
+    weight_col: str = "w",
+) -> BfsResult:
+    """Weighted single-source shortest paths: Bellman-Ford on the same
+    cached-DataFrame superstep skeleton, with the delta-frontier
+    optimization — per round only vertices whose distance IMPROVED last
+    round scatter ``dist + w`` along their out-edges. Relaxing only the
+    improved set is result-identical to relaxing every settled vertex
+    (a vertex that did not improve in round t already scattered its final
+    value in the round after it last improved), so a k-round run matches
+    the fully-unrolled Bellman-Ford oracle exactly.
+
+    Parallel edges are collapsed to their MIN weight (the only one that
+    can ever win a relaxation). Distances are BIGINT — integer-exact, no
+    float tolerance in the oracle comparison. Terminates early when a
+    round improves nothing (the fixpoint for non-negative weights).
+
+    Scale shape: identical to BFS — E-rows shuffled once into the sorted
+    src-partitioned cache; each round moves O(frontier out-degree) relax
+    messages plus a V-row min-merge, one driver action per round,
+    localCheckpoint keeping lineage flat.
+    """
+    spark = edges.sparkSession
+    links = (
+        edges.groupBy("src", "dst")
+        .agg(F.min(weight_col).alias("w"))
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "id bigint, dist bigint"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    frontier = dist
+
+    history: list[tuple[int, int, float]] = []
+    iterations = 0
+    for rnd in range(1, rounds + 1):
+        t0 = time.monotonic()
+        relax = (
+            links.join(
+                frontier.select(
+                    F.col("id").alias("src"), F.col("dist").alias("fd")
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("id"), (F.col("fd") + F.col("w")).alias("cand")
+            )
+            .groupBy("id")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            relax.join(dist.select("id", F.col("dist").alias("old")), "id", "left")
+            .filter(F.col("old").isNull() | (F.col("cand") < F.col("old")))
+            .select("id", F.col("cand").alias("dist"))
+        )
+        # min-merge old + improved — V-row groupBy, then one action
+        new_dist = (
+            dist.unionAll(improved)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        n_changed = improved.count()
+        dist.unpersist()
+        dist = new_dist
+        frontier = improved
+        iterations = rnd
+        history.append((rnd, int(n_changed), time.monotonic() - t0))
+        if n_changed == 0:
+            break
+
+    links.unpersist()
+    return BfsResult(distances=dist, iterations=iterations, history=history)

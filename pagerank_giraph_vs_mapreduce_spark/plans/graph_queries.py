@@ -1001,3 +1001,47 @@ def g_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         initial_ranks=res0.ranks,
     )
     return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
+SSSP_ROUNDS = 4
+
+
+def _sssp_unrolled_sql(rounds: int) -> str:
+    """Full Bellman-Ford unrolled: round i relaxes EVERY settled vertex.
+    The kernel's delta-frontier relaxes only last-round improvers — result-
+    identical after the same number of rounds (a non-improver's scatter is
+    a repeat of the round after it last improved)."""
+    ctes = [
+        f"d0 AS (SELECT CAST({BFS_SOURCE} AS BIGINT) AS id, "
+        "CAST(0 AS BIGINT) AS dist)"
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS (SELECT id, min(dist) AS dist FROM (
+  SELECT id, dist FROM d{i - 1}
+  UNION ALL
+  SELECT e.dst AS id, d.dist + e.w AS dist
+  FROM d{i - 1} d JOIN wedges e ON e.src = d.id) GROUP BY id)"""
+        )
+    return (
+        GRAPH_CTES
+        + ",\nwedges AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM edges),\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, dist FROM d{rounds}"
+    )
+
+
+@query("g_sssp_k4", oracle=_sssp_unrolled_sql(SSSP_ROUNDS))
+def g_sssp_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted SSSP (graph/paths.py:sssp_distances — delta-frontier
+    Bellman-Ford on the superstep skeleton) from vertex 0, 4 relaxation
+    rounds, deterministic integer weights w = (src+dst)%7+1. BIGINT
+    distances — integer-exact against the unrolled oracle."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import sssp_distances
+
+    _raw, edges, _verts, _deg = _graph_parts(spark, sf_dir)
+    weighted = edges.withColumn(
+        "w", (F.col("src") + F.col("dst")) % 7 + F.lit(1)
+    )
+    res = sssp_distances(weighted, source=BFS_SOURCE, rounds=SSSP_ROUNDS)
+    return res.distances

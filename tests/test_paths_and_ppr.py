@@ -97,3 +97,55 @@ def test_multi_bfs_equals_per_source_runs(spark):
     assert combined == separate
     with pytest.raises(ValueError, match="at least one source"):
         multi_bfs(edges, [], max_hops=2)
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src bigint, dst bigint, w bigint")
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import sssp_distances
+
+    # direct 0→3 costs 10; the 3-hop detour costs 3 — needs 3 rounds
+    edges = _wedges(spark, [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    res = sssp_distances(edges, source=0, rounds=10)
+    assert _dists(res) == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert res.history[-1][1] == 0  # reached the fixpoint and stopped
+
+
+def test_sssp_parallel_edges_take_min_weight(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import sssp_distances
+
+    edges = _wedges(spark, [(0, 1, 9), (0, 1, 2), (1, 2, 5), (1, 2, 7)])
+    res = sssp_distances(edges, source=0, rounds=5)
+    assert _dists(res) == {0: 0, 1: 2, 2: 7}
+
+
+def test_sssp_matches_dijkstra_on_random_graphs(spark):
+    import heapq
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import sssp_distances
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 12
+        triples = [
+            (rng.randrange(n), rng.randrange(n), rng.randrange(1, 8))
+            for _ in range(40)
+        ]
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for s, d, w in triples:
+            adj.setdefault(s, []).append((d, w))
+        best = {0: 0}
+        pq = [(0, 0)]
+        while pq:
+            du, u = heapq.heappop(pq)
+            if du > best.get(u, 1 << 60):
+                continue
+            for v, w in adj.get(u, []):
+                if du + w < best.get(v, 1 << 60):
+                    best[v] = du + w
+                    heapq.heappush(pq, (best[v], v))
+        res = sssp_distances(_wedges(spark, triples), source=0, rounds=50)
+        assert _dists(res) == best, f"trial {trial}"
