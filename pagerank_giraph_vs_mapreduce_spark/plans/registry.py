@@ -62,6 +62,10 @@ _PRIORITY = (
     # (the ANSI-robustness sweep moved quality_score's ratios and the
     # bucketed-cosine pair kernels to try_divide — value-identical on
     # defined rows, but the touched queries re-certify first)
+    "rel_bloom_semi_join",  # NEW: runtime bloom filter join pruning
+    "g_sssp_k4",  # NEW: weighted SSSP, delta-frontier Bellman-Ford
+    "text_repeated_ngrams",  # NEW: exact repeated-span detection
+    "sql_pivot",  # NEW: SQL-standard PIVOT (conditional-agg plan)
     "stream_incremental_dedup",  # NEW: continuous probe→flag→index loop
     "text_bpe_encode",  # NEW: BPE tokenizer APPLY path (advice r05 #4)
     "pipeline_stratified_sample",  # NEW: per-stratum md5 downsampling

@@ -328,3 +328,29 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM customer c WHERE c.c_nationkey = n.n_nationkey
                     ORDER BY c.c_acctbal DESC, c_name LIMIT 2) t"""
     )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+_PIVOT_ORACLE = "SELECT user_id, " + ", ".join(
+    f"CAST(round(sum(CAST(value AS DECIMAL(38,12))) "
+    f"FILTER (WHERE event_type = '{t}'), 6) AS DOUBLE) AS {t}_value"
+    for t in _EVENT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+@query("sql_pivot", oracle=_PIVOT_ORACLE)
+def sql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard PIVOT: per-user value totals fanned out to one column
+    per event type. Catalyst rewrites PIVOT into a single conditional
+    aggregation (one scan, one shuffle keyed on user_id, map-side
+    combined) — identical plan to the FILTER-clause spelling the oracle
+    uses, so the declared surface covers both. Sums go through exact
+    DECIMAL per the repo's hash-stability rules; a user with no events of
+    a type gets NULL in both engines."""
+    _register(spark, sf_dir, "events")
+    in_list = ", ".join(f"'{t}' AS {t}_value" for t in _EVENT_TYPES)
+    return spark.sql(
+        f"""SELECT * FROM (SELECT user_id, event_type, value FROM events)
+            PIVOT (CAST(round(sum(CAST(value AS DECIMAL(38,12))), 6) AS DOUBLE)
+                   FOR event_type IN ({in_list}))"""
+    )

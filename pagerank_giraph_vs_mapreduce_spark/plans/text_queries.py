@@ -709,3 +709,62 @@ def text_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "unique_ratio",
         F.round(F.col("n_unique") / F.col("n_chunks"), 6),
     )
+
+
+NGRAM_SPAN = 5
+
+
+@query(
+    "text_repeated_ngrams",
+    oracle=f"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t != '') AS l
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g.g FROM toks, LATERAL unnest(
+    list_transform(range(1, len(l) - {NGRAM_SPAN - 2}),
+                   i -> array_to_string(l[i:i + {NGRAM_SPAN - 1}], ' '))
+  ) AS g(g))
+SELECT g AS ngram, CAST(count(*) AS BIGINT) AS n_docs
+FROM grams GROUP BY g HAVING count(*) >= 2
+ORDER BY n_docs DESC, ngram LIMIT 20""",
+)
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-span detection — the n-gram form of exact substring
+    dedup (the "memorized boilerplate" signal: spans that recur VERBATIM
+    across documents). Per doc, every {NGRAM_SPAN}-token window is built
+    in-row from the token array (slice+transform, codegen'd, no
+    self-join), deduped within the doc, then one map-side-combined
+    COUNT(DISTINCT doc) per gram keeps only cross-document repeats.
+
+    Scale: the explode produces ~tokens-per-doc rows per doc — the same
+    volume the vocabulary/TF-IDF queries already shuffle — and the HAVING
+    >= 2 filter is applied post-aggregation where the data is already
+    per-gram. For a 100 TB corpus the standard refinement is a two-level
+    count (hash-partition pre-count, then global), which Spark's partial
+    aggregation already performs; truly-unique grams (the vast majority)
+    die in the map-side combine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    # sequence(1, 0) would count DOWN ([1, 0] — slice index 0 is an ANSI
+    # error), so short docs get an explicit empty window list
+    n = F.size(toks) - F.lit(NGRAM_SPAN - 1)
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_SPAN)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("ngram"))
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "ngram")
+        .limit(20)
+    )
