@@ -464,8 +464,37 @@ def main() -> int:
         "storage_bucketed_join",
         "sql_lateral_topk",
         "g_pagerank_incremental",
+        "dedup_containment",
+        "rel_bloom_semi_join",
+        "g_sssp_k4",
+        "text_repeated_ngrams",
+        "sql_pivot",
     ):
         timed(q, run_query_rows(q))
+
+    def run_bloom_prune() -> None:
+        # The bloom operator's SCALE claim, measured: fraction of the
+        # fact table the bitmap probe lets through to the exact join.
+        from pyspark.sql import functions as SF
+
+        from pagerank_giraph_vs_mapreduce_spark.operators.bloom import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        dim = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(SF.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        bloom = bloom_build(dim, "c_custkey")
+        passed = bloom_might_contain(orders, "o_custkey", bloom).count()
+        total = orders.count()
+        extras["bloom_prune_passed_rows"] = passed
+        extras["bloom_prune_total_rows"] = total
+
+    timed("bloom_prune_probe", run_bloom_prune)
 
     # The indexed incremental-dedup entry measures the DAILY PROBE cost
     # (the operator's claim), so the one-time corpus index build runs
