@@ -15,7 +15,7 @@ when the table is written bucketed/partitioned by bucket id.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -672,3 +672,81 @@ def quantize_int8(
             6,
         ).alias("mean_abs_err"),
     )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> None:
+    """Persist the IVF assignment as a DURABLE parquet table PARTITIONED
+    by coarse cell — the serving-side artifact of an ANN index. Layout is
+    one directory per centroid, so a probe that joins on ``centroid_id``
+    reads only its nprobe cells via partition pruning: at a billion
+    vectors with k=1024 cells and nprobe=8, a probe touches <1% of the
+    files no matter how many probes run concurrently.
+
+    The write is one ``ivf_assign`` pass (broadcast-codebook argmax, zero
+    shuffle) plus the partitioned write's own exchange — paid once; every
+    probe afterwards is pruned-scan → dot-product → top-k with no join
+    against the full table."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col, centroid_id, keep=(vec_col,))
+    (
+        assign.write.partitionBy(centroid_id)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    table: str,
+    query: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    eager_cells: bool = True,
+) -> DataFrame:
+    """Cosine top-k against a durable IVF index written by
+    ``write_ivf_index``, reading ONLY the query's nprobe cell
+    directories (pinned by tests/test_ivf_index.py).
+
+    ``eager_cells=True`` (the serving default) resolves the nprobe cell
+    ids up front — one sub-second job over the k-row codebook returning
+    ≤nprobe scalar ints (plan constants, the same driver-touch class as
+    the PageRank loop's per-superstep stats action; the index data
+    itself never moves) — and prunes the scan STATICALLY via ``isin``:
+    the partition filter is literal, so pruning is guaranteed under any
+    planner mode. The alternative (``eager_cells=False``) keeps the
+    probe one fully-lazy plan via a broadcast equi-join on the partition
+    column and relies on dynamic partition pruning — which Spark DROPS
+    under AQE when the build side isn't a reusable broadcast stage (the
+    cells derivation contains a nested-loop crossJoin), degrading to a
+    post-scan filter: correct, but a full index read. Use it only when
+    the probe must stay inside one composed lazy plan.
+
+    Rescoring is exact cosine on the surviving cells, then one
+    TakeOrderedAndProject."""
+    cells = ivf_query_cells(query, centroids, nprobe, vec_col, centroid_id).select(
+        F.explode("qcells").alias(centroid_id)
+    )
+    idx = spark.table(table)
+    if eager_cells:
+        cell_ids = [r[centroid_id] for r in cells.collect()]
+        candidates = idx.filter(F.col(centroid_id).isin(cell_ids)).select(
+            id_col, vec_col
+        )
+    else:
+        candidates = idx.join(F.broadcast(cells), centroid_id).select(
+            id_col, vec_col
+        )
+    return cosine_topk(candidates, query, k, id_col, vec_col)

@@ -858,3 +858,68 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "vec_id", F.round("cos_sim", 6).alias("cos_sim")
     ).filter(F.col("cos_sim") >= 0.2)
+
+
+_IVF_INDEX: dict[str, str] = {}
+
+
+def _ivf_index_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the durable cell-partitioned IVF index over
+    the embeddings table; returns the catalog table name."""
+    if sf_dir in _IVF_INDEX:
+        return _IVF_INDEX[sf_dir]
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    table = f"ivf_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    write_ivf_index(emb, _centroids(spark, sf_dir), table, path)
+    _IVF_INDEX[sf_dir] = table
+    return table
+
+
+@query(
+    "sim_ivf_indexed_top5",
+    oracle=f"""WITH {_CENTROIDS_SQL},
+{_ASSIGN_SQL},
+qc AS (SELECT c.centroid_id
+       FROM embeddings e, cents c WHERE e.vec_id = {QUERY_ID}
+       ORDER BY round({_DOT.format(a='e.embedding', b='c.embedding')}, 6) DESC,
+                c.centroid_id
+       LIMIT {NPROBE}),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {QUERY_ID})
+SELECT e.vec_id, round({_sql_cos('e.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id, q
+WHERE a.centroid_id IN (SELECT centroid_id FROM qc)
+ORDER BY cos_sim DESC, e.vec_id LIMIT 5""",
+)
+def sim_ivf_indexed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against the DURABLE cell-partitioned index
+    (operators/similarity.py:write_ivf_index): the serving shape. The
+    index is laid down once, one directory per coarse cell; the probe
+    resolves its nprobe=2 cells from the broadcast codebook and reads
+    ONLY those two directories — a literal partition filter, so pruning
+    is planner-mode-proof (tests/test_ivf_index.py pins scanned rows ==
+    probed-cell rows). Value-identical to the in-plan nprobe=2 twin
+    (sim_ivf_top5_nprobe2); at a billion vectors the difference is
+    reading nprobe/k of the data instead of assigning the whole table
+    per query."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        probe_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    table = _ivf_index_table(spark, sf_dir)
+    top = probe_ivf_index(
+        spark, table, q, _centroids(spark, sf_dir), k=5, nprobe=NPROBE
+    )
+    return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
