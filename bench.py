@@ -469,6 +469,7 @@ def main() -> int:
         "g_sssp_k4",
         "text_repeated_ngrams",
         "sql_pivot",
+        "pipeline_rag_retrieve",
     ):
         timed(q, run_query_rows(q))
 

@@ -680,3 +680,123 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < thr
     ).select("doc_id", "source")
+
+
+RAG_DIMS = 8
+RAG_TOPK = 5
+_RAG_STRIDE = 150  # CHUNK_CHARS 200 - CHUNK_OVERLAP 50, as in text_chunks
+_RAG_POLYHASH = """CAST(list_sum(list_transform(range(1, length(tok) + 1),
+    i -> CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+         * ((i % 32) + 1))) % {dims} AS INT)"""
+
+
+@query(
+    "pipeline_rag_retrieve",
+    oracle=f"""WITH base AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 50) / {_RAG_STRIDE}.0) AS INT)) AS n_chunks
+  FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
+         substr(text, CAST(r.i * {_RAG_STRIDE} + 1 AS INT), 200) AS chunk
+  FROM base, LATERAL unnest(range(0, n_chunks)) AS r(i)),
+toks AS (
+  SELECT doc_id, chunk_id, t.tok
+  FROM chunks, LATERAL unnest(string_split_regex(lower(chunk), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != ''),
+cvec AS (
+  SELECT doc_id, chunk_id, {_RAG_POLYHASH.format(dims=RAG_DIMS)} AS dim,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3),
+qvec AS (SELECT dim, cnt FROM cvec WHERE doc_id = 0 AND chunk_id = 0),
+dots AS (
+  SELECT c.doc_id, c.chunk_id, sum(c.cnt * q.cnt) AS dot
+  FROM cvec c JOIN qvec q USING (dim) GROUP BY 1, 2),
+norms AS (
+  SELECT doc_id, chunk_id, sqrt(sum(cnt * cnt)) AS nrm
+  FROM cvec GROUP BY 1, 2),
+qn AS (SELECT sqrt(sum(cnt * cnt)) AS qnrm FROM qvec)
+SELECT d.doc_id, d.chunk_id,
+       round(CAST(d.dot AS DOUBLE) / (n.nrm * qn.qnrm), 6) AS cos_sim
+FROM dots d JOIN norms n USING (doc_id, chunk_id), qn
+WHERE n.nrm > 0
+ORDER BY cos_sim DESC, d.doc_id, d.chunk_id LIMIT {RAG_TOPK}""",
+)
+def pipeline_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval in ONE lazy plan: chunk the corpus
+    (operators/text.py:chunk_documents, same 200/50 window as
+    text_chunks), embed every chunk with a deterministic
+    8-dim hashed bag-of-words vector built IN-ROW (token →
+    position-weighted polyhash → dim histogram, all codegen'd array
+    ops), then cosine-score against the query chunk (doc 0's first
+    chunk — self-retrieval, so rank 1 is the query itself: a built-in
+    sanity check) and TakeOrderedAndProject the top 5.
+
+    Scale shape: the corpus side is scan → explode(chunks) → per-row
+    vector+score → top-k. ZERO shuffles — embedding is row-local, the
+    query vector is a 1-row broadcast crossJoin, and top-k needs no
+    exchange. Swapping the hashed embedding for a real encoder changes
+    one projection (mapInPandas over the chunk column); the retrieval
+    plan is unchanged. Integer dot/norm sums keep both engines
+    bit-identical; division happens once in doubles, rounded to 6dp
+    before ordering."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", "text", chunk_chars=200, overlap=50)
+
+    toks = F.filter(
+        F.split(F.lower(F.col("chunk")), "[^a-z]+"), lambda t: t != ""
+    )
+    # per-token dim: SAME polyhash as text_feature_hash_64 (position-
+    # weighted ascii sum mod dims) so the oracle shares the formula
+    def _dim(t):
+        return (
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t)),
+                    lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long")
+                    * ((i % 32) + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            % RAG_DIMS
+        ).cast("int")
+
+    dims_arr = F.transform(toks, _dim)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(RAG_DIMS - 1)),
+        lambda j: F.size(F.filter(dims_arr, lambda d: d == j)).cast("long"),
+    )
+    embedded = chunks.select("doc_id", "chunk_id", vec.alias("vec"))
+
+    qvec = embedded.filter(
+        (F.col("doc_id") == 0) & (F.col("chunk_id") == 0)
+    ).select(F.col("vec").alias("qvec"))
+
+    def _sq_sum(v):
+        return F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(_sq_sum(F.col("vec")).cast("double"))
+    qnrm = F.sqrt(_sq_sum(F.col("qvec")).cast("double"))
+    return (
+        embedded.crossJoin(F.broadcast(qvec))
+        .filter(_sq_sum(F.col("vec")) > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round(dot.cast("double") / (nrm * qnrm), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id", "chunk_id")
+        .limit(RAG_TOPK)
+    )
