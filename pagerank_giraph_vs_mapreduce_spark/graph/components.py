@@ -96,3 +96,100 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> ComponentsResu
         converged=converged,
         history=history,
     )
+
+
+def connected_components_incremental(
+    base_labels: DataFrame,
+    all_edges: DataFrame,
+    delta_edges: DataFrame,
+    max_iter: int = 50,
+) -> ComponentsResult:
+    """Warm-start WCC maintenance under edge ADDITIONS: given the
+    converged labels of the base graph and a batch of new edges,
+    recompute components touching only what the delta can change.
+
+    Edge additions only MERGE components, so min-label propagation
+    starting from (old label, or own id for new vertices) converges to
+    the updated graph's true labels: the final label of a vertex is the
+    min of the INITIAL labels across its merged component, and each old
+    component's initial label is itself a vertex id in that component.
+    Because the base graph was at fixpoint (every base edge connects
+    same-label endpoints), the ONLY change sources are the delta edges —
+    so the frontier starts as the delta endpoints, and each superstep
+    scatters ONLY vertices whose label just dropped. Per-superstep cost
+    is O(frontier out-degree), not O(E): a small daily delta touches the
+    few components it merges and nothing else.
+
+    ``all_edges`` must be base ∪ delta (the caller usually has it
+    already); ``base_labels`` is (id, component) from a prior
+    ``connected_components`` run (absent ids seed as new vertices).
+    """
+    sym = (
+        all_edges.select("src", "dst")
+        .union(all_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vertices = sym.select(F.col("src").alias("id")).distinct()
+    labels = (
+        vertices.join(
+            base_labels.select("id", F.col("component").alias("prev")), "id", "left"
+        )
+        .select("id", F.coalesce(F.col("prev"), F.col("id")).alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = labels.count()
+
+    frontier = (
+        delta_edges.select(F.col("src").alias("id"))
+        .union(delta_edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(labels, "id")
+    )
+
+    history: list[tuple[int, int, float]] = []
+    converged = False
+    iterations = 0
+    for i in range(max_iter):
+        t0 = time.monotonic()
+        msgs = (
+            sym.join(frontier.select(F.col("id").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.select("id", F.col("label").alias("old"))
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("old"), F.coalesce(F.col("nbr_min"), F.col("old"))
+                ).alias("label"),
+                "old",
+            )
+        )
+        new = new.localCheckpoint(eager=False)
+        changed = int(
+            new.agg(
+                F.count(F.when(F.col("label") != F.col("old"), 1)).alias("c")
+            ).first()["c"]
+        )
+        labels.unpersist()
+        labels = new.select("id", "label")
+        frontier = new.filter(F.col("label") != F.col("old")).select("id", "label")
+        iterations = i + 1
+        history.append((iterations, changed, time.monotonic() - t0))
+        if changed == 0:
+            converged = True
+            break
+
+    sym.unpersist()
+    return ComponentsResult(
+        components=labels.select("id", F.col("label").alias("component")),
+        n_vertices=n,
+        iterations=iterations,
+        converged=converged,
+        history=history,
+    )

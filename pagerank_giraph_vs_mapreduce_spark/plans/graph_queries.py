@@ -1045,3 +1045,50 @@ def g_sssp_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = sssp_distances(weighted, source=BFS_SOURCE, rounds=SSSP_ROUNDS)
     return res.distances
+
+
+_WCC_INC_SQL = (
+    GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+delta AS (
+  SELECT DISTINCT src, src + 1 AS dst FROM edges WHERE src % 13 = 0),
+alle AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM delta),
+sym AS (SELECT src, dst FROM alle
+        UNION SELECT dst AS src, src AS dst FROM alle),
+verts2 AS (SELECT src AS id FROM sym),
+reach AS (
+  SELECT DISTINCT id, id AS r FROM verts2
+  UNION
+  SELECT s.dst AS id, r.r
+  FROM reach r JOIN sym s ON s.src = r.id)
+SELECT id, min(r) AS component FROM reach GROUP BY id"""
+)
+
+
+@query("g_wcc_incremental", oracle=_WCC_INC_SQL)
+def g_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL component maintenance (graph/components.py:
+    connected_components_incremental): converge WCC on the base graph,
+    then fold in a deterministic edge delta (src%13==0 → src+1, which
+    both bridges existing components and attaches brand-new vertices)
+    starting from the old labels with ONLY the delta endpoints as the
+    initial frontier — per-superstep cost tracks the merge wavefront,
+    not E. The oracle is the CONVERGED undirected min-reach closure of
+    the union graph, so the check certifies the incremental path lands
+    on exactly the full-recompute answer."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    _raw, edges, _verts, _deg = _graph_parts(spark, sf_dir)
+    base = connected_components(edges)
+    delta = (
+        edges.filter(F.col("src") % 13 == 0)
+        .select("src", (F.col("src") + 1).alias("dst"))
+        .distinct()
+    )
+    res = connected_components_incremental(
+        base.components, edges.unionAll(delta), delta
+    )
+    return res.components

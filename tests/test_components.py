@@ -93,3 +93,73 @@ def test_hits_star_graph(spark):
     for v in (1, 2, 3):
         assert got[v][0] == 0.0
         assert abs(got[v][1] - 1 / 3) < 1e-9
+
+
+def test_incremental_wcc_matches_full_recompute_random(spark):
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 30
+        base = list({(rng.randrange(n), rng.randrange(n)) for _ in range(25)})
+        delta = list(
+            {(rng.randrange(n + 10), rng.randrange(n + 10)) for _ in range(6)}
+        )
+        base_df = spark.createDataFrame(base, "src bigint, dst bigint")
+        delta_df = spark.createDataFrame(delta, "src bigint, dst bigint")
+        prev = connected_components(base_df)
+        inc = connected_components_incremental(
+            prev.components, base_df.unionAll(delta_df), delta_df
+        )
+        full = connected_components(base_df.unionAll(delta_df))
+        got = {r["id"]: r["component"] for r in inc.components.collect()}
+        want = {r["id"]: r["component"] for r in full.components.collect()}
+        assert got == want, f"trial {trial}"
+        assert inc.converged
+
+
+def test_incremental_wcc_noop_delta_converges_immediately(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    # delta edge inside an existing component: nothing can change —
+    # one superstep, zero label updates
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "src bigint, dst bigint"
+    )
+    delta = spark.createDataFrame([(0, 2)], "src bigint, dst bigint")
+    prev = connected_components(base)
+    inc = connected_components_incremental(
+        prev.components, base.unionAll(delta), delta
+    )
+    assert inc.converged and inc.iterations == 1
+    assert inc.history[0][1] == 0
+    got = {r["id"]: r["component"] for r in inc.components.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_incremental_wcc_bridges_components_and_new_vertices(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    # two chains merged by a delta bridge, plus a delta edge to a brand-
+    # new vertex 99
+    base = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (11, 12)], "src bigint, dst bigint"
+    )
+    delta = spark.createDataFrame([(2, 10), (12, 99)], "src bigint, dst bigint")
+    prev = connected_components(base)
+    inc = connected_components_incremental(
+        prev.components, base.unionAll(delta), delta
+    )
+    got = {r["id"]: r["component"] for r in inc.components.collect()}
+    assert got == {v: 0 for v in (0, 1, 2, 10, 11, 12, 99)}
