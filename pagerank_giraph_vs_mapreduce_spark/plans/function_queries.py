@@ -285,3 +285,52 @@ def fn_sketch_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01 * F.col("p50_exact")
         ).alias("approx_p50_within_1pct"),
     )
+
+
+@query(
+    "fn_hll_union_rollup",
+    oracle="""SELECT n.n_regionkey AS region,
+  CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_exact,
+  TRUE AS union_within_5pct
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_regionkey""",
+)
+def fn_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup — the incremental-OLAP pattern: per-nation
+    DataSketches HLL sketches of customer keys are built ONCE, then
+    region-level distinct counts come from ``hll_union_agg`` over the
+    stored sketches — no rescan of the base data. This is how a 100 TB
+    cube maintains COUNT(DISTINCT) at every rollup level: sketches are
+    a few KB each, merge associatively (so partial aggregation and
+    incremental day-over-day folds both work), and re-aggregate to any
+    grouping without touching the fact table again.
+
+    Sketch estimates can't hash-match another engine, so (same contract
+    as fn_sketch_bounds) the declared result is exact value + in-plan
+    error-envelope check: lgConfigK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.6%,
+    checked at ~3σ (5%). DataSketches HLL is deterministic for fixed
+    input — stable, not flaky."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey, 12)").alias("sk"),
+        F.countDistinct("c_custkey").alias("n_nation_exact"),
+    )
+    rolled = (
+        per_nation.join(
+            F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey")
+        )
+        .groupBy(F.col("n_regionkey").alias("region"))
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est"),
+            F.sum("n_nation_exact").alias("n_exact"),
+        )
+    )
+    return rolled.select(
+        "region",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("union_within_5pct"),
+    )
