@@ -83,3 +83,12 @@ def stateful_user_totals_exact(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+# Spark 4's transformWithState successor API (StatefulProcessor + typed
+# value/list/map state, timers, TTL) was evaluated as a twin of the
+# operator above: the API surface exists in this PySpark build, but its
+# driver worker imports google.protobuf (StateMessage_pb2), which this
+# runtime does not ship — the query crashed at stream start with
+# STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. applyInPandasWithState
+# remains the supported custom-state path here; the processor semantics
+# above port 1:1 (same state tuple, same emit) when protobuf is present.
