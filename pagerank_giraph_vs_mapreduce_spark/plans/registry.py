@@ -62,6 +62,7 @@ _PRIORITY = (
     # (the ANSI-robustness sweep moved quality_score's ratios and the
     # bucketed-cosine pair kernels to try_divide — value-identical on
     # defined rows, but the touched queries re-certify first)
+    "stream_python_source",  # NEW: streaming custom-connector face
     "source_variant_props",  # NEW: Spark 4 VARIANT semi-structured path
     "fn_hll_union_rollup",  # NEW: mergeable-sketch rollup
     "g_wcc_incremental",  # NEW: warm-start component maintenance

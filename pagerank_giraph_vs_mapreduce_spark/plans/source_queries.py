@@ -441,3 +441,64 @@ def source_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "stream_python_source",
+    oracle="""SELECT grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(txt)) AS BIGINT) AS sum_len
+FROM (
+  SELECT 'g' || (i % 7) AS grp,
+         'document ' || i || ' body ' || repeat('ab', CAST(i % 5 AS INT)) AS txt
+  FROM (SELECT unnest(range(0, 2000)) AS i))
+GROUP BY grp""",
+)
+def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of the custom Python DataSource
+    (sources/python_datasource.py:SyntheticDocsStreamReader): the same
+    deterministic generator served as a micro-batched stream — offsets
+    are row ids, 512-id batches, end-of-data is an empty read. The
+    stream drains to a memory sink until all 2000 rows arrive, then the
+    per-group aggregate must equal the batch connector's oracle — so
+    offset bookkeeping, batch framing, and the Arrow hand-off of the
+    streaming connector path all land in the value hash."""
+    import time
+
+    from pagerank_giraph_vs_mapreduce_spark.sources.python_datasource import (
+        register,
+    )
+
+    register(spark)
+    n = 2000
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("n", str(n))
+        .option("batch", "512")
+        .load()
+    )
+    name = "stream_python_source_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if spark.table(name).count() >= n:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("text").cast("bigint")).alias("sum_len"),
+        )
+    )

@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SYNTH_SCHEMA = "doc_id bigint, text string, grp string"
 
@@ -55,8 +60,37 @@ class SyntheticDocsReader(DataSourceReader):
             yield synth_row(i)
 
 
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """The STREAMING face of the same connector: offsets are row ids, a
+    micro-batch is the next ``batch`` ids, end-of-data is an empty read
+    at the same offset. ``readBetweenOffsets`` regenerates any committed
+    range deterministically — the crash-replay contract: a batch
+    re-read after failure is bit-identical to its first read (pinned by
+    tests/test_python_datasource_stream.py), which is what makes the
+    source exactly-once-composable with an idempotent sink."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.batch = int(options.get("batch", 256))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        i = int(start["i"])
+        if i >= self.n:
+            return (iter([]), {"i": i})
+        end = min(i + self.batch, self.n)
+        return (iter([synth_row(j) for j in range(i, end)]), {"i": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter([synth_row(j) for j in range(int(start["i"]), int(end["i"]))])
+
+
 class SyntheticDocsDataSource(DataSource):
-    """``spark.read.format("synthetic_docs").option("n", N).load()``."""
+    """``spark.read.format("synthetic_docs").option("n", N).load()`` —
+    or ``spark.readStream`` for the micro-batched face of the same
+    generator."""
 
     @classmethod
     def name(cls) -> str:
@@ -67,6 +101,9 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)
 
 
 def register(spark) -> None:
