@@ -120,6 +120,15 @@ HEADLINE = [
     "storage_time_travel",
     "storage_bucketed_join",
     "g_pagerank_incremental",
+    # round-6 close-out wave
+    "rel_bloom_semi_join",
+    "text_repeated_ngrams",
+    "sql_pivot",
+    "pipeline_rag_retrieve",
+    "sim_ivf_indexed_top5",
+    "fn_hll_union_rollup",
+    "source_variant_props",
+    "dedup_containment",
 ]
 
 
