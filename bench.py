@@ -379,6 +379,42 @@ def main() -> int:
         extras["bfs_large_reached"] = res.distances.count()
         extras["bfs_large_hops"] = res.iterations
 
+    def run_wcc_incremental() -> None:
+        """Component maintenance: converge WCC on the 200k-vertex graph,
+        add a small bridging delta, reconverge INCREMENTALLY (frontier =
+        delta endpoints) vs FULL recompute — records supersteps and the
+        frontier sizes, the evidence that per-superstep work tracks the
+        merge wavefront, not E."""
+        from pyspark.sql import functions as F
+
+        from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+            connected_components,
+            connected_components_incremental,
+        )
+
+        base = large_graph()
+        prev = connected_components(base)
+        delta = (
+            base.filter(F.col("src") % 997 == 0)
+            .select("src", (F.col("dst") + 200000).alias("dst"))
+            .distinct()
+        )
+        t0 = time.monotonic()
+        inc = connected_components_incremental(
+            prev.components, base.unionAll(delta), delta
+        )
+        inc.components.count()
+        extras["wcc_incr_supersteps"] = inc.iterations
+        extras["wcc_incr_sec"] = round(time.monotonic() - t0, 3)
+        extras["wcc_incr_frontier_peak"] = max(h[1] for h in inc.history)
+        t0 = time.monotonic()
+        full = connected_components(base.unionAll(delta))
+        full.components.count()
+        extras["wcc_full_supersteps"] = full.iterations
+        extras["wcc_full_sec"] = round(time.monotonic() - t0, 3)
+
+    timed("wcc_incremental_vs_full", run_wcc_incremental)
+
     timed("pagerank_full", run_pagerank)
     timed("pagerank_skewed_3iter", run_pagerank_skewed)
     timed("pagerank_large_3iter", run_pagerank_large)

@@ -750,3 +750,36 @@ def probe_ivf_index(
             id_col, vec_col
         )
     return cosine_topk(candidates, query, k, id_col, vec_col)
+
+
+def append_ivf_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> None:
+    """Fold NEW vectors into a durable IVF index written by
+    ``write_ivf_index`` — the maintenance half of a living ANN index
+    (today's embeddings become probe-able tomorrow without rebuilding
+    the corpus index). The batch is assigned against the SAME codebook
+    (coarse cells must stay stable between generations; re-training
+    centroids is a rebuild, not an append) and appended as new files
+    under the existing cell directories, so probes keep their literal
+    partition pruning with zero changes. Each append adds one file per
+    touched cell; fold them back on the usual compaction cadence.
+
+    The dynamic-overwrite variant (replace exactly this batch's
+    partitions) is the replay-idempotent form streaming ingest uses —
+    see streaming/incremental_dedup.py for that discipline; batch
+    append here composes with an upstream exact-dedup of vector ids."""
+    assign = ivf_assign(emb, centroids, id_col, vec_col, centroid_id, keep=(vec_col,))
+    (
+        assign.select(id_col, vec_col, centroid_id)
+        .write.partitionBy(centroid_id)
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    emb.sparkSession.catalog.refreshTable(table)

@@ -106,3 +106,46 @@ def test_probe_prunes_to_nprobe_partitions(spark, tmp_path):
         assert max(scans) <= top2 < rows_total
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_append_extends_probe_results(spark, tmp_path):
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        append_ivf_index,
+    )
+
+    emb, cents = _fixture(spark)
+    base = emb.filter(F.col("vec_id") < 200)
+    extra = emb.filter(F.col("vec_id") >= 200)
+    table = "ivf_idx_append"
+    write_ivf_index(base, cents, table, str(tmp_path / "ivf"))
+    try:
+        q = emb.filter(F.col("vec_id") == 5)
+        before = {
+            r["vec_id"]
+            for r in probe_ivf_index(spark, table, q, cents, k=300, nprobe=6).collect()
+        }
+        append_ivf_index(extra, cents, table)
+        after = {
+            r["vec_id"]
+            for r in probe_ivf_index(spark, table, q, cents, k=300, nprobe=6).collect()
+        }
+        # appended vectors are probe-able; nothing was lost
+        assert before == set(range(200))
+        assert after == set(range(300))
+        # cell assignment of the appended rows matches a fresh full build
+        full = "ivf_idx_append_full"
+        write_ivf_index(emb, cents, full, str(tmp_path / "ivf_full"))
+        try:
+            a = sorted(
+                (r["vec_id"], r["centroid_id"])
+                for r in spark.table(table).collect()
+            )
+            b = sorted(
+                (r["vec_id"], r["centroid_id"])
+                for r in spark.table(full).collect()
+            )
+            assert a == b
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {full}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
