@@ -188,8 +188,14 @@ def main() -> int:
 
         base = derived_edges(spark, sf_dir)
         res0 = pagerank(base, max_iter=100, tol=1e-8, min_iter=2)
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(
-            max(1, int(base.count() * 0.01))
+        # Deterministic ~1%-of-E delta (ADVICE r06: an unordered limit()
+        # picks partition-dependent rows, making warm-vs-cold iteration
+        # counts irreproducible across runs/Spark versions).
+        k = max(1, int(base.count() * 0.01))
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(k)
         )
         delta = li.select(
             (F.col("l_partkey") % 1500).alias("src"),
@@ -629,18 +635,73 @@ def main() -> int:
         print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                **extras,
-            }
-        )
+    full = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extras,
+    }
+    # Full artifact committed in-repo: the driver captures only a ~2000-char
+    # stdout tail, so the complete per-query dict lives here (BENCH came back
+    # "parsed": null in rounds 1-6 because the single stdout line outgrew
+    # that capture — VERDICT_r06 item 1).
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+    # Compact FINAL stdout line, guaranteed well under the driver's capture:
+    # headline metric = S3 median sec/superstep (the BASELINE.md comparison:
+    # Giraph ~17 s, MR ~131 s at the same V/E on 6 nodes), plus the s1/s2/s3
+    # medians and a small headline-query dict. Everything else: BENCH_full.json.
+    headline_queries = [
+        "pagerank_full",
+        "pagerank_s1scale_15iter",
+        "pagerank_s2scale_5iter",
+        "pagerank_s3scale_5iter",
+        "pagerank_s3scale_converged",
+        "pagerank_skewed_3iter",
+        "wcc_large_3iter",
+        "bfs_large_4hop",
+        "dedup_minhash_near_dups",
+        "dedup_lsh_star_candidates",
+        "sim_cosine_top10",
+        "sim_ivf_indexed_top5",
+        "pipeline_curation",
+        "pipeline_rag_retrieve",
+        "rel_q1_pricing",
+    ]
+    headline_extras = [
+        "pagerank_sec_per_iter",
+        "pagerank_iterations",
+        "pagerank_s1scale_iter_median_sec",
+        "pagerank_s2scale_iter_median_sec",
+        "pagerank_s3scale_iter_median_sec",
+        "pagerank_s1scale_build_sec",
+        "pagerank_s3conv_iterations",
+        "pagerank_s3conv_iter_median_sec",
+        "pagerank_skew_sec_per_iter",
+    ]
+    compact = {
+        "metric": "pagerank_sec_per_iter_s3_median",
+        "value": extras.get("pagerank_s3scale_iter_median_sec", total),
+        "unit": "sec",
+        "suite_sec": total,
+        "n_queries": len(timings),
+        "sf": sf,
+        "queries": {k: timings[k] for k in headline_queries if k in timings},
+        **{k: extras[k] for k in headline_extras if k in extras},
+        "full": "BENCH_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # hard guard: never outgrow the driver's tail capture
+        compact["queries"] = {}
+        line = json.dumps(compact)
+    print(line)
     return 0
 
 
