@@ -95,17 +95,24 @@ def bloom_might_contain(
     drops a true member). The 1-row ``bloom`` side is broadcast, the probe
     is per-row bit tests — ``try_element_at`` so an absent word (no dim key
     ever set a bit there) reads NULL and the conjunct is false, not an
-    ANSI map-key error."""
-    probed = facts.crossJoin(F.broadcast(bloom))
+    ANSI map-key error.
+
+    Robustness (ADVICE r06): the broadcast column is attached under the
+    reserved name ``__bloom_bits`` (not ``bloom``, which a fact table may
+    legitimately carry), and ``key_col`` is backtick-quoted into the
+    generated expressions so names needing quoting probe correctly."""
+    key_sql = f"`{key_col.replace('`', '``')}`"
+    probed = facts.crossJoin(F.broadcast(bloom.toDF("__bloom_bits")))
     cond = F.lit(True)
     for j in range(n_hashes):
-        word = _word_sql(key_col, j, n_bits)
-        mask = _mask_sql(key_col, j, n_bits)
+        word = _word_sql(key_sql, j, n_bits)
+        mask = _mask_sql(key_sql, j, n_bits)
         hit = F.expr(
-            f"coalesce((try_element_at(bloom, {word}) & {mask}) = {mask}, false)"
+            f"coalesce((try_element_at(__bloom_bits, {word}) & {mask}) = {mask},"
+            " false)"
         )
         cond = cond & hit
-    return probed.filter(cond).drop("bloom")
+    return probed.filter(cond).drop("__bloom_bits")
 
 
 def bloom_semi_join(

@@ -233,7 +233,16 @@ def compact_band_index(
     on disk: before the repoint the old table still serves reads; between
     drop and rename the catalog entry is briefly absent but BOTH
     generations persist (re-run the compaction or re-register the table
-    to recover — no data loss window)."""
+    to recover — no data loss window).
+
+    Visibility contract (ADVICE r06): the drop→rename gap means a probe
+    issued DURING the repoint can fail with TABLE_NOT_FOUND — Spark's
+    session catalog has no atomic rename-over / CREATE OR REPLACE for
+    external bucketed tables, so the gap cannot be closed here. Callers
+    must QUIESCE probes for the duration of the compaction (the
+    streaming dedup loop runs compactions between micro-batches for
+    exactly this reason); where a real metastore offers an atomic swap,
+    use it at this commit point instead."""
     spark.catalog.refreshTable(table)
     location = _table_location(spark, table)
     m = _GEN_RE.match(location)

@@ -491,6 +491,14 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             if spark.table(name).count() >= n:
                 break
             time.sleep(0.3)
+        else:
+            # ADVICE r06: a silent partial drain would surface as an
+            # inscrutable oracle hash mismatch on a slow machine — fail
+            # loudly at the source instead.
+            raise TimeoutError(
+                f"stream_python_source: sink drained only "
+                f"{spark.table(name).count()}/{n} rows within 120 s"
+            )
     finally:
         q.stop()
         q.awaitTermination()

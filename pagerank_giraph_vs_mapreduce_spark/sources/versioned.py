@@ -84,13 +84,28 @@ def read_version(
     return spark.read.parquet(manifest["path"])
 
 
-def vacuum(base: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    base: str, keep_last: int = 2, orphan_grace_sec: float = 24 * 3600.0
+) -> list[int]:
     """Drop data+manifest for all but the newest ``keep_last`` versions
-    AND any orphan (uncommitted) data directories. Returns removed
-    versions. Manifest is deleted FIRST so a concurrent reader either
-    resolved the version before the vacuum (files still present while
-    its scan runs locally) or never sees it."""
+    AND any orphan (uncommitted) data directories older than
+    ``orphan_grace_sec``. Returns removed versions. Manifest is deleted
+    FIRST so a concurrent reader either resolved the version before the
+    vacuum (files still present while its scan runs locally) or never
+    sees it.
+
+    Concurrency contract (ADVICE r06): this layout assumes a SINGLE
+    WRITER per table — ``write_version`` picks v = last+1 without a
+    lock, so two concurrent writers can claim the same version and
+    rmtree each other's data dir. Vacuum may run concurrently with that
+    one writer: the mtime grace window keeps the orphan sweep from
+    deleting an in-flight write whose data dir is fully written but
+    whose manifest rename hasn't landed yet (without it, the writer
+    would commit a manifest pointing at swept files). The default 24 h
+    window bounds how stale a crash's garbage can linger; pass 0 only
+    when no writer can be in flight."""
     import shutil
+    import time
 
     vs = versions(base)
     drop = vs[:-keep_last] if keep_last > 0 else vs
@@ -98,9 +113,16 @@ def vacuum(base: str, keep_last: int = 2) -> list[int]:
         os.remove(os.path.join(_manifest_dir(base), f"{v}.json"))
         shutil.rmtree(os.path.join(base, f"v{v}"), ignore_errors=True)
     committed = {f"v{v}" for v in versions(base)}
+    now = time.time()
     for entry in os.listdir(base):
         if entry.startswith("v") and entry not in committed:
-            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            p = os.path.join(base, entry)
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue  # already gone (concurrent vacuum/writer cleanup)
+            if age >= orphan_grace_sec:
+                shutil.rmtree(p, ignore_errors=True)
     return drop
 
 

@@ -220,9 +220,13 @@ def test_versioned_table_snapshot_isolation_and_vacuum(spark, tmp_path):
     assert versions(base) == [1, 2]
     assert read_version(spark, base).count() == 25  # latest = v2, not v3
     assert read_version(spark, base, 1).count() == 10  # pinned v1 intact
-    # a THIRD committed version works even with the orphan v3 dir gone
+    # inside the grace window the orphan is presumed in-flight and kept
     removed = vacuum(base, keep_last=2)
     assert removed == []  # both versions kept
+    assert os.path.exists(os.path.join(base, "v3"))  # in-flight-safe
+    # past the grace window it is crash garbage and reclaimed
+    removed = vacuum(base, keep_last=2, orphan_grace_sec=0.0)
+    assert removed == []
     assert not os.path.exists(os.path.join(base, "v3"))  # orphan reclaimed
     d3 = spark.range(0, 7).withColumnRenamed("id", "k")
     assert write_version(d3, base) == 3
