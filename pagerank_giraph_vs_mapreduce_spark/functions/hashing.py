@@ -55,6 +55,27 @@ def shingle_code_sql(sh_expr: str, length: int) -> str:
     return f"(({' + '.join(terms)}) % {CODE_MOD})"
 
 
+def position_weighted_sum(t: Column, weight_mod: int) -> Column:
+    """``Σ ascii(ch_p) * ((p % weight_mod) + 1)`` over 1-based char
+    positions ``p`` — the shared polyhash under text_feature_hash_64,
+    the RAG hashed embedding, and the fingerprint checksum.
+
+    ONE O(len) pass: explode the string into a char array once, then an
+    indexed ``transform``. The ``substring(t, p, 1)``-per-position
+    formulation costs O(p) per call (UTF-8 codepoint traversal from the
+    start) — quadratic per string; this is the dedup.py:43 char-code
+    trick applied to the shared polyhash (measured 12x there)."""
+    return F.aggregate(
+        F.transform(
+            F.split(t, ""),
+            lambda ch, i: F.ascii(ch).cast("long")
+            * (((i + F.lit(1)) % weight_mod) + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def minhash_col(code: Column, j: int) -> Column:
     return (code * F.lit(MINHASH_A[j]) + F.lit(MINHASH_B[j])) % F.lit(HASH_MOD)
 

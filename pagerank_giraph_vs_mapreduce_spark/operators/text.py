@@ -429,16 +429,12 @@ def bpe_encode_counts(
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Two document fingerprints: md5 (exact-dup key, portable) and a
     position-weighted checksum (cheap shift-insensitive-ish signature)."""
+    from pagerank_giraph_vs_mapreduce_spark.functions.hashing import (
+        position_weighted_sum,
+    )
+
     t = F.col(text_col)
-    checksum = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length(t)),
-            lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long")
-            * ((i % 64) + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    ) % F.lit(1_000_000_007)
+    checksum = position_weighted_sum(t, 64) % F.lit(1_000_000_007)
     return df.select(
         F.col(id_col),
         F.md5(t).alias("fp_md5"),

@@ -749,20 +749,14 @@ def pipeline_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("chunk")), "[^a-z]+"), lambda t: t != ""
     )
     # per-token dim: SAME polyhash as text_feature_hash_64 (position-
-    # weighted ascii sum mod dims) so the oracle shares the formula
+    # weighted ascii sum mod dims) so the oracle shares the formula;
+    # computed via the one-pass char-array helper (VERDICT r06 item 5)
+    from pagerank_giraph_vs_mapreduce_spark.functions.hashing import (
+        position_weighted_sum,
+    )
+
     def _dim(t):
-        return (
-            F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(t)),
-                    lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long")
-                    * ((i % 32) + 1),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            % RAG_DIMS
-        ).cast("int")
+        return (position_weighted_sum(t, 32) % RAG_DIMS).cast("int")
 
     dims_arr = F.transform(toks, _dim)
     vec = F.transform(

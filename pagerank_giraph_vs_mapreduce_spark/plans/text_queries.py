@@ -273,16 +273,11 @@ def text_feature_hash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    t = F.col("tok")
-    polyhash = F.aggregate(
-        F.transform(
-            F.sequence(F.lit(1), F.length(t)),
-            lambda i: F.ascii(F.substring(t, i, F.lit(1))).cast("long")
-            * ((i % 32) + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    from pagerank_giraph_vs_mapreduce_spark.functions.hashing import (
+        position_weighted_sum,
     )
+
+    polyhash = position_weighted_sum(F.col("tok"), 32)
     return (
         toks.select("doc_id", (polyhash % FEATURE_DIMS).cast("int").alias("dim"))
         .groupBy("doc_id", "dim")
