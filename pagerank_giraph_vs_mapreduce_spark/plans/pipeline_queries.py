@@ -764,7 +764,15 @@ def pipeline_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda j: F.size(F.filter(dims_arr, lambda d: d == j)).cast("long"),
     )
     embedded = chunks.select("doc_id", "chunk_id", vec.alias("vec"))
+    return _rag_score_topk(embedded)
 
+
+def _rag_score_topk(embedded: DataFrame) -> DataFrame:
+    """Cosine top-k of ``(doc_id, chunk_id, vec array<long>)`` against the
+    query chunk (doc 0's first chunk). Encoder-agnostic: the retrieval
+    plan (1-row broadcast crossJoin + per-row integer dot/norm +
+    TakeOrderedAndProject, ZERO shuffle exchanges) is identical whatever
+    produced ``vec`` — the hashed embedding or a mapInPandas model."""
     qvec = embedded.filter(
         (F.col("doc_id") == 0) & (F.col("chunk_id") == 0)
     ).select(F.col("vec").alias("qvec"))
@@ -794,3 +802,106 @@ def pipeline_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "doc_id", "chunk_id")
         .limit(RAG_TOPK)
     )
+
+
+RAG_ENC_DIMS = 6  # projected model dims (32-dim hist -> 6-dim embedding)
+
+
+@query(
+    "pipeline_rag_retrieve_encoder",
+    oracle=f"""WITH base AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 50) / {_RAG_STRIDE}.0) AS INT)) AS n_chunks
+  FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
+         substr(text, CAST(r.i * {_RAG_STRIDE} + 1 AS INT), 200) AS chunk
+  FROM base, LATERAL unnest(range(0, n_chunks)) AS r(i)),
+toks AS (
+  SELECT doc_id, chunk_id, t.tok
+  FROM chunks, LATERAL unnest(string_split_regex(lower(chunk), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != ''),
+hist AS (
+  SELECT doc_id, chunk_id, {_RAG_POLYHASH.format(dims=32)} AS dim,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3),
+proj AS (
+  SELECT h.doc_id, h.chunk_id, j.j,
+         CAST(sum(h.cnt * (((h.dim * 31 + j.j * 17) % 7) - 3)) AS BIGINT) AS x
+  FROM hist h CROSS JOIN (SELECT unnest(range(0, {RAG_ENC_DIMS})) AS j) j
+  GROUP BY 1, 2, 3),
+qvec AS (SELECT j, x FROM proj WHERE doc_id = 0 AND chunk_id = 0),
+dots AS (
+  SELECT p.doc_id, p.chunk_id, sum(p.x * q.x) AS dot
+  FROM proj p JOIN qvec q USING (j) GROUP BY 1, 2),
+norms AS (
+  SELECT doc_id, chunk_id, sqrt(sum(x * x)) AS nrm
+  FROM proj GROUP BY 1, 2),
+qn AS (SELECT sqrt(sum(x * x)) AS qnrm FROM qvec)
+SELECT d.doc_id, d.chunk_id,
+       round(CAST(d.dot AS DOUBLE) / (n.nrm * qn.qnrm), 6) AS cos_sim
+FROM dots d JOIN norms n USING (doc_id, chunk_id), qn
+WHERE n.nrm > 0
+ORDER BY cos_sim DESC, d.doc_id, d.chunk_id LIMIT {RAG_TOPK}""",
+)
+def pipeline_rag_retrieve_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-ENCODER swap the RAG plan promises (VERDICT r06 item 4):
+    identical retrieval to pipeline_rag_retrieve, but the embedding
+    projection is a ``mapInPandas`` MODEL — an Arrow-batched Python
+    stage standing in for any transformer forward pass. The stand-in is
+    deterministic so a DuckDB oracle can certify the whole path: token
+    histogram (32 dims, same polyhash) multiplied by a fixed integer
+    random-projection matrix P[d][j] = ((31*d + 17*j) % 7) - 3 down to
+    6 dims, all integer → bit-identical across engines.
+
+    Scale shape: the encoder is a narrow per-partition map (Arrow in,
+    Arrow out — batch size bounded by spark.sql.execution.arrow
+    .maxRecordsPerBatch); the retrieval plan around it is UNCHANGED —
+    still zero shuffle exchanges, 1-row broadcast query vector,
+    TakeOrderedAndProject (pinned by tests/test_plan_shapes.py). At
+    100 TB, swapping in a real model changes only this function's body
+    (load weights per worker, batch the forward pass)."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_chars=200, overlap=50
+    ).select("doc_id", "chunk_id", "chunk")
+
+    n_hist, n_out = 32, RAG_ENC_DIMS
+    # fixed "model weights": the same matrix on every worker, every run
+    proj = np.fromfunction(
+        lambda d, j: ((31 * d + 17 * j) % 7) - 3, (n_hist, n_out), dtype=int
+    ).astype(np.int64)
+    tok_re = _re.compile(r"[^a-z]+")
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = []
+            for s in pdf["chunk"]:
+                h = np.zeros(n_hist, dtype=np.int64)
+                for t in tok_re.split(s.lower()):
+                    if not t:
+                        continue
+                    code = 0
+                    for p, ch in enumerate(t):
+                        code += ord(ch) * (((p + 1) % 32) + 1)
+                    h[code % n_hist] += 1
+                vecs.append((h @ proj).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "chunk_id": pdf["chunk_id"],
+                    "vec": vecs,
+                }
+            )
+
+    embedded = chunks.mapInPandas(
+        encode, "doc_id bigint, chunk_id int, vec array<bigint>"
+    )
+    return _rag_score_topk(embedded)

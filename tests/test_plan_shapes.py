@@ -85,6 +85,26 @@ def test_cosine_topk_is_take_ordered_not_global_sort(spark, sf_oracle_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_rag_encoder_swap_keeps_retrieval_plan_exchange_free(
+    spark, sf_oracle_dir
+):
+    # VERDICT r06 item 4: swapping the hashed embedding for a mapInPandas
+    # model must leave the retrieval plan unchanged — the encoder is a
+    # narrow Arrow-batched map, the query vector a 1-row broadcast, the
+    # top-k a TakeOrderedAndProject; NO shuffle exchange anywhere.
+    load_all_queries()
+    plan = _executed_plan(
+        QUERIES["pipeline_rag_retrieve_encoder"](spark, sf_oracle_dir)
+    )
+    assert "MapInPandas" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _n_shuffle_exchanges(plan) == 0, plan
+    # the baseline (hashed-embedding) plan keeps the same shape
+    base = _executed_plan(QUERIES["pipeline_rag_retrieve"](spark, sf_oracle_dir))
+    assert "TakeOrderedAndProject" in base, base
+    assert _n_shuffle_exchanges(base) == 0, base
+
+
 def test_band_index_probe_does_not_shuffle_index(spark, sf_oracle_dir):
     # VERDICT_r04 item 5: the durable band index is bucketed on the join
     # key, so a new-batch probe must read it with NO exchange on the
