@@ -630,6 +630,23 @@ def main() -> int:
 
     timed("dedup_semantic_k64", run_semantic_k64)
 
+    def run_bpe_k64() -> None:
+        # 64 merge rounds = 64 vocabulary-sized driver rounds (one
+        # TakeOrdered collect + one localCheckpoint each). sec/merge is
+        # the cost-curve number VERDICT r06 item 6 asks for: a 32k-merge
+        # production vocab costs ~32k * sec_per_merge on the SAMPLED
+        # vocab table, independent of corpus size after the one
+        # word-count pass.
+        from pyspark.sql import functions as SF  # noqa: F401
+
+        t0 = time.monotonic()
+        extras["text_bpe_merges_k64_rows"] = QUERIES["text_bpe_merges_k64"](
+            spark, sf_dir
+        ).count()
+        extras["bpe_k64_sec_per_merge"] = round((time.monotonic() - t0) / 64, 3)
+
+    timed("text_bpe_merges_k64", run_bpe_k64)
+
     unknown = only - set(timings)
     if unknown:
         print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)

@@ -398,6 +398,111 @@ def _bpe_rounds_impl(
     return results, cur
 
 
+def bpe_learn_scaled(
+    df: DataFrame,
+    text_col: str,
+    merges: int = 64,
+    sample_hexmax: str | None = "4",
+) -> DataFrame:
+    """BPE training at REAL vocabulary sizes (VERDICT r06 item 6) — the
+    100 TB discipline ``bpe_learn``'s docstring promises, enforced:
+
+    1. **Bounded training corpus**: a deterministic md5 gate keeps docs
+       whose ``md5(text)`` first hex digit < ``sample_hexmax`` (default
+       "4" = 25%) — the same engine/partitioning/retry-stable sampling
+       as pipeline_stratified_sample. Tokenizer training never needs the
+       full corpus; it needs a representative sample (every production
+       BPE/unigram tokenizer is trained this way).
+    2. **One corpus-sized pass**: the word-count aggregation touches the
+       (sampled) corpus once; the merge loop then iterates over the
+       VOCABULARY (Heaps'-law small), eagerly localCheckpoint'ed each
+       round so plan depth stays O(1) instead of O(merges) — the lazy
+       ``bpe_learn`` chain is Catalyst-hostile past ~10 rounds.
+    3. **One driver round per merge, vocabulary-sized**: each round
+       collects exactly ONE (pair, count) row — the classic BSP shape
+       (same class as PageRank's per-superstep stats action). 32k merges
+       = 32k vocab-table aggregations; sec/merge is recorded by bench.py
+       so the cost curve is measured, not assumed.
+
+    Returns the merge table (merge_round, pair, n_occ), stopping early
+    if the vocabulary merges to single symbols before ``merges`` rounds.
+    Greedy leftmost non-overlapping apply, ties broken (count desc,
+    pair asc) — identical semantics to ``bpe_learn`` (pinned by
+    tests/test_round7_ops.py against a pure-Python oracle)."""
+    spark = df.sparkSession
+    gated = (
+        df.filter(
+            F.substring(F.md5(F.col(text_col)), 1, 1) < F.lit(sample_hexmax)
+        )
+        if sample_hexmax is not None
+        else df
+    )
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    words = (
+        gated.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.select(
+        "w",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.substring(F.col("w"), i, F.lit(1)),
+        ).alias("syms"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+
+    merge_rows: list[tuple[int, str, int]] = []
+    for r in range(1, merges + 1):
+        n1 = F.greatest(F.size("syms") - 1, F.lit(0))
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, n1),
+                    F.slice("syms", 2, n1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n_occ"))
+            .orderBy(F.desc("n_occ"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged
+        pair, n_occ = top[0]["pair"], top[0]["n_occ"]
+        merge_rows.append((r, pair, int(n_occ)))
+        a, b = pair.split(" ")
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(a + b)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = cur.select("w", merged.alias("syms"), "cnt").localCheckpoint(
+            eager=True
+        )
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merge_rows, "merge_round int, pair string, n_occ bigint"
+    )
+
+
 def bpe_encode_counts(
     df: DataFrame, id_col: str, text_col: str, merges: int = 3
 ) -> DataFrame:

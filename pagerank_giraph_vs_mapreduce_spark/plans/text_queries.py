@@ -371,21 +371,29 @@ def text_bigrams_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 3
 
 
-def _bpe_ctes(merges: int, full_rounds: bool) -> list[str]:
+def _bpe_ctes(
+    merges: int, full_rounds: bool, gate_hexmax: str | None = None
+) -> list[str]:
     """Classic BPE unrolled into SQL: per round, pair counts + top-1, then
     a windowed greedy-leftmost merge replay (gaps-and-islands picks every
     other position inside a run of identical overlapping pairs, which only
     occurs when a == b). ``full_rounds`` also materializes the FINAL
     round's merge replay (s{merges}) — needed by the encode oracle, not by
-    the merge-table oracle."""
+    the merge-table oracle. ``gate_hexmax`` replicates bpe_learn_scaled's
+    deterministic md5 training-sample gate."""
+    gate = (
+        f"\n  WHERE substr(md5(text), 1, 1) < '{gate_hexmax}'"
+        if gate_hexmax is not None
+        else ""
+    )
     ctes = [
-        """words AS (
+        f"""words AS MATERIALIZED (
   SELECT t.tok AS w, count(*) AS cnt
   FROM documents, LATERAL unnest(
     list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')
-  ) AS t(tok)
+  ) AS t(tok){gate}
   GROUP BY t.tok)""",
-        """s0 AS (
+        """s0 AS MATERIALIZED (
   SELECT w, cnt,
          list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
   FROM words)""",
@@ -393,20 +401,20 @@ def _bpe_ctes(merges: int, full_rounds: bool) -> list[str]:
     for r in range(1, merges + 1):
         p = f"s{r - 1}"
         ctes.append(
-            f"""p{r} AS (
+            f"""p{r} AS MATERIALIZED (
   SELECT l.pair, CAST(sum(cnt) AS BIGINT) AS n_occ
   FROM {p}, LATERAL unnest(list_transform(range(1, len(syms)),
        i -> syms[i] || ' ' || syms[i + 1])) AS l(pair)
   GROUP BY l.pair)"""
         )
         ctes.append(
-            f"t{r} AS (SELECT pair, n_occ FROM p{r} "
+            f"t{r} AS MATERIALIZED (SELECT pair, n_occ FROM p{r} "
             "ORDER BY n_occ DESC, pair LIMIT 1)"
         )
         if r == merges and not full_rounds:
             break
         ctes.append(
-            f"""e{r} AS (
+            f"""e{r} AS MATERIALIZED (
   SELECT w, cnt, p.pos, syms[p.pos] AS s,
          CASE WHEN p.pos < len(syms) THEN syms[p.pos + 1] END AS nxts,
          COALESCE(CASE WHEN p.pos < len(syms)
@@ -415,18 +423,18 @@ def _bpe_ctes(merges: int, full_rounds: bool) -> list[str]:
   FROM {p}, LATERAL unnest(range(1, len(syms) + 1)) AS p(pos))"""
         )
         ctes.append(
-            f"""mm{r} AS (
+            f"""mm{r} AS MATERIALIZED (
   SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
   FROM e{r} WHERE ism)"""
         )
         ctes.append(
-            f"""sel{r} AS (
+            f"""sel{r} AS MATERIALIZED (
   SELECT w, pos FROM (
     SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
     FROM mm{r}) WHERE rk % 2 = 1)"""
         )
         ctes.append(
-            f"""s{r} AS (
+            f"""s{r} AS MATERIALIZED (
   SELECT e.w, e.cnt,
          list(CASE WHEN sl.pos IS NOT NULL THEN e.s || e.nxts ELSE e.s END
               ORDER BY e.pos) AS syms
@@ -439,8 +447,8 @@ def _bpe_ctes(merges: int, full_rounds: bool) -> list[str]:
     return ctes
 
 
-def _bpe_oracle(merges: int) -> str:
-    ctes = _bpe_ctes(merges, full_rounds=False)
+def _bpe_oracle(merges: int, gate_hexmax: str | None = None) -> str:
+    ctes = _bpe_ctes(merges, full_rounds=False, gate_hexmax=gate_hexmax)
     selects = [
         f"SELECT CAST({r} AS INT) AS merge_round, pair, n_occ FROM t{r}"
         for r in range(1, merges + 1)
@@ -485,6 +493,36 @@ def text_bpe_merges_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bpe_learn(
         load_table(spark, sf_dir, "documents"), "text", merges=BPE_MERGES
+    )
+
+
+BPE_MERGES_SCALED = 64
+BPE_SAMPLE_HEXMAX = "4"  # md5 first-hex gate: ~25% of docs train the vocab
+
+
+@query(
+    "text_bpe_merges_k64",
+    oracle=_bpe_oracle(BPE_MERGES_SCALED, gate_hexmax=BPE_SAMPLE_HEXMAX),
+)
+def text_bpe_merges_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at depth (operators/text.py:bpe_learn_scaled —
+    VERDICT r06 item 6): 64 merge rounds over a deterministic 25%
+    md5-sampled training corpus. Unlike the lazy 3-round chain, each
+    round materializes the vocabulary with an eager localCheckpoint
+    (plan depth O(1), not O(merges)) and collects exactly one
+    vocabulary-sized top-pair row — the real vocab-training cost curve,
+    measured per-merge by bench.py. The oracle replays all 64 rounds
+    with the same unrolled gaps-and-islands SQL as the k=3 twin, gated
+    by the same md5 sample."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+        bpe_learn_scaled,
+    )
+
+    return bpe_learn_scaled(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        merges=BPE_MERGES_SCALED,
+        sample_hexmax=BPE_SAMPLE_HEXMAX,
     )
 
 
