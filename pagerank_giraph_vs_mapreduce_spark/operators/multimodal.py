@@ -1,13 +1,16 @@
 """Multimodal column plumbing: opaque BINARY payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-The decode seam is REAL for PNG: ``decode_png`` is a pure-stdlib decoder
-(zlib inflate + the five scanline filters, RFC 2083) and
-``extract_features`` dispatches on the PNG magic, emitting true image
-features (width/height/channels/bit_depth/pixel_mean). Codecs the stdlib
-cannot express (JPEG/audio/video) remain STUBBED behind the same seam
-(deterministic byte-level "features"; a real deployment swaps
-``_decode_stub`` for PIL/torchaudio/ffmpeg). What is tested either way:
+The decode seam is REAL for PNG and baseline JPEG: ``decode_png`` is a
+pure-stdlib decoder (zlib inflate + the five scanline filters, RFC 2083),
+``operators/jpeg.py:decode_jpeg`` is a real baseline-JPEG decoder
+(Huffman from DHT, dequant, IDCT, chroma upsampling, YCbCr→RGB), and
+``extract_features`` dispatches on the magic bytes, emitting true image
+features (width/height/channels/bit_depth/pixel_mean). Formats neither
+decoder handles (progressive JPEG, WebP, video containers) remain
+STUBBED behind the same seam (deterministic byte-level "features"; a
+real deployment swaps ``_decode_stub`` for PIL/ffmpeg). What is tested
+either way:
 the schema contract (binary + struct metadata), the mapInPandas batch
 path (Arrow transfer, per-partition batching), and the partition-friendly
 layout — the parts that matter for running this against 100 TB of media
@@ -195,10 +198,11 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def _decode_stub(payload: bytes) -> dict:
     """STUB decoder — deterministic byte statistics standing in for media
-    decodes the stdlib cannot express (JPEG/audio/video). Swap this
-    function for the real codec; the Spark plumbing around it (schema,
-    batching, partitioning) is the tested contract. PNG does not reach
-    here — ``decode_png`` is the real thing."""
+    decodes this repo has no codec for (progressive JPEG, WebP, video).
+    Swap this function for the real codec; the Spark plumbing around it
+    (schema, batching, partitioning) is the tested contract. PNG and
+    baseline JPEG do not reach here — ``decode_png`` and ``decode_jpeg``
+    are the real thing."""
     if payload is None or len(payload) == 0:
         return {"n_bytes": 0, "first_byte": -1, "byte_mean": 0.0}
     return {
@@ -218,9 +222,9 @@ _IMG_NULLS = {
 
 
 def _decode_dispatch(payload: bytes, declared_format: str | None) -> dict:
-    """Per-payload codec dispatch: real PNG decode when the magic matches
-    (format reported from the CONTENT, not the metadata claim), byte-stat
-    stub otherwise."""
+    """Per-payload codec dispatch: real PNG/baseline-JPEG decode when the
+    magic matches (format reported from the CONTENT, not the metadata
+    claim), byte-stat stub otherwise."""
     png = decode_png(payload)
     if png is not None:
         return {
@@ -230,6 +234,20 @@ def _decode_dispatch(payload: bytes, declared_format: str | None) -> dict:
             "format": "image/png",
             **png,
         }
+    if payload is not None and bytes(payload[:2]) == b"\xff\xd8":
+        from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        jpg = decode_jpeg(payload)
+        if jpg is not None:
+            return {
+                "n_bytes": len(payload),
+                "first_byte": payload[0],
+                "byte_mean": None,
+                "format": "image/jpeg",
+                **jpg,
+            }
     return {**_decode_stub(payload), "format": declared_format, **_IMG_NULLS}
 
 
@@ -328,6 +346,69 @@ def png_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # explicit projection: mapInPandas consumes whole input rows, so
     # without it the parquet scan reads every column of `docs` (measured
     # in PLANS.md — 5-column ReadSchema for a 2-column need)
+    return docs.select("doc_id", text_col).mapInPandas(batches, schema)
+
+
+JPEG_BLOCKS_X, JPEG_BLOCKS_Y = 4, 2  # 32x16 px, 8 block-constant tiles
+
+
+def jpeg_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload BINARY, meta STRUCT): each doc's first
+    ``JPEG_BLOCKS_X*JPEG_BLOCKS_Y`` text bytes (space-padded) become a
+    REAL baseline grayscale JPEG (operators/jpeg.py:encode_jpeg_gray),
+    one CONSTANT 8x8 block per byte. Block-constant pixels + all-ones
+    quant tables make the lossy DCT round-trip bit-exact (the only
+    nonzero coefficient is the DC term — see jpeg.py module docstring),
+    so the decoded pixel_mean keeps an exact SQL oracle over the text
+    column: the PNG-twin fixture discipline, for the codec a multimodal
+    corpus actually ships."""
+    import numpy as np
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
+        encode_jpeg_gray,
+    )
+
+    n_blocks = JPEG_BLOCKS_X * JPEG_BLOCKS_Y
+    w, h = JPEG_BLOCKS_X * 8, JPEG_BLOCKS_Y * 8
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("format", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                vals = (text or "").encode("utf-8")[:n_blocks].ljust(
+                    n_blocks, b" "
+                )
+                px = np.zeros((h, w), dtype=np.uint8)
+                for i, v in enumerate(vals):
+                    by, bx = divmod(i, JPEG_BLOCKS_X)
+                    px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+                payloads.append(encode_jpeg_gray(px.tobytes(), w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"format": "image/jpeg", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
     return docs.select("doc_id", text_col).mapInPandas(batches, schema)
 
 

@@ -70,6 +70,158 @@ def test_bpe_learn_scaled_matches_python_oracle_at_depth(spark):
     assert got == want
 
 
+def test_jpeg_roundtrip_block_constant_exact():
+    """Block-constant grayscale + all-ones quant must round-trip the DCT
+    bit-exactly — the invariant the mm_jpeg_decode oracle stands on."""
+    import numpy as np
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    vals = [0, 255, 1, 254, 128, 127, 40, 200]
+    px = np.zeros((16, 32), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 4)
+        px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    d = decode_jpeg(encode_jpeg_gray(px.tobytes(), 32, 16), keep_pixels=True)
+    assert (d["width"], d["height"], d["channels"], d["bit_depth"]) == (
+        32, 16, 1, 8,
+    )
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 32)
+    assert np.array_equal(got, px)
+    assert d["pixel_mean"] == sum(vals) / 8
+
+
+def test_jpeg_roundtrip_arbitrary_content_within_rounding():
+    """Arbitrary pixels at quality-100 (all-ones quant): every sample
+    within +-1 of the original (pure DCT float rounding), including
+    non-multiple-of-8 dimensions (edge-replicated pad, cropped back)."""
+    import numpy as np
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (19, 29), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg_gray(px.tobytes(), 29, 19), keep_pixels=True)
+    assert (d["width"], d["height"]) == (29, 19)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(19, 29)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 1
+
+
+def test_jpeg_color_420_subsampling_and_jfif_conversion():
+    """3-component 4:2:0: chroma box-subsampled on encode, replicated on
+    decode, JFIF YCbCr->RGB applied — exact for macroblock-constant
+    planes."""
+    import numpy as np
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    cases = [(50, 100, 150), (200, 30, 220)]
+    Y = np.zeros((16, 32), np.uint8)
+    Cb = np.zeros_like(Y)
+    Cr = np.zeros_like(Y)
+    for i, (y, cb, cr) in enumerate(cases):
+        Y[:, i * 16 : (i + 1) * 16] = y
+        Cb[:, i * 16 : (i + 1) * 16] = cb
+        Cr[:, i * 16 : (i + 1) * 16] = cr
+    d = decode_jpeg(
+        encode_jpeg([Y, Cb, Cr], sampling=[(2, 2), (1, 1), (1, 1)]),
+        keep_pixels=True,
+    )
+    assert d["channels"] == 3
+    img = np.frombuffer(d["pixels"], np.uint8).reshape(16, 32, 3)
+
+    def jfif(y, cb, cr):
+        r = min(255, max(0, round(y + 1.402 * (cr - 128))))
+        g = min(
+            255,
+            max(0, round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+        )
+        b = min(255, max(0, round(y + 1.772 * (cb - 128))))
+        return r, g, b
+
+    assert tuple(img[4, 4]) == jfif(*cases[0])
+    assert tuple(img[12, 27]) == jfif(*cases[1])
+
+
+def test_jpeg_decoder_handles_foreign_tables_and_degrades_cleanly():
+    """The decoder must read the Huffman tables from the FILE (not assume
+    the encoder's), honor DRI/RSTn restarts, and return None (degrade to
+    the byte stub) on anything non-baseline."""
+    import struct
+
+    import numpy as np
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    px = np.full((8, 8), 99, np.uint8)
+    good = encode_jpeg_gray(px.tobytes(), 8, 8)
+    sos_at = good.find(b"\xff\xda")
+
+    # genuine DRI/RSTn stream: 4x2 blocks with a restart every 3 MCUs —
+    # DC predictors reset at each marker, bitstream realigns to bytes
+    from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import encode_jpeg
+
+    vals = np.arange(8, dtype=np.uint8) * 30
+    multi = np.zeros((16, 32), np.uint8)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, 4)
+        multi[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    stream = encode_jpeg([multi], restart_interval=3)
+    assert struct.pack(">HHH", 0xFFDD, 4, 3) in stream  # DRI present
+    assert b"\xff\xd0" in stream or b"\xff\xd1" in stream  # RSTn fired
+    d = decode_jpeg(stream, keep_pixels=True)
+    got = np.frombuffer(d["pixels"], np.uint8).reshape(16, 32)
+    assert np.array_equal(got, multi)
+
+    # flipping SOF0 -> SOF2 (progressive) must yield None, not an exception
+    sof_at = good.find(b"\xff\xc0")
+    progressive = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2 :]
+    assert decode_jpeg(progressive) is None
+    # truncated entropy stream -> None
+    assert decode_jpeg(good[: sos_at + 6]) is None
+    # not a JPEG at all -> None
+    assert decode_jpeg(b"\x89PNG\r\n\x1a\n") is None
+
+
+def test_extract_features_dispatches_jpeg(spark):
+    """End-to-end through the Spark seam: jpeg_payload -> extract_features
+    detects the magic and emits real image features; a doc whose payload
+    is NOT decodable still yields a row (byte-stat degrade)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        extract_features,
+        jpeg_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "AHAHAHAH"), (2, "x")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_features(jpeg_payload(docs)).collect()
+    }
+    a = rows[1]
+    assert a["format"] == "image/jpeg"
+    assert (a["width"], a["height"], a["channels"], a["bit_depth"]) == (
+        32, 16, 1, 8,
+    )
+    # "AHAHAHAH" = 4x65 + 4x72
+    assert a["pixel_mean"] == (4 * 65 + 4 * 72) / 8
+    b = rows[2]  # "x" + 7 space pads
+    assert b["pixel_mean"] == (ord("x") + 7 * 32) / 8
+
+
 def test_bpe_learn_scaled_sample_gate_bounds_training_corpus(spark):
     """The md5 gate must train on the deterministic subset only: gating
     with hexmax '0' admits no document -> empty merge table; hexmax 'g'
