@@ -135,6 +135,16 @@ def main() -> int:
         extras["pagerank_skew_sec_per_iter"] = round(
             sum(h.seconds for h in res.history) / len(res.history), 3
         )
+        # same graph with the hub sources routed through the broadcast
+        # scatter (scatter_gather hub_ids) — the explicit skew fix, since
+        # AQE cannot split the cached links join (test_skew_scatter.py)
+        res2 = pagerank(
+            skewed, max_iter=3, tol=-1.0, min_iter=0, hub_split_outdeg=1000
+        )
+        res2.ranks.count()
+        extras["pagerank_skew_split_sec_per_iter"] = round(
+            sum(h.seconds for h in res2.history) / len(res2.history), 3
+        )
 
     def large_graph():
         """~200k vertices / ~2.4M edges synthesized from 4 shifted copies of

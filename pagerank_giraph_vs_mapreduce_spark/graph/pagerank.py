@@ -114,6 +114,45 @@ def latest_checkpoint(spark, checkpoint_dir: str):
     return best[0], spark.read.parquet(best[1]).select("id", "pr")
 
 
+def scatter_gather(
+    links: DataFrame, ranks: DataFrame, hub_ids: list[int] | None = None
+) -> DataFrame:
+    """One J1/C2/A1 superstep message pass: scatter pr/outdeg along the
+    cached links, gather by dst. ``hub_ids`` (hot out-degree sources,
+    precomputed once per graph) routes the hub edge mass through a
+    BROADCAST join of just those sources' ranks — the hub rows never
+    shuffle and never pile one join partition onto one task.
+
+    Why not AQE skew-join: ``links`` is cached pre-partitioned and the
+    SMJ reads it via InMemoryTableScan — there is NO shuffle stage on
+    either join side for OptimizeSkewedJoin to split (measured: the same
+    join with uncached inputs and lowered thresholds does get
+    ``skew=true``; through the cache it never does —
+    tests/test_skew_scatter.py pins both). Explicit hub splitting is the
+    plan-stable fix: hot srcs are few by definition (outdeg above a cap
+    bounds their count at E/cap), so their (src, pr) rows broadcast for
+    pennies while their edge rows — the actual mass — stay put."""
+    ranks_src = ranks.select(F.col("id").alias("src"), "pr")
+    contrib = lambda df: df.select(  # noqa: E731
+        F.col("dst").alias("id"),
+        (F.col("pr") / F.col("outdeg")).alias("contrib"),
+    )
+    if hub_ids:
+        hot = F.col("src").isin(hub_ids)
+        scattered = contrib(
+            links.filter(~hot).join(ranks_src.filter(~hot), "src")
+        ).unionAll(
+            contrib(
+                links.filter(hot).join(
+                    F.broadcast(ranks_src.filter(hot)), "src"
+                )
+            )
+        )
+    else:
+        scattered = contrib(links.join(ranks_src, "src"))
+    return scattered.groupBy("id").agg(F.sum("contrib").alias("contrib"))
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -125,6 +164,7 @@ def pagerank(
     phase_timing: bool = False,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
+    hub_split_outdeg: int | None = None,
 ) -> PageRankResult:
     """Run PageRank over edges(src, dst); returns ranks + convergence history.
 
@@ -146,6 +186,16 @@ def pagerank(
     opt-in, without paying the per-iteration materialization tax that is
     MR's documented 3.7× slowdown. Vertices missing from the provided state
     are seeded uniformly at 1/N.
+
+    ``hub_split_outdeg`` (default off) caps the per-task cost of hub
+    SOURCES: srcs whose out-degree exceeds the cap scatter through a
+    broadcast join of just their ranks (see ``scatter_gather``) instead
+    of piling their edge rows' join work onto the single task that owns
+    their hash partition. Set it so a single src's edges can't dominate
+    one partition (e.g. E/partitions); the id list it collects is at
+    most E/cap entries. Off by default because the derived test graphs
+    are uniform; the skewed bench entry and tests/test_skew_scatter.py
+    exercise it.
 
     ``checkpoint_dir`` (default off — local behavior unchanged) writes the
     ranks table durably every ``checkpoint_every`` supersteps as parquet
@@ -198,6 +248,20 @@ def pagerank(
         F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum")
     ).first()
     dangling_sum = float(first["dsum"] or 0.0)
+    # Hub split (README.md:417-418 pathology): sources above the out-degree
+    # cap are collected ONCE here — a bounded driver list (at most E/cap
+    # ids, e.g. ≤100 for cap=1M on 100M edges; same plan-constant class as
+    # the per-superstep stats action) — and their scatter rides a broadcast
+    # join every superstep (see scatter_gather).
+    hub_ids: list[int] = []
+    if hub_split_outdeg is not None:
+        hub_ids = [
+            r["src"]
+            for r in g.links.filter(F.col("outdeg") > hub_split_outdeg)
+            .select("src")
+            .distinct()
+            .collect()
+        ]
     build_seconds = time.monotonic() - t_setup
 
     history: list[IterationStats] = []
@@ -207,18 +271,9 @@ def pagerank(
     for i in range(max_iter):
         t0 = time.monotonic()
         # J1/C2 scatter + A1 gather: links is cached pre-partitioned by src,
-        # so only the V-row ranks side shuffles here.
-        msgs = (
-            g.links.join(
-                ranks.select(F.col("id").alias("src"), "pr"), "src"
-            )
-            .select(
-                F.col("dst").alias("id"),
-                (F.col("pr") / F.col("outdeg")).alias("contrib"),
-            )
-            .groupBy("id")
-            .agg(F.sum("contrib").alias("contrib"))
-        )
+        # so only the V-row ranks side shuffles here; hub sources (if a
+        # cap was given) scatter via broadcast instead.
+        msgs = scatter_gather(g.links, ranks, hub_ids)
         # C1 update with same-iteration dangling redistribution.
         new = (
             ranks.select("id", "dangling", F.col("pr").alias("pr_old"))
