@@ -522,6 +522,9 @@ def main() -> int:
         "text_repeated_ngrams",
         "sql_pivot",
         "pipeline_rag_retrieve",
+        # round-7 additions
+        "pipeline_rag_retrieve_encoder",
+        "mm_jpeg_decode",
     ):
         timed(q, run_query_rows(q))
 

@@ -48,74 +48,36 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-6 budget math (r05 recorded exactly 50 rows, all green, covering the
-# r05 _PRIORITY head down through dedup_simhash64_near_dups):
-# first the queries that are NEW or whose code changed this round (the cosine
-# kernel's zero-norm semantics moved to try_divide, touching every cosine
-# consumer; dedup_incremental_indexed's cache/table-name plumbing changed;
-# text_bpe_encode is newly registered), then the rotation CONTINUES from
-# where the r05 budget stopped: the remaining r02-only rows, then the
-# fn_*/win_*/text_* tail that has not had a fresh row since r02/r03.
-# Everything r05-green sits at the bottom; overflow rolls to r07.
+# Round-7 budget math (r06 recorded exactly 50 rows, all green, covering the
+# r06 head down through g_triangle_count; cumulative newest-driver-row ages
+# after r06: 21 queries at r02, 43 at r03, 44 at r04): first the queries NEW
+# or code-changed this round, then ALL remaining r02-era rows, then r03 rows
+# up to the ~50 budget. The rest of the r03 tail and the r04 cohort are
+# queued immediately after so r08's budget retires them without editing.
 _PRIORITY = (
-    # --- new or code-changed in r06: must (re)certify
-    # (the ANSI-robustness sweep moved quality_score's ratios and the
-    # bucketed-cosine pair kernels to try_divide — value-identical on
-    # defined rows, but the touched queries re-certify first)
-    "stream_python_source",  # NEW: streaming custom-connector face
-    "source_variant_props",  # NEW: Spark 4 VARIANT semi-structured path
-    "fn_hll_union_rollup",  # NEW: mergeable-sketch rollup
-    "g_wcc_incremental",  # NEW: warm-start component maintenance
-    "pipeline_rag_retrieve",  # NEW: chunk→embed→score→top-k, one plan
-    "sim_ivf_indexed_top5",  # NEW: durable cell-partitioned ANN index
-    "rel_bloom_semi_join",  # NEW: runtime bloom filter join pruning
-    "g_sssp_k4",  # NEW: weighted SSSP, delta-frontier Bellman-Ford
-    "text_repeated_ngrams",  # NEW: exact repeated-span detection
-    "sql_pivot",  # NEW: SQL-standard PIVOT (conditional-agg plan)
-    "stream_incremental_dedup",  # NEW: continuous probe→flag→index loop
-    "text_bpe_encode",  # NEW: BPE tokenizer APPLY path (advice r05 #4)
-    "pipeline_stratified_sample",  # NEW: per-stratum md5 downsampling
-    "sim_range_search",  # NEW: cosine radius search (shuffle-free)
-    "text_dedup_paragraphs",  # NEW: intra-doc chunk dedup audit
-    "stream_stream_join",  # NEW: watermarked interval join, state-bounded
-    "source_orc_roundtrip",  # NEW: built-in ORC source/sink fidelity
-    "source_python_datasource",  # NEW: custom Python DataSource connector
-    "mm_audio_stats",  # NEW: real WAV encode->decode round trip
-    "sql_lateral_topk",  # NEW: correlated LATERAL ORDER BY+LIMIT
-    "udf_arrow_optimized",  # NEW: Spark 4 Arrow-optimized scalar UDF
-    "dedup_lsh_star_candidates",  # NEW: mega-cluster-safe B-1 candidates
-    "storage_time_travel",  # NEW: snapshot-versioned reads + atomic commit
-    "storage_bucketed_join",  # NEW: co-located zero-exchange fact join
-    "g_pagerank_incremental",  # NEW: warm-start carry, two-phase oracle
-    "dedup_containment",  # NEW: asymmetric excerpt detection
-    # --- NEW in r06: the remaining 8 TPC-H query shapes (fixture-adapted
-    # where partsupp/shipmode/receiptdate don't exist — see the module
-    # comment in relational_queries.py)
-    "rel_q2_min_cost_supplier",
-    "rel_q4_order_priority",
-    "rel_q9_product_profit",
-    "rel_q11_important_parts",
-    "rel_q12_priority_lines",
-    "rel_q16_supplier_part_count",
-    "rel_q20_excess_shipped",
-    "rel_q21_waiting_supplier",
-    "sim_cosine_top10",  # HOF kernel now try_divide (zero-norm → NULL)
-    "sim_cosine_top10_vectorized",  # Arrow kernel masks zero norms to NULL
-    "dedup_embedding_cosine",  # consumes cosine_scores
-    "sim_ann_recall",  # brute-force arm consumes cosine_topk
-    "sim_lsh_ann_top5",  # bucket-pruned rescore consumes the kernel
-    "dedup_incremental_indexed",  # bounded cand cache + digest table name
-    "text_quality",  # quality_col ratios now try_divide
-    "dedup_semantic",  # pair kernel now try_divide
-    "pipeline_curation",  # composes quality_col
-    "pipeline_quality_bins",  # composes quality_col
-    # --- rotation continuation: rows whose newest green evidence is r02
-    "dedup_simhash_near_dups",
-    "dedup_simhash",
-    "asof_click_purchase",
-    "range_join_signup_errors",
-    "g_kcore64_r4",
-    "g_triangle_count",
+    # --- new in r07: must certify
+    "mm_jpeg_decode",  # NEW: real baseline-JPEG decoder through the seam
+    "pipeline_rag_retrieve_encoder",  # NEW: mapInPandas model swap, same plan
+    "text_bpe_merges_k64",  # NEW: 64-merge scaled BPE trainer, md5 gate
+    "g_pagerank_hubsplit_k3",  # NEW: broadcast hub routing, same oracle
+    # --- code-changed in r07: re-certify
+    # (shared polyhash moved to the one-pass char-array helper; bloom probe
+    # column/quoting hardened; scatter join refactored through
+    # scatter_gather; BPE oracle CTEs materialized; stream source now
+    # raises on partial drain)
+    "pipeline_rag_retrieve",  # polyhash helper + factored scoring
+    "text_feature_hash_64",  # polyhash helper
+    "text_fingerprint",  # polyhash helper (weight_mod 64)
+    "pipeline_dsir_resample",  # consumes text_feature_hash_64
+    "rel_bloom_semi_join",  # __bloom_bits alias + quoted key
+    "stream_python_source",  # loud TimeoutError on partial drain
+    "storage_time_travel",  # versioned.py vacuum grace window
+    "text_bpe_merges_k3",  # oracle CTEs AS MATERIALIZED
+    "text_bpe_encode",  # oracle CTEs AS MATERIALIZED
+    "g_pagerank_k3",  # superstep now routes through scatter_gather
+    "g_pagerank_top20",  # same kernel
+    "g_pagerank_incremental",  # same kernel, warm start
+    # --- rotation: the last rows whose newest driver evidence is r02
     "g_two_hop_count",
     "sql_exists_correlated",
     "sql_grouping_sets",
@@ -137,6 +99,92 @@ _PRIORITY = (
     "fn_date_arith",
     "fn_null_semantics",
     "fn_c5_c6",
+    # --- rotation: r03-era rows (graph core + relational head fill the
+    # remainder of the ~50 budget; the rest queue for r08)
+    "g_vertex_universe",
+    "g_graph_counts",
+    "g_out_degree",
+    "g_dangling",
+    "g_scatter_contribs",
+    "g_gather_sum",
+    "g_wcc_k4",
+    "g_pagerank_weighted_k3",
+    "g_bfs_hops_k4",
+    "g_ppr_k3",
+    "g_degree_hist",
+    "g_lpa_r3",
+    "rel_q1_pricing",
+    "rel_join_q3",
+    # ---- ~50-row budget line (r07 gate reaches about here) ----
+    "rel_broadcast_dim_join",
+    "rel_semi_join",
+    "rel_anti_join",
+    "rel_scalar_subquery",
+    "rel_q5_local_supplier",
+    "rel_q6_forecast",
+    "rel_q14_promo_ratio",
+    "rel_q18_large_orders",
+    "rel_user_funnel",
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_lsh_candidates",
+    "dedup_minhash_near_dups",
+    "dedup_ngram_jaccard",
+    "sim_lsh_buckets",
+    "sim_ivf_assign",
+    "sim_kmeans_2iter",
+    "sql_array_agg",
+    "sql_array_funcs",
+    "sql_higher_order",
+    "sql_map_funcs",
+    "sql_recursive_bfs_k3",
+    "pipeline_curation_funnel",
+    "pipeline_chunk_dedup",
+    "text_vocab_top20",
+    "text_chunks",
+    "stream_vocab_top20",
+    # --- r04 cohort (newest driver row r04), queued behind the r03 tail
+    "mm_features",
+    "mm_png_decode",
+    "text_tfidf_top_term",
+    "sim_ivfpq_top5",
+    "sim_pq_adc_top5",
+    "sim_quantize_int8",
+    "sim_knn_join_top3",
+    "dedup_incremental",
+    "dedup_recall_planted",
+    "dedup_wcc_canonical",
+    "text_lm_score",
+    "text_pii_scrub",
+    "text_repetition",
+    "text_bigrams_top20",
+    "pipeline_split_leakage_safe",
+    "pipeline_decontaminate",
+    "pipeline_domain_mix",
+    "pipeline_class_balance",
+    "pipeline_curation_staged",
+    "pipeline_curation_staged_funnel",
+    "stream_curation_gate",
+    "stream_enrich_features",
+    "udf_grouped_agg_wmean",
+    "g_random_walks_k3",
+    "g_clustering_coeff",
+    "g_scc_of_source_k4",
+    "g_multi_bfs_k4",
+    "g_harmonic_k4",
+    "g_degree_assortativity",
+    "rel_upsert_merge",
+    "rel_retention_cohorts",
+    "rel_q7_volume_shipping",
+    "rel_q8_market_share",
+    "rel_q10_returned_items",
+    "rel_q13_order_distribution",
+    "rel_q19_disjunctive",
+    "rel_q22_idle_customers",
+    "rel_q14_promo_revenue",
+    "rel_q15_top_supplier",
+    "rel_q17_small_quantity",
+    "source_json_corrupt_records",
 )
 
 

@@ -129,6 +129,11 @@ HEADLINE = [
     "fn_hll_union_rollup",
     "source_variant_props",
     "dedup_containment",
+    # round-7 additions
+    "mm_jpeg_decode",
+    "pipeline_rag_retrieve_encoder",
+    "text_bpe_merges_k64",
+    "g_pagerank_hubsplit_k3",
 ]
 
 
