@@ -525,6 +525,8 @@ def main() -> int:
         # round-7 additions
         "pipeline_rag_retrieve_encoder",
         "mm_jpeg_decode",
+        "mm_gif_decode",
+        "mm_gif_frames",
     ):
         timed(q, run_query_rows(q))
 

@@ -248,6 +248,27 @@ def _decode_dispatch(payload: bytes, declared_format: str | None) -> dict:
                 "format": "image/jpeg",
                 **jpg,
             }
+    if payload is not None and bytes(payload[:4]) == b"GIF8":
+        from pagerank_giraph_vs_mapreduce_spark.operators.gif import (
+            decode_gif,
+        )
+
+        gif = decode_gif(payload)
+        if gif is not None:
+            return {
+                "n_bytes": len(payload),
+                "first_byte": payload[0],
+                "byte_mean": None,
+                "format": "image/gif",
+                # still-image feature view: first frame's stats
+                **{
+                    k: gif[k]
+                    for k in (
+                        "width", "height", "channels", "bit_depth",
+                        "pixel_mean",
+                    )
+                },
+            }
     return {**_decode_stub(payload), "format": declared_format, **_IMG_NULLS}
 
 
@@ -410,6 +431,118 @@ def jpeg_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return docs.select("doc_id", text_col).mapInPandas(batches, schema)
+
+
+GIF_W, GIF_H = 16, 4  # single-frame fixture: 64 px, one per text byte
+GIF_FRAME_PX = 16  # animated fixture: 4 frames x 16 px
+GIF_N_FRAMES = 4
+
+
+def gif_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload BINARY, meta STRUCT): each doc's first 64 text
+    bytes (space-padded) as a REAL single-frame 16x4 GIF over the
+    grayscale palette (index i → rgb(i,i,i)) — real LZW, lossless, so
+    the decoded pixel_mean equals the text-byte mean exactly (no
+    constant-block trick needed; GIF is lossless over indices)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.gif import encode_gif
+
+    n_px = GIF_W * GIF_H
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("format", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                px = (text or "").encode("utf-8")[:n_px].ljust(n_px, b" ")
+                payloads.append(encode_gif([px], GIF_W, GIF_H))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"format": "image/gif", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(batches, schema)
+
+
+def gif_animated_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload BINARY): a REAL 4-frame animated GIF per doc —
+    frame f holds text bytes [16f, 16f+16) (space-padded) as a 16x1
+    strip. The multi-image-descriptor + per-frame LZW path of the
+    decoder, with text-derived per-frame means for the oracle."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.gif import encode_gif
+
+    total = GIF_FRAME_PX * GIF_N_FRAMES
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")[:total].ljust(total, b" ")
+                frames = [
+                    raw[f * GIF_FRAME_PX : (f + 1) * GIF_FRAME_PX]
+                    for f in range(GIF_N_FRAMES)
+                ]
+                payloads.append(encode_gif(frames, GIF_FRAME_PX, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def gif_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL frame sampling: decode every frame of each GIF payload and
+    emit (doc_id, frame_idx, frame_mean) — the actual decode behind the
+    row-fan-out shape sample_frames demonstrates with hashes. Arrow-
+    batched; undecodable payloads contribute no rows (degrade)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.gif import decode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, means = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_gif(payload)
+                if d is None:
+                    continue
+                for f, m in enumerate(d["frame_means"]):
+                    ids.append(int(doc_id))
+                    idxs.append(f)
+                    means.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches, "doc_id bigint, frame_idx int, frame_mean double"
+    )
 
 
 FRAME_SCHEMA = T.StructType(

@@ -137,6 +137,73 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_gif_decode",
+    oracle="""SELECT doc_id,
+       'image/gif' AS format,
+       16 AS width, 4 AS height, 3 AS channels, 8 AS bit_depth, 1 AS n_frames,
+       round((CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))) AS DOUBLE)
+              + 32 * (64 - least(length(text), 64))) / 64.0, 9) AS pixel_mean
+FROM documents""",
+)
+def mm_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF codec through the multimodal seam (operators/gif.py):
+    each doc's first 64 text bytes become a genuine single-frame 16x4
+    GIF (grayscale palette, real LZW), then extract_features detects
+    the GIF8 magic and runs the full decoder — container parse, color
+    table, variable-width LZW with clear-code resets. GIF is lossless
+    over indices and the gray palette maps index i to rgb(i,i,i), so
+    the RGB pixel_mean equals the byte mean exactly — a wrong LZW
+    width-growth rule or palette stride breaks the hash."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        extract_features,
+        gif_payload,
+    )
+
+    media = gif_payload(load_table(spark, sf_dir, "documents"))
+    f = extract_features(media)
+    return f.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "bit_depth",
+        F.lit(1).alias("n_frames"),
+        F.round("pixel_mean", 9).alias("pixel_mean"),
+    )
+
+
+@query(
+    "mm_gif_frames",
+    oracle="""SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+       round((coalesce(CAST(list_sum(list_transform(range(1, least(greatest(length(text) - f.f * 16, 0), 16) + 1),
+                  i -> CAST(ascii(substr(text, CAST(f.f * 16 + i AS INT), 1)) AS BIGINT))) AS DOUBLE), 0)
+              + 32 * (16 - least(greatest(length(text) - f.f * 16, 0), 16))) / 16.0, 9) AS frame_mean
+FROM documents, LATERAL unnest(range(0, 4)) AS f(f)""",
+)
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction from an animated format: each doc becomes a
+    genuine 4-frame animated GIF (frame f = text bytes [16f, 16f+16),
+    one image descriptor + LZW stream per frame), and gif_frame_stats
+    decodes EVERY frame, emitting per-frame pixel means — the actual
+    decode behind the frame-sampling row-fan-out that mm_frame_sample
+    demonstrates with hashes. Frames past the text's end are all
+    space-padding: the oracle coalesces DuckDB's NULL empty-list sum to
+    0 so the pad term alone carries those frames, matching the
+    encoder's space fill."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        gif_animated_payload,
+        gif_frame_stats,
+    )
+
+    media = gif_animated_payload(load_table(spark, sf_dir, "documents"))
+    return gif_frame_stats(media).select(
+        "doc_id", "frame_idx", F.round("frame_mean", 9).alias("frame_mean")
+    )
+
+
+@query(
     "mm_frame_sample",
     oracle="""WITH media AS (
   SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS payload

@@ -60,6 +60,8 @@ _PRIORITY = (
     "pipeline_rag_retrieve_encoder",  # NEW: mapInPandas model swap, same plan
     "text_bpe_merges_k64",  # NEW: 64-merge scaled BPE trainer, md5 gate
     "g_pagerank_hubsplit_k3",  # NEW: broadcast hub routing, same oracle
+    "mm_gif_decode",  # NEW: real GIF/LZW decoder through the seam
+    "mm_gif_frames",  # NEW: real per-frame decode of an animated format
     # --- code-changed in r07: re-certify
     # (shared polyhash moved to the one-pass char-array helper; bloom probe
     # column/quoting hardened; scatter join refactored through

@@ -222,6 +222,75 @@ def test_extract_features_dispatches_jpeg(spark):
     assert b["pixel_mean"] == (ord("x") + 7 * 32) / 8
 
 
+def test_gif_roundtrip_single_multi_interlaced():
+    """Lossless round-trip through the real LZW path: single frame,
+    4-frame animation, and interlaced row order."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    w, h = 16, 4
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h))
+
+    def gray_back(frame):
+        fw, fh, rgb = frame
+        return bytes(rgb[3 * i] for i in range(fw * fh))
+
+    d = decode_gif(encode_gif([px], w, h), keep_pixels=True)
+    assert (d["width"], d["height"], d["channels"], d["n_frames"]) == (
+        w, h, 3, 1,
+    )
+    assert gray_back(d["frames"][0]) == px
+    assert abs(d["pixel_mean"] - sum(px) / len(px)) < 1e-9
+
+    frames = [bytes((i + k * 17) % 256 for i in range(w * h)) for k in range(4)]
+    d2 = decode_gif(encode_gif(frames, w, h), keep_pixels=True)
+    assert d2["n_frames"] == 4
+    assert all(gray_back(d2["frames"][k]) == frames[k] for k in range(4))
+    assert d2["frame_means"] == [sum(f) / len(f) for f in frames]
+
+    d3 = decode_gif(encode_gif([px], w, h, interlace=True), keep_pixels=True)
+    assert gray_back(d3["frames"][0]) == px
+
+
+def test_gif_lzw_full_algorithm():
+    """The LZW machinery a real GIF exercises: code-width growth past
+    9/10/11 bits, dictionary reset at 4096, the KwKwK self-reference,
+    and small min_code_size streams."""
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.gif import (
+        lzw_compress,
+        lzw_decompress,
+    )
+
+    rng = random.Random(3)
+    big = bytes(rng.choice([0, 1, 2, 255]) for _ in range(50_000))
+    big += b"\x05" * 5_000  # long run → KwKwK chains
+    assert lzw_decompress(lzw_compress(big, 8), 8, len(big)) == big
+    small = bytes(rng.randrange(4) for _ in range(10_000))
+    assert lzw_decompress(lzw_compress(small, 2), 2, len(small)) == small
+    # truncation degrades to None, not an exception
+    comp = lzw_compress(big, 8)
+    assert lzw_decompress(comp[: len(comp) // 2], 8, len(big)) is None
+
+
+def test_extract_features_dispatches_gif(spark):
+    """Spark-seam dispatch on the GIF8 magic; undecodable GIF-prefixed
+    bytes degrade to the byte stub."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        extract_features,
+        gif_payload,
+    )
+
+    docs = spark.createDataFrame([(1, "Z" * 64)], "doc_id long, text string")
+    row = extract_features(gif_payload(docs)).collect()[0]
+    assert row["format"] == "image/gif"
+    assert (row["width"], row["height"], row["channels"]) == (16, 4, 3)
+    assert row["pixel_mean"] == float(ord("Z"))
+
+
 def test_bpe_learn_scaled_sample_gate_bounds_training_corpus(spark):
     """The md5 gate must train on the deterministic subset only: gating
     with hexmax '0' admits no document -> empty merge table; hexmax 'g'

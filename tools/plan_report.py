@@ -134,6 +134,8 @@ HEADLINE = [
     "pipeline_rag_retrieve_encoder",
     "text_bpe_merges_k64",
     "g_pagerank_hubsplit_k3",
+    "mm_gif_decode",
+    "mm_gif_frames",
 ]
 
 
