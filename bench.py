@@ -527,6 +527,7 @@ def main() -> int:
         "mm_jpeg_decode",
         "mm_gif_decode",
         "mm_gif_frames",
+        "mm_resize_jpeg",
     ):
         timed(q, run_query_rows(q))
 

@@ -638,14 +638,43 @@ def resize_payload(media: DataFrame, target: int = 32) -> DataFrame:
     return media.mapInPandas(batches, RESIZE_SCHEMA)
 
 
+def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Codec-dispatched full-pixel decode: (width, height, channels,
+    row-major samples) for PNG, baseline JPEG, or GIF (first frame),
+    None for anything else — the shared seam under every pixel-consuming
+    transform (resize, patchify, feature extractors)."""
+    d = decode_png(payload, keep_pixels=True)
+    if d is not None:
+        return d["width"], d["height"], d["channels"], d["pixels"]
+    if payload is not None and bytes(payload[:2]) == b"\xff\xd8":
+        from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
+            decode_jpeg,
+        )
+
+        j = decode_jpeg(payload, keep_pixels=True)
+        if j is not None:
+            return j["width"], j["height"], j["channels"], j["pixels"]
+    if payload is not None and bytes(payload[:4]) == b"GIF8":
+        from pagerank_giraph_vs_mapreduce_spark.operators.gif import (
+            decode_gif,
+        )
+
+        g = decode_gif(payload, keep_pixels=True)
+        if g is not None:
+            fw, fh, rgb = g["frames"][0]
+            return fw, fh, 3, rgb
+    return None
+
+
 def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor image resize through the multimodal seam — the
     transform step of an image-pretraining pipeline (decode → RESIZE →
     feature/patchify), Arrow-batched like the decode: each batch decodes
-    the PNG payload (full pixel buffer, not just stats) and samples
+    the payload to its full pixel buffer (PNG, baseline JPEG or GIF via
+    ``decode_pixels``) and samples
     src[(floor(y*H/out_h))*W + floor(x*W/out_w)] per output pixel and
     channel — pure index arithmetic, so text-derived fixtures keep an
-    exact SQL oracle. Rows whose payload the decoder cannot handle emit
+    exact SQL oracle. Rows whose payload no decoder handles emit
     NULL dims (degrade, not fail — same contract as extract_features).
     At 100 TB this is a narrow map over the media scan: no shuffle, and
     only the (much smaller) resized buffers leave the stage."""
@@ -665,12 +694,11 @@ def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_png(payload, keep_pixels=True)
+                d = decode_pixels(payload)
                 if d is None:
                     rows.append((int(doc_id), None, None, None, None))
                     continue
-                w, h, ch = d["width"], d["height"], d["channels"]
-                src = d["pixels"]
+                w, h, ch, src = d
                 out = bytearray()
                 for y in range(out_h):
                     sy = (y * h) // out_h

@@ -276,6 +276,47 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize_jpeg",
+    oracle="""WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 32), k ->
+           CASE WHEN ((k//8)//2)*4 + (k%8)//2 < length(text)
+                THEN substr(text, CAST(((k//8)//2)*4 + (k%8)//2 + 1 AS INT), 1)
+                ELSE ' ' END) AS chars
+  FROM documents)
+SELECT doc_id, 8 AS width, 4 AS height,
+       round(list_sum(list_transform(chars,
+             c -> CAST(ascii(c) AS BIGINT))) / 32.0, 9) AS resized_mean,
+       md5(array_to_string(chars, '')) AS resized_md5
+FROM px""",
+)
+def mm_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode→resize pipeline over a LOSSY codec: each doc's 32x16
+    block-constant baseline JPEG (8 constant 8x8 tiles, bit-exact
+    round-trip — see mm_jpeg_decode) is fully decoded
+    (decode_jpeg keep_pixels through decode_pixels' dispatch) and
+    nearest-neighbor downsampled to 8x4: out(x,y) = src(4x, 4y) lands
+    in tile (y//2, x//2), i.e. text byte (y//2)*4 + x//2. md5 over the
+    resized buffer pins every sample; the mean is an exact /32
+    fraction. Certifies the JPEG full-pixel path (not just stats) at
+    driver level."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        jpeg_payload,
+        resize_nearest,
+    )
+
+    media = jpeg_payload(load_table(spark, sf_dir, "documents"))
+    r = resize_nearest(media, 8, 4)
+    return r.select(
+        "doc_id",
+        "width",
+        "height",
+        F.round("resized_mean", 9).alias("resized_mean"),
+        "resized_md5",
+    )
+
+
+@query(
     "mm_thumbnail",
     oracle="""WITH media AS (
   SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS payload

@@ -62,6 +62,7 @@ _PRIORITY = (
     "g_pagerank_hubsplit_k3",  # NEW: broadcast hub routing, same oracle
     "mm_gif_decode",  # NEW: real GIF/LZW decoder through the seam
     "mm_gif_frames",  # NEW: real per-frame decode of an animated format
+    "mm_resize_jpeg",  # NEW: full-pixel JPEG decode -> nearest resize
     # --- code-changed in r07: re-certify
     # (shared polyhash moved to the one-pass char-array helper; bloom probe
     # column/quoting hardened; scatter join refactored through

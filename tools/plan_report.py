@@ -136,6 +136,7 @@ HEADLINE = [
     "g_pagerank_hubsplit_k3",
     "mm_gif_decode",
     "mm_gif_frames",
+    "mm_resize_jpeg",
 ]
 
 
