@@ -239,10 +239,12 @@ def compact_band_index(
     issued DURING the repoint can fail with TABLE_NOT_FOUND — Spark's
     session catalog has no atomic rename-over / CREATE OR REPLACE for
     external bucketed tables, so the gap cannot be closed here. Callers
-    must QUIESCE probes for the duration of the compaction (the
-    streaming dedup loop runs compactions between micro-batches for
-    exactly this reason); where a real metastore offers an atomic swap,
-    use it at this commit point instead."""
+    must QUIESCE probes for the duration of the compaction — e.g. run
+    it between micro-batches inside a foreachBatch handler, which is
+    single-threaded by construction (the pattern
+    streaming/incremental_dedup.py:compact_stream_index documents and
+    tests); where a real metastore offers an atomic swap, use it at
+    this commit point instead."""
     spark.catalog.refreshTable(table)
     location = _table_location(spark, table)
     m = _GEN_RE.match(location)

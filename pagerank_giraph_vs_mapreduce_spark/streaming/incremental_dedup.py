@@ -35,7 +35,9 @@ emits the LSH candidates, which is the recall-critical, index-bound part.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import re
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
@@ -142,6 +144,78 @@ def process_batch(
             )
     finally:
         banded.unpersist()
+
+
+_GEN_RE_STREAM = re.compile(r"^(.*?)__sgen(\d+)$")
+
+
+def compact_stream_index(
+    spark: SparkSession,
+    index_table: str,
+    upto_batch_id: int,
+    buckets: int = 16,
+) -> int:
+    """Maintenance compaction for the streaming band index: fold every
+    partition with ``batch_id < upto_batch_id`` into the BASE partition
+    (``batch_id = -1``), keeping newer partitions as-is. The index
+    accretes one partition per micro-batch; after B batches a probe
+    opens B partition directories — correctness is unaffected, but the
+    listing/open overhead accretes, so this runs on the usual
+    maintenance cadence. Returns the distinct (id, band, bkey) row
+    count (the docs×bands invariant for callers to assert).
+
+    Probe semantics are preserved by construction: the probe filters
+    ``batch_id < current`` and -1 compares below every real id, so the
+    folded base is always visible to later batches. Replay safety: pass
+    the newest CHECKPOINT-COMMITTED batch id (exclusive) — only the
+    latest uncommitted batch can ever replay under foreachBatch, and
+    its partition is untouched, so a replayed overwrite still lands on
+    its own partition. ``distinct`` on fold also makes the compaction
+    itself idempotent under re-runs over a crashed previous attempt.
+
+    Same failure-atomic generation swap as operators/dedup.py:
+    compact_band_index (write a fresh ``<base>__sgen<k+1>`` location
+    under a scratch name, repoint the catalog, then delete the old
+    generation), with the same quiesce contract: run it where no probe
+    is in flight — e.g. inside the foreachBatch handler between
+    batches, which is single-threaded by construction."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        _delete_path,
+        _table_location,
+    )
+
+    spark.catalog.refreshTable(index_table)
+    location = _table_location(spark, index_table)
+    m = _GEN_RE_STREAM.match(location)
+    base, gen = (m.group(1), int(m.group(2))) if m else (location, 1)
+    new_location = f"{base}__sgen{gen + 1}"
+    scratch = f"{index_table}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {scratch}")
+    _delete_path(spark, new_location)
+    rows = spark.table(index_table)
+    folded = (
+        rows.filter(F.col("batch_id") < upto_batch_id)
+        .select("id", "band", "bkey")
+        .distinct()
+        .withColumn("batch_id", F.lit(-1))
+    )
+    keep = rows.filter(F.col("batch_id") >= upto_batch_id)
+    merged = folded.unionByName(keep)
+    n = merged.count()
+    (
+        merged.write.partitionBy("batch_id")
+        .bucketBy(buckets, "band", "bkey")
+        .sortBy("band", "bkey")
+        .option("path", new_location)
+        .mode("errorifexists")
+        .format("parquet")
+        .saveAsTable(scratch)
+    )
+    spark.sql(f"DROP TABLE {index_table}")
+    spark.sql(f"ALTER TABLE {scratch} RENAME TO {index_table}")
+    spark.catalog.refreshTable(index_table)
+    _delete_path(spark, location)
+    return n
 
 
 def run_streaming_incremental_dedup(

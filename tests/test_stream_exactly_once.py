@@ -157,3 +157,83 @@ def test_stream_exactly_once_survives_mid_query_kill(spark, tmp_path):
     finally:
         for t in ("xo_index", "xo_dups"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_index_compaction_folds_batches_and_keeps_probes(
+    spark, tmp_path
+):
+    """compact_stream_index folds committed batch partitions into the
+    base (batch_id=-1) partition via a generation swap: the docs×bands
+    invariant holds, later batches still flag dups against the folded
+    base, and a replay of a post-compaction batch stays idempotent."""
+    from pagerank_giraph_vs_mapreduce_spark.streaming.incremental_dedup import (
+        compact_stream_index,
+        process_batch,
+        run_streaming_incremental_dedup,
+    )
+
+    src = tmp_path / "shards"
+    _write_shard(spark, [(1, BASE), (2, OTHER)], src, "s1", 1, tmp_path)
+    _write_shard(spark, [(10, BASE), (11, "unrelated fresh words")], src, "s2", 2, tmp_path)
+    _write_shard(spark, [(20, BASE), (21, OTHER + " indeed")], src, "s3", 3, tmp_path)
+
+    for t in ("ci_index", "ci_dups"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    batch_ids = run_streaming_incremental_dedup(
+        stream,
+        index_table="ci_index",
+        index_path=str(tmp_path / "ci_idx"),
+        dup_table="ci_dups",
+        dup_path=str(tmp_path / "ci_dups"),
+        buckets=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        n_docs = 6
+        assert spark.table("ci_index").count() == n_docs * 4
+        # fold EVERY committed partition (all checkpoint-committed here)
+        upto = max(batch_ids) + 1
+        n = compact_stream_index(spark, "ci_index", upto, buckets=4)
+        assert n == n_docs * 4  # invariant preserved
+        parts = {
+            r["batch_id"]
+            for r in spark.table("ci_index").select("batch_id").distinct().collect()
+        }
+        assert parts == {-1}  # everything folded into the base
+        # compaction is idempotent (re-run over the folded state)
+        assert compact_stream_index(spark, "ci_index", upto, buckets=4) == n
+
+        # a NEW batch still probes the folded base and flags its dups
+        s4 = spark.createDataFrame(
+            [(30, BASE), (31, "yet another novel doc")],
+            "doc_id bigint, text string",
+        )
+        new_id = upto + 7
+        for _ in range(2):  # and its replay is idempotent
+            process_batch(
+                s4,
+                new_id,
+                index_table="ci_index",
+                index_path=str(tmp_path / "ci_idx"),
+                dup_table="ci_dups",
+                dup_path=str(tmp_path / "ci_dups"),
+                buckets=4,
+            )
+        dups = [
+            (r["id_new"], r["id_old"])
+            for r in spark.table("ci_dups").filter(
+                f"batch_id = {new_id}"
+            ).collect()
+        ]
+        assert len(dups) == len(set(dups))
+        assert {(30, 1), (30, 10), (30, 20)} <= set(dups)
+        assert not any(i == 31 for i, _ in dups)
+        assert spark.table("ci_index").count() == (n_docs + 2) * 4
+    finally:
+        for t in ("ci_index", "ci_dups"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
