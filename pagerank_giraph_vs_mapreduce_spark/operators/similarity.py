@@ -783,3 +783,82 @@ def append_ivf_index(
         .saveAsTable(table)
     )
     emb.sparkSession.catalog.refreshTable(table)
+
+
+def delete_from_ivf_index(
+    spark: SparkSession,
+    table: str,
+    deleted_ids: DataFrame,
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    cells: list[int] | None = None,
+) -> dict:
+    """Remove vectors from a durable IVF index by id — the GDPR-delete /
+    retention half of a living ANN index, done CELL-PRUNED: only the
+    partitions that actually contain deleted ids are rewritten; every
+    other cell's files are untouched (pinned by tests/test_ivf_index.py
+    via file-mtime equality on an unaffected cell).
+
+    Steps: (1) locate affected cells — a column-pruned (id, cell) scan
+    semi-joined to the broadcast delete set, collecting the ≤|cells|
+    affected cell ids (pass ``cells`` to skip this scan when the caller
+    already knows the id→cell mapping, e.g. from an upsert log);
+    (2) rewrite ONLY those partitions with an anti-join via dynamic
+    partition overwrite; (3) cells left EMPTY by the delete are cleared
+    by removing their directories (dynamic overwrite cannot touch a
+    partition absent from its input — the classic emptied-partition
+    trap). Re-running the same delete is a no-op (idempotent), so a
+    crash mid-rewrite is repaired by retrying.
+
+    Returns {"n_deleted", "cells_rewritten", "cells_emptied"}."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        _delete_path,
+        _table_location,
+    )
+
+    spark.catalog.refreshTable(table)
+    idx = spark.table(table)
+    ids = deleted_ids.select(F.col(id_col)).distinct()
+    if cells is None:
+        cells = [
+            r[centroid_id]
+            for r in idx.join(F.broadcast(ids), id_col, "left_semi")
+            .select(centroid_id)
+            .distinct()
+            .collect()
+        ]
+    if not cells:
+        return {"n_deleted": 0, "cells_rewritten": 0, "cells_emptied": 0}
+    affected = idx.filter(F.col(centroid_id).isin(cells))
+    n_before = affected.count()
+    # eager localCheckpoint: materialize the surviving rows BEFORE the
+    # overwrite so the write's plan is a LogicalRDD, not a read of the
+    # very partitions it replaces (Spark rejects overwrite-what-you-read)
+    surviving = affected.join(F.broadcast(ids), id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_surviving = surviving.count()
+    kept_cells = {
+        r[centroid_id]
+        for r in surviving.select(centroid_id).distinct().collect()
+    }
+    if kept_cells:
+        pom_key = "spark.sql.sources.partitionOverwriteMode"
+        prior = spark.conf.get(pom_key)
+        spark.conf.set(pom_key, "dynamic")
+        try:
+            surviving.write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set(pom_key, prior)
+        spark.catalog.refreshTable(table)
+    location = _table_location(spark, table)
+    emptied = [c for c in cells if c not in kept_cells]
+    for c in emptied:
+        _delete_path(spark, f"{location}/{centroid_id}={c}")
+    if emptied:
+        spark.catalog.refreshTable(table)
+    return {
+        "n_deleted": int(n_before - n_surviving),
+        "cells_rewritten": len(kept_cells),
+        "cells_emptied": len(emptied),
+    }

@@ -108,6 +108,81 @@ def test_probe_prunes_to_nprobe_partitions(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_delete_rewrites_only_affected_cells(spark, tmp_path):
+    """GDPR-delete shape: removing ids rewrites ONLY the cells that held
+    them (file mtimes of an untouched cell are identical), clears cells
+    left empty, keeps probes exact, and re-running is a no-op."""
+    import glob
+    import os
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        delete_from_ivf_index,
+    )
+
+    emb, cents = _fixture(spark)
+    table = "ivf_idx_delete"
+    path = tmp_path / "ivf"
+    write_ivf_index(emb, cents, table, str(path))
+    try:
+        assign = {
+            r["vec_id"]: r["centroid_id"] for r in spark.table(table).collect()
+        }
+        by_cell: dict[int, list[int]] = {}
+        for vid, c in assign.items():
+            by_cell.setdefault(c, []).append(vid)
+        cells_sorted = sorted(by_cell, key=lambda c: len(by_cell[c]))
+        emptied_cell = cells_sorted[0]  # delete this cell ENTIRELY
+        partial_cell = cells_sorted[-1]  # and 2 ids from the biggest
+        untouched_cell = next(
+            c for c in cells_sorted if c not in (emptied_cell, partial_cell)
+        )
+        victims = by_cell[emptied_cell] + by_cell[partial_cell][:2]
+
+        def cell_files(c):
+            return {
+                f: os.path.getmtime(f)
+                for f in glob.glob(str(path / f"centroid_id={c}" / "*"))
+            }
+
+        before_untouched = cell_files(untouched_cell)
+        ids = spark.createDataFrame([(v,) for v in victims], "vec_id bigint")
+        stats = delete_from_ivf_index(spark, table, ids)
+        assert stats["n_deleted"] == len(victims)
+        assert stats["cells_emptied"] == 1
+        assert stats["cells_rewritten"] == 1
+        # untouched cell: byte-identical files, not rewritten
+        assert cell_files(untouched_cell) == before_untouched
+        # emptied cell directory is gone
+        assert not os.path.isdir(path / f"centroid_id={emptied_cell}")
+        # table state: exactly the survivors
+        left = {r["vec_id"] for r in spark.table(table).collect()}
+        assert left == set(assign) - set(victims)
+        # probes: deleted ids never surface; results match an in-plan IVF
+        # over the surviving embeddings
+        q = emb.filter(F.col("vec_id") == 5)
+        got = [
+            (r["vec_id"], round(r["cos_sim"], 6))
+            for r in probe_ivf_index(spark, table, q, cents, k=5, nprobe=6).collect()
+        ]
+        surviving_emb = emb.filter(~F.col("vec_id").isin(victims))
+        want = [
+            (r["vec_id"], round(r["cos_sim"], 6))
+            for r in ivf_cosine_topk(
+                surviving_emb, q, cents, k=5, nprobe=6
+            ).collect()
+        ]
+        assert got == want
+        assert not any(v in {g for g, _ in got} for v in victims)
+        # idempotent: repeating the delete changes nothing
+        stats2 = delete_from_ivf_index(spark, table, ids)
+        assert stats2 == {
+            "n_deleted": 0, "cells_rewritten": 0, "cells_emptied": 0,
+        }
+        assert {r["vec_id"] for r in spark.table(table).collect()} == left
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_append_extends_probe_results(spark, tmp_path):
     from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
         append_ivf_index,
