@@ -213,7 +213,10 @@ _GEN_RE = re.compile(r"^(.*?)__gen(\d+)$")
 
 
 def compact_band_index(
-    spark: SparkSession, table: str, buckets: int = 16
+    spark: SparkSession,
+    table: str,
+    buckets: int = 16,
+    tombstones: DataFrame | None = None,
 ) -> int:
     """Maintenance compaction for an appended band index: each
     ``append_band_index`` adds one file per bucket, so after B batches a
@@ -244,7 +247,17 @@ def compact_band_index(
     single-threaded by construction (the pattern
     streaming/incremental_dedup.py:compact_stream_index documents and
     tests); where a real metastore offers an atomic swap, use it at
-    this commit point instead."""
+    this commit point instead.
+
+    ``tombstones`` (one ``id`` column) physically purges those
+    documents' band rows during the rewrite — the second half of the
+    tombstone delete protocol: ``probe_band_index(tombstones=...)``
+    hides deleted docs immediately (a broadcast anti-join, no index
+    write at all), and the next scheduled compaction makes the delete
+    durable for free, since it was rewriting every bucket anyway. The
+    bucketed index has no per-document partitioning to prune (its keys
+    are (band, bkey)), so eager physical deletes would always be a full
+    rewrite — which is exactly what compaction already is."""
     spark.catalog.refreshTable(table)
     location = _table_location(spark, table)
     m = _GEN_RE.match(location)
@@ -268,6 +281,12 @@ def compact_band_index(
     spark.conf.set(abs_key, "false")
     try:
         rows = spark.table(table)
+        if tombstones is not None:
+            rows = rows.join(
+                F.broadcast(tombstones.select("id").distinct()),
+                "id",
+                "left_anti",
+            )
         n = rows.count()
         (
             rows.write.bucketBy(buckets, "band", "bkey")
@@ -288,20 +307,37 @@ def compact_band_index(
 
 
 def probe_band_index(
-    spark: SparkSession, table: str, batch_banded: DataFrame
+    spark: SparkSession,
+    table: str,
+    batch_banded: DataFrame,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate (id_new, id_old) pairs from probing a durable band index
     written by ``write_band_index`` with a new batch's band rows. The
     equi-join keys equal the index's bucket columns, so the index side is
     scanned in place (no Exchange below its FileScan — pinned by
     tests/test_plan_shapes.py:test_band_index_probe_does_not_shuffle_index);
-    only the batch side is shuffled into the index's bucketing."""
+    only the batch side is shuffled into the index's bucketing.
+
+    ``tombstones`` (one ``id`` column — deleted/retired documents)
+    hides those ids from the probe with a broadcast anti-join: the
+    LOGICAL half of the delete protocol, effective immediately with no
+    index write; ``compact_band_index(tombstones=...)`` purges them
+    physically on the next maintenance pass."""
     # see append_band_index: appends from another session (streaming
     # foreachBatch clones) leave this session's cached file listing stale
     spark.catalog.refreshTable(table)
     idx = spark.table(table).select(
         F.col("id").alias("id_old"), "band", "bkey"
     )
+    if tombstones is not None:
+        idx = idx.join(
+            F.broadcast(
+                tombstones.select(F.col("id").alias("id_old")).distinct()
+            ),
+            "id_old",
+            "left_anti",
+        )
     return (
         batch_banded.select(F.col("id").alias("id_new"), "band", "bkey")
         .join(idx, ["band", "bkey"])

@@ -291,6 +291,69 @@ def test_extract_features_dispatches_gif(spark):
     assert row["pixel_mean"] == float(ord("Z"))
 
 
+def test_band_index_tombstone_delete_protocol(spark, tmp_path):
+    """Document deletes on the dedup index: tombstoned ids vanish from
+    probes IMMEDIATELY (broadcast anti-join, no index write) and are
+    purged PHYSICALLY by the next compaction — and the tombstoned probe
+    keeps the exchange-free index scan."""
+    import re
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        banded_keys,
+        compact_band_index,
+        minhash_signatures,
+        probe_band_index,
+        write_band_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog by the river"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "completely different words here")],
+        "doc_id bigint, text string",
+    )
+    banded = banded_keys(
+        minhash_signatures(docs, "doc_id", "text", 24, 5), 4, 6
+    )
+    table = "tomb_idx"
+    write_band_index(banded, table, str(tmp_path / "tomb"), buckets=4)
+    try:
+        batch = spark.createDataFrame(
+            [(10, base + " y")], "doc_id bigint, text string"
+        )
+        bb = banded_keys(
+            minhash_signatures(batch, "doc_id", "text", 24, 5), 4, 6
+        )
+        full = {
+            (r["id_new"], r["id_old"])
+            for r in probe_band_index(spark, table, bb).collect()
+        }
+        assert {(10, 1), (10, 2)} <= full
+        # logical delete: doc 1 tombstoned -> gone from this probe
+        tomb = spark.createDataFrame([(1,)], "id bigint")
+        probed = probe_band_index(spark, table, bb, tombstones=tomb)
+        probed_rows = {(r["id_new"], r["id_old"]) for r in probed.collect()}
+        assert probed_rows == full - {(10, 1)}
+        # plan shape: still no exchange below the index FileScan
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan  # the anti-join rides a broadcast
+        n_idx_exchanges = len(
+            re.findall(r"Exchange hashpartitioning\(band", plan)
+        )
+        assert n_idx_exchanges <= 1, plan  # only the batch side shuffles
+        # physical purge at compaction: row count drops by doc 1's bands
+        n = compact_band_index(spark, table, buckets=4, tombstones=tomb)
+        assert n == 2 * 4  # 2 surviving docs x 4 bands
+        assert spark.table(table).filter("id = 1").count() == 0
+        # post-purge probe without tombstones agrees with the logical view
+        again = {
+            (r["id_new"], r["id_old"])
+            for r in probe_band_index(spark, table, bb).collect()
+        }
+        assert again == probed_rows
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_bpe_learn_scaled_sample_gate_bounds_training_corpus(spark):
     """The md5 gate must train on the deterministic subset only: gating
     with hexmax '0' admits no document -> empty merge table; hexmax 'g'
