@@ -335,6 +335,37 @@ def main() -> int:
         # auditable rather than surprising.
         extras["pagerank_s3conv_final_avg_diff"] = res.history[-1].avg_diff
 
+    def run_pagerank_s1_srcskew() -> None:
+        """Hub stress at reference S1 scale: 875k V / 5.1M E with ONE
+        source holding 30% of all edges (the README.md:417-418 pathology
+        at the size where a single task owning the hub partition is ~30%
+        of the scatter). Plain scatter vs hub-split broadcast routing
+        (scatter_gather; AQE cannot split the cached links join —
+        tests/test_skew_scatter.py), 3 forced supersteps each."""
+        from pyspark.sql import functions as F
+
+        n_v, n_e = 875_713, 5_105_039
+        e = spark.range(n_e)
+        edges = e.select(
+            F.when(F.col("id") % 10 < 3, F.lit(0))
+            .otherwise(F.abs(F.xxhash64(F.col("id"), F.lit(11))) % n_v)
+            .alias("src"),
+            (F.abs(F.xxhash64(F.col("id"), F.lit(12))) % n_v).alias("dst"),
+        )
+        res = pagerank(edges, max_iter=3, tol=-1.0, min_iter=0)
+        extras["pagerank_s1skew_sec_per_iter"] = round(
+            sum(h.seconds for h in res.history) / len(res.history), 3
+        )
+        res2 = pagerank(
+            edges, max_iter=3, tol=-1.0, min_iter=0,
+            hub_split_outdeg=100_000,
+        )
+        extras["pagerank_s1skew_split_sec_per_iter"] = round(
+            sum(h.seconds for h in res2.history) / len(res2.history), 3
+        )
+
+    timed("pagerank_s1_srcskew", run_pagerank_s1_srcskew)
+
     def run_triangle_skewed() -> None:
         """Degree-oriented triangle counting on a 100k-V/1M-E power-law
         graph (top-hub in-degree ~10k): the id-oriented plan would key
