@@ -559,6 +559,7 @@ def main() -> int:
         "mm_gif_decode",
         "mm_gif_frames",
         "mm_resize_jpeg",
+        "pipeline_rag_mmr",
     ):
         timed(q, run_query_rows(q))
 

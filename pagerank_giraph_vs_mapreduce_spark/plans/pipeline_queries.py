@@ -740,6 +740,12 @@ def pipeline_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is unchanged. Integer dot/norm sums keep both engines
     bit-identical; division happens once in doubles, rounded to 6dp
     before ordering."""
+    return _rag_score_topk(_rag_embedded(spark, sf_dir))
+
+
+def _rag_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, vec array<long>): the chunk → in-row hashed
+    embedding stage shared by retrieval and MMR rerank."""
     from pagerank_giraph_vs_mapreduce_spark.operators.text import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")
@@ -763,8 +769,7 @@ def pipeline_rag_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(RAG_DIMS - 1)),
         lambda j: F.size(F.filter(dims_arr, lambda d: d == j)).cast("long"),
     )
-    embedded = chunks.select("doc_id", "chunk_id", vec.alias("vec"))
-    return _rag_score_topk(embedded)
+    return chunks.select("doc_id", "chunk_id", vec.alias("vec"))
 
 
 def _rag_score_topk(embedded: DataFrame) -> DataFrame:
@@ -801,6 +806,212 @@ def _rag_score_topk(embedded: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), "doc_id", "chunk_id")
         .limit(RAG_TOPK)
+    )
+
+
+MMR_POOL = 10
+MMR_K = 3
+MMR_LAM = 0.7
+MMR_MU = 0.3  # NOT 1-MMR_LAM: Python's 1-0.7 is 0.30000000000000004
+
+
+@query(
+    "pipeline_rag_mmr",
+    oracle=f"""WITH base AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 50) / {_RAG_STRIDE}.0) AS INT)) AS n_chunks
+  FROM documents),
+chunks AS (
+  SELECT doc_id, CAST(r.i AS INT) AS chunk_id,
+         substr(text, CAST(r.i * {_RAG_STRIDE} + 1 AS INT), 200) AS chunk
+  FROM base, LATERAL unnest(range(0, n_chunks)) AS r(i)),
+toks AS (
+  SELECT doc_id, chunk_id, t.tok
+  FROM chunks, LATERAL unnest(string_split_regex(lower(chunk), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != ''),
+cvec AS MATERIALIZED (
+  SELECT doc_id, chunk_id, {_RAG_POLYHASH.format(dims=RAG_DIMS)} AS dim,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3),
+qvec AS (SELECT dim, cnt FROM cvec WHERE doc_id = 0 AND chunk_id = 0),
+dots AS (
+  SELECT c.doc_id, c.chunk_id, sum(c.cnt * q.cnt) AS dot
+  FROM cvec c JOIN qvec q USING (dim) GROUP BY 1, 2),
+norms AS MATERIALIZED (
+  SELECT doc_id, chunk_id, sqrt(sum(cnt * cnt)) AS nrm
+  FROM cvec GROUP BY 1, 2),
+qn AS (SELECT sqrt(sum(cnt * cnt)) AS qnrm FROM qvec),
+rel AS (
+  SELECT d.doc_id, d.chunk_id,
+         round(CAST(d.dot AS DOUBLE) / (n.nrm * qn.qnrm), 6) AS rel
+  FROM dots d JOIN norms n USING (doc_id, chunk_id), qn
+  WHERE n.nrm > 0),
+pool AS MATERIALIZED (
+  SELECT * FROM rel ORDER BY rel DESC, doc_id, chunk_id LIMIT {MMR_POOL}),
+pdots AS (
+  SELECT a.doc_id AS a_doc, a.chunk_id AS a_chunk,
+         b.doc_id AS b_doc, b.chunk_id AS b_chunk,
+         sum(ca.cnt * cb.cnt) AS dot
+  FROM pool a JOIN pool b
+    ON NOT (a.doc_id = b.doc_id AND a.chunk_id = b.chunk_id)
+  JOIN cvec ca ON ca.doc_id = a.doc_id AND ca.chunk_id = a.chunk_id
+  JOIN cvec cb ON cb.doc_id = b.doc_id AND cb.chunk_id = b.chunk_id
+             AND cb.dim = ca.dim
+  GROUP BY 1, 2, 3, 4),
+psim AS MATERIALIZED (
+  SELECT p.a_doc, p.a_chunk, p.b_doc, p.b_chunk,
+         round(CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS sim
+  FROM pdots p
+  JOIN norms na ON na.doc_id = p.a_doc AND na.chunk_id = p.a_chunk
+  JOIN norms nb ON nb.doc_id = p.b_doc AND nb.chunk_id = p.b_chunk),
+s1 AS MATERIALIZED (
+  SELECT doc_id, chunk_id, rel, rel AS mmr FROM pool
+  ORDER BY rel DESC, doc_id, chunk_id LIMIT 1),
+c2 AS (
+  SELECT p.doc_id, p.chunk_id, p.rel,
+         CAST({MMR_LAM} AS DOUBLE) * p.rel
+         - CAST({MMR_MU} AS DOUBLE) * max(coalesce(ps.sim, 0)) AS mmr
+  FROM pool p
+  JOIN s1 ON NOT (p.doc_id = s1.doc_id AND p.chunk_id = s1.chunk_id)
+  LEFT JOIN psim ps ON ps.a_doc = p.doc_id AND ps.a_chunk = p.chunk_id
+                   AND ps.b_doc = s1.doc_id AND ps.b_chunk = s1.chunk_id
+  GROUP BY 1, 2, 3),
+s2 AS MATERIALIZED (
+  SELECT doc_id, chunk_id, rel, mmr FROM c2
+  ORDER BY mmr DESC, doc_id, chunk_id LIMIT 1),
+c3 AS (
+  SELECT p.doc_id, p.chunk_id, p.rel,
+         CAST({MMR_LAM} AS DOUBLE) * p.rel
+         - CAST({MMR_MU} AS DOUBLE) * max(coalesce(ps.sim, 0)) AS mmr
+  FROM pool p
+  JOIN s1 ON NOT (p.doc_id = s1.doc_id AND p.chunk_id = s1.chunk_id)
+  JOIN s2 ON NOT (p.doc_id = s2.doc_id AND p.chunk_id = s2.chunk_id)
+  LEFT JOIN psim ps ON ps.a_doc = p.doc_id AND ps.a_chunk = p.chunk_id
+                   AND ((ps.b_doc = s1.doc_id AND ps.b_chunk = s1.chunk_id)
+                     OR (ps.b_doc = s2.doc_id AND ps.b_chunk = s2.chunk_id))
+  GROUP BY 1, 2, 3),
+s3 AS (
+  SELECT doc_id, chunk_id, rel, mmr FROM c3
+  ORDER BY mmr DESC, doc_id, chunk_id LIMIT 1),
+ranked AS (
+  SELECT 1 AS mmr_rank, * FROM s1
+  UNION ALL SELECT 2, * FROM s2
+  UNION ALL SELECT 3, * FROM s3)
+SELECT doc_id, chunk_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       round(rel, 6) AS rel, round(mmr, 6) AS mmr_score
+FROM ranked""",
+)
+def pipeline_rag_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification on top of RAG retrieval (Carbonell &
+    Goldstein 1998): from the top-{MMR_POOL} relevance pool, greedily
+    pick {MMR_K} results maximizing
+    ``λ·rel − (1−λ)·max_sim_to_already_selected`` (λ=0.7) — the rerank
+    that keeps a context window from filling with near-copies of the
+    same chunk (which a near-dup-heavy corpus otherwise guarantees).
+
+    Scale shape: the corpus-sized work is exactly the retrieval plan
+    (zero shuffles, top-pool TakeOrderedAndProject); the greedy loop
+    then runs over the POOL (≤{MMR_POOL} rows) as {MMR_K} unrolled lazy
+    rounds of broadcast crossJoins — pool-sized, never corpus-sized, the
+    same bounded-rerank discipline production retrieval uses. All
+    similarities are integer dot/norm cosines rounded to 6dp before the
+    λ-mix, so both engines pick identical argmaxes (ties broken by
+    doc_id, chunk_id)."""
+    emb = _rag_embedded(spark, sf_dir)
+
+    def _sq(v):
+        return F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def _cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.round(
+            dot.cast("double") / (F.sqrt(_sq(a)) * F.sqrt(_sq(b))), 6
+        )
+
+    qvec = emb.filter(
+        (F.col("doc_id") == 0) & (F.col("chunk_id") == 0)
+    ).select(F.col("vec").alias("qvec"))
+    pool = (
+        emb.crossJoin(F.broadcast(qvec))
+        .filter(_sq(F.col("vec")) > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "vec",
+            _cos(F.col("vec"), F.col("qvec")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "doc_id", "chunk_id")
+        .limit(MMR_POOL)
+        .persist()
+    )
+
+    sel = pool.orderBy(F.desc("rel"), "doc_id", "chunk_id").limit(1)
+    out = sel.select(
+        "doc_id",
+        "chunk_id",
+        F.lit(1).cast("int").alias("mmr_rank"),
+        "rel",
+        F.col("rel").alias("mmr"),
+    )
+    selected = sel
+    for r in range(2, MMR_K + 1):
+        others = pool.join(
+            selected.select("doc_id", "chunk_id"),
+            ["doc_id", "chunk_id"],
+            "left_anti",
+        )
+        sv = selected.select(F.col("vec").alias("svec"))
+        cand = (
+            others.crossJoin(F.broadcast(sv))
+            .select(
+                "doc_id",
+                "chunk_id",
+                "rel",
+                _cos(F.col("vec"), F.col("svec")).alias("s"),
+            )
+            .groupBy("doc_id", "chunk_id")
+            .agg(F.first("rel").alias("rel"), F.max("s").alias("maxsim"))
+            .select(
+                "doc_id",
+                "chunk_id",
+                "rel",
+                (
+                    F.lit(MMR_LAM) * F.col("rel")
+                    - F.lit(MMR_MU) * F.col("maxsim")
+                ).alias("mmr"),
+            )
+        )
+        pick = cand.orderBy(F.desc("mmr"), "doc_id", "chunk_id").limit(1)
+        out = out.unionAll(
+            pick.select(
+                "doc_id",
+                "chunk_id",
+                F.lit(r).cast("int").alias("mmr_rank"),
+                "rel",
+                "mmr",
+            )
+        )
+        selected = selected.unionAll(
+            pool.join(
+                pick.select("doc_id", "chunk_id"),
+                ["doc_id", "chunk_id"],
+                "left_semi",
+            )
+        )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "mmr_rank",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr", 6).alias("mmr_score"),
     )
 
 

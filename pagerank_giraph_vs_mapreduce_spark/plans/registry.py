@@ -63,6 +63,7 @@ _PRIORITY = (
     "mm_gif_decode",  # NEW: real GIF/LZW decoder through the seam
     "mm_gif_frames",  # NEW: real per-frame decode of an animated format
     "mm_resize_jpeg",  # NEW: full-pixel JPEG decode -> nearest resize
+    "pipeline_rag_mmr",  # NEW: MMR diversity rerank over the top-pool
     # --- code-changed in r07: re-certify
     # (shared polyhash moved to the one-pass char-array helper; bloom probe
     # column/quoting hardened; scatter join refactored through

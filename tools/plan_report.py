@@ -137,6 +137,7 @@ HEADLINE = [
     "mm_gif_decode",
     "mm_gif_frames",
     "mm_resize_jpeg",
+    "pipeline_rag_mmr",
 ]
 
 
