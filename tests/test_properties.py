@@ -277,3 +277,71 @@ def test_star_candidates_preserve_components(spark, base_text, n_copies):
 
     nodes = {i for p in full for i in p} | {i for p in star for i in p}
     assert comps(star, nodes) == comps(full, nodes)
+
+
+@given(
+    bw=st.integers(min_value=1, max_value=5),
+    bh=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_block_constant_roundtrip_property(bw, bh, data):
+    """ANY block-constant grayscale image (the mm_jpeg_decode fixture
+    class) round-trips the baseline encoder/decoder bit-exactly —
+    arbitrary dims in 8px blocks, arbitrary 0-255 block values."""
+    import numpy as np
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    vals = data.draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=bw * bh,
+            max_size=bw * bh,
+        )
+    )
+    w, h = bw * 8, bh * 8
+    px = np.zeros((h, w), dtype=np.uint8)
+    for i, v in enumerate(vals):
+        by, bx = divmod(i, bw)
+        px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
+    d = decode_jpeg(encode_jpeg_gray(px.tobytes(), w, h), keep_pixels=True)
+    assert d is not None
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w)
+    assert np.array_equal(got, px)
+    assert d["pixel_mean"] == sum(vals) / len(vals)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=12),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=25, deadline=None)
+def test_gif_roundtrip_property(w, h, interlace, data):
+    """ANY indexed image (arbitrary dims, arbitrary indices, interlaced
+    or not) round-trips the GIF encoder/decoder losslessly — the LZW
+    dictionary dynamics and interlace reorder hold for all inputs, not
+    just the fixture shapes."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+
+    idx = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    d = decode_gif(encode_gif([idx], w, h, interlace=interlace), keep_pixels=True)
+    assert d is not None and (d["width"], d["height"]) == (w, h)
+    fw, fh, rgb = d["frames"][0]
+    assert bytes(rgb[3 * i] for i in range(w * h)) == idx  # gray palette
