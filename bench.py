@@ -560,6 +560,8 @@ def main() -> int:
         "mm_gif_frames",
         "mm_resize_jpeg",
         "pipeline_rag_mmr",
+        "source_tar_members",
+        "source_warc_records",
     ):
         timed(q, run_query_rows(q))
 

@@ -64,6 +64,8 @@ _PRIORITY = (
     "mm_gif_frames",  # NEW: real per-frame decode of an animated format
     "mm_resize_jpeg",  # NEW: full-pixel JPEG decode -> nearest resize
     "pipeline_rag_mmr",  # NEW: MMR diversity rerank over the top-pool
+    "source_tar_members",  # NEW: real tar container expansion
+    "source_warc_records",  # NEW: Common Crawl WARC parsing (gzip members)
     # --- code-changed in r07: re-certify
     # (shared polyhash moved to the one-pass char-array helper; bloom probe
     # column/quoting hardened; scatter join refactored through

@@ -510,3 +510,62 @@ def stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text").cast("bigint")).alias("sum_len"),
         )
     )
+
+
+@query(
+    "source_tar_members",
+    oracle="""SELECT 'corpus/doc_' || doc_id || '.tar' AS path,
+       'doc_' || doc_id || '/text.txt' AS member,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS member_md5
+FROM documents
+UNION ALL
+SELECT 'corpus/doc_' || doc_id || '.tar' AS path,
+       'doc_' || doc_id || '/meta.json' AS member,
+       CAST(strlen('{"doc_id": ' || doc_id || '}') AS BIGINT) AS n_bytes,
+       md5('{"doc_id": ' || doc_id || '}') AS member_md5
+FROM documents""",
+)
+def source_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-container ingestion (sources/archives.py:tar_members): a
+    REAL tar per document (text member + JSON meta member, built by the
+    stdlib writer with pinned mtimes) expanded back through the stdlib
+    reader behind an Arrow-batched map — the curated-dump ingest shape.
+    Member names, byte counts and md5s all derive from the documents
+    table, so the whole container round-trip has an exact SQL oracle."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.archives import (
+        tar_members,
+        tar_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tar_members(tar_payload(docs))
+
+
+@query(
+    "source_warc_records",
+    oracle="""SELECT printf('crawl/part-%05d.warc.gz', CAST(doc_id % 8 AS INT)) AS path,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+            AS INT) AS record_idx,
+       'response' AS warc_type,
+       'http://example.com/doc/' || doc_id AS target_uri,
+       CAST(strlen(text) AS BIGINT) AS content_length,
+       md5(text) AS body_md5
+FROM documents""",
+)
+def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl-shaped ingestion (sources/archives.py:parse_warc):
+    documents bucketed into 8 REAL WARC/1.0 files — one gzip member PER
+    RECORD, the actual CC layout, which a naive gzip.decompress would
+    silently truncate after the first record — then parsed back:
+    version-line framing, header fields, Content-Length-delimited
+    bodies, CRLF CRLF separators, record ordering. Every emitted field
+    derives from the documents table (exact oracle incl. per-file
+    record indexes via row_number)."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.archives import (
+        parse_warc,
+        warc_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return parse_warc(warc_payload(docs))

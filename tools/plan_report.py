@@ -138,6 +138,8 @@ HEADLINE = [
     "mm_gif_frames",
     "mm_resize_jpeg",
     "pipeline_rag_mmr",
+    "source_tar_members",
+    "source_warc_records",
 ]
 
 
