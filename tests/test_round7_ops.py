@@ -354,6 +354,68 @@ def test_band_index_tombstone_delete_protocol(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_archive_parsers_degrade_on_damage(spark):
+    """Ingest robustness: a truncated WARC yields its complete leading
+    records (not zero, not a crash); garbage payloads yield no rows
+    while well-formed siblings in the same batch still parse."""
+    import gzip
+
+    from pagerank_giraph_vs_mapreduce_spark.sources.archives import (
+        parse_warc,
+        parse_warc_bytes,
+        tar_members,
+    )
+
+    def rec(uri: str, body: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+            + body
+            + b"\r\n\r\n"
+        )
+
+    two = rec("http://a", b"hello world") + rec("http://b", b"goodbye")
+    assert [r["target_uri"] for r in parse_warc_bytes(two)] == [
+        "http://a", "http://b",
+    ]
+    # truncate inside record 2's body: record 1 survives, no exception
+    cut = two[: len(rec("http://a", b"hello world")) + 40]
+    assert [r["target_uri"] for r in parse_warc_bytes(cut)] == ["http://a"]
+    # multi-member gzip (Common Crawl layout): both records decode
+    gz = gzip.compress(rec("http://a", b"x"), mtime=0) + gzip.compress(
+        rec("http://b", b"y"), mtime=0
+    )
+    assert len(parse_warc_bytes(gz)) == 2
+
+    # Spark seam: one good WARC + one garbage payload in the same batch
+    media = spark.createDataFrame(
+        [("good.warc", two), ("junk.bin", b"\x00\x01\x02not a warc")],
+        "path string, content binary",
+    )
+    rows = parse_warc(media).collect()
+    assert {r["path"] for r in rows} == {"good.warc"}
+    assert len(rows) == 2
+
+    # tar: garbage payload yields no rows, good one still expands
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("a.txt")
+        info.size = 2
+        tf.addfile(info, io.BytesIO(b"hi"))
+    media2 = spark.createDataFrame(
+        [("good.tar", buf.getvalue()), ("bad.tar", b"not a tar at all")],
+        "path string, content binary",
+    )
+    out = tar_members(media2).collect()
+    assert [(r["path"], r["member"], r["n_bytes"]) for r in out] == [
+        ("good.tar", "a.txt", 2)
+    ]
+
+
 def test_bpe_learn_scaled_sample_gate_bounds_training_corpus(spark):
     """The md5 gate must train on the deterministic subset only: gating
     with hexmax '0' admits no document -> empty merge table; hexmax 'g'
