@@ -354,6 +354,34 @@ def test_band_index_tombstone_delete_protocol(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_pagerank_warm_start_after_edge_deletion(spark):
+    """Incremental maintenance works for SHRINKING graphs too: warm-
+    starting from the old fixpoint after deleting edges reaches the
+    reduced graph's fixpoint in no more supersteps than a cold start —
+    the daily-update story covers removals (takedowns, link rot), not
+    just crawls."""
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+
+    edges = spark.range(4000).select(
+        (F.col("id") % 97).alias("src"),
+        ((F.col("id") * 31 + 7) % 97).alias("dst"),
+    )
+    full = pagerank(edges, max_iter=100, tol=1e-10, min_iter=2)
+    reduced = edges.filter(F.col("id") % 10 != 0)  # drop ~10% of edges
+    cold = pagerank(reduced, max_iter=100, tol=1e-10, min_iter=2)
+    warm = pagerank(
+        reduced, max_iter=100, tol=1e-10, min_iter=2,
+        initial_ranks=full.ranks,
+    )
+    c = {r["id"]: r["pr"] for r in cold.ranks.collect()}
+    w = {r["id"]: r["pr"] for r in warm.ranks.collect()}
+    assert set(c) == set(w)
+    assert all(abs(c[k] - w[k]) < 1e-7 for k in c)
+    assert warm.iterations <= cold.iterations
+
+
 def test_archive_parsers_degrade_on_damage(spark):
     """Ingest robustness: a truncated WARC yields its complete leading
     records (not zero, not a crash); garbage payloads yield no rows
