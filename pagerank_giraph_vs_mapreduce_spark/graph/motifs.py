@@ -188,3 +188,58 @@ def two_hop_count(edges: DataFrame, mid_outdeg_cap: int | None = 64) -> DataFram
         .groupBy(F.col("a.src").alias("id"))
         .agg(F.countDistinct(F.col("b.dst")).alias("n_two_hop"))
     )
+
+
+def adamic_adar_topk(
+    edges: DataFrame, hub_cap: int = 256, k: int = 20
+) -> DataFrame:
+    """Link prediction over the undirected graph: for each non-adjacent
+    pair (a, b) sharing ≥1 neighbor, score = Σ_z 1/ln(deg(z)) over common
+    neighbors z — Adamic-Adar, the standard common-neighbor weighting
+    (rare shared neighbors count more). Returns the top-``k`` candidate
+    edges (a < b) with common-neighbor count and score.
+
+    Scale shape: the pair generation is a self-join of the symmetric
+    adjacency on the shared neighbor z — fan-out Σ_z deg(z)², quadratic
+    in hub degree, so z is capped at deg ≤ ``hub_cap`` (the two_hop_count
+    discipline). The cap is also statistically principled here: a hub's
+    contribution 1/ln(deg) → 0, so dropping super-hubs loses almost no
+    score mass while bounding per-task work on power-law graphs.
+
+    Determinism: 1/ln(deg) is rounded to 9 dp per term and summed as
+    DECIMAL (order-independent — the text_lm_score discipline), final
+    score rounded to 6 dp; ties break on (a, b).
+    """
+    und = undirect_dedup(edges)
+    sym = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    transit = (
+        sym.join(deg, "node")
+        .filter(F.col("d") <= hub_cap)
+        .select("node", "nbr", "d")
+    )
+    s1 = transit.alias("s1")
+    s2 = transit.select("node", "nbr").alias("s2")
+    pairs = (
+        s1.join(s2, F.col("s1.node") == F.col("s2.node"))
+        .filter(F.col("s1.nbr") < F.col("s2.nbr"))
+        .select(
+            F.col("s1.nbr").alias("a"),
+            F.col("s2.nbr").alias("b"),
+            F.round(F.lit(1.0) / F.log(F.col("s1.d")), 9)
+            .cast("decimal(20,9)")
+            .alias("w"),
+        )
+    )
+    scored = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.round(F.sum("w").cast("double"), 6).alias("aa_score"),
+    )
+    non_edges = scored.join(
+        und, (scored.a == und.u) & (scored.b == und.v), "left_anti"
+    )
+    return non_edges.orderBy(
+        F.desc("aa_score"), F.asc("a"), F.asc("b")
+    ).limit(k)

@@ -636,3 +636,120 @@ def lsh_candidate_pairs_star(
         .select("id_a", F.col("id").alias("id_b"))
         .distinct()
     )
+
+
+def cdc_chunk_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    the rolling hash of the ``window``-char gram ends satisfies
+    ``code % divisor == 0`` → ``(id, chunk_idx, chunk, chunk_len)``.
+
+    Boundaries depend only on local content, so a shared paragraph
+    chunks identically regardless of byte offset — insert one sentence
+    at the top of a mirrored page and fixed-size blocks all shift
+    (every block hash changes) while CDC boundaries downstream of the
+    edit are unchanged. That shift-resilience is why sub-document dedup
+    (boilerplate headers/footers, licence blocks, templated pages) uses
+    CDC chunk hashes rather than fixed blocks.
+
+    Scale shape: the whole chunker is ONE narrow per-row map — char
+    codes O(len), window codes via the O(1)-per-position element_at
+    trick (dedup.py:43 discipline), boundary filter, substring per
+    chunk — zero shuffles before the caller's chunk-hash aggregate.
+    Expected chunk length is ``divisor`` chars; production CDC adds
+    min/max chunk clamps (omitted here — the synthetic corpus's ~300
+    char docs don't need them, and clamps are one extra filter on the
+    boundary array).
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    chars = F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long"))
+    pre = df.filter(n >= 1).select(
+        F.col(id_col).alias("id"),
+        t.alias("_t"),
+        n.alias("_n"),
+        chars.alias("_chars"),
+        # number of window positions (may be 0 for docs shorter than the
+        # window — guarded below: sequence(1, 0) would count DOWN)
+        F.greatest(n - F.lit(window - 1), F.lit(0)).alias("_ns"),
+    )
+    weights = [MULT ** (window - 1 - k) for k in range(window)]
+
+    def wcode(s):  # rolling code of the window starting at 1-based s
+        total = None
+        for k, w in enumerate(weights):
+            term = F.try_element_at(F.col("_chars"), s + F.lit(k)) * F.lit(w)
+            total = term if total is None else total + term
+        return total % F.lit(CODE_MOD)
+
+    bstarts = F.when(
+        F.col("_ns") >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.col("_ns"), F.lit(1))),
+            lambda s: wcode(s) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bends = F.transform(bstarts, lambda s: (s + F.lit(window - 1)).cast("long"))
+    ends = F.when(
+        (F.size(bends) > 0) & (F.element_at(bends, -1) == F.col("_n")), bends
+    ).otherwise(F.concat(bends, F.array(F.col("_n").cast("long"))))
+    withe = pre.select("id", "_t", ends.alias("_ends"))
+    def prev_end(i):
+        # i == 1 → chunk starts at offset 0; element_at(_, 0) is an ERROR
+        # in Spark (indices are 1-based), so the base case is explicit.
+        return F.when(i == 1, F.lit(0).cast("long")).otherwise(
+            F.try_element_at(F.col("_ends"), i - 1)
+        )
+
+    chunk_at = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("_ends"))),
+        lambda i: F.struct(
+            i.alias("idx"),
+            F.substring(
+                F.col("_t"),
+                prev_end(i).cast("int") + 1,
+                (F.try_element_at(F.col("_ends"), i) - prev_end(i)).cast("int"),
+            ).alias("chunk"),
+        ),
+    )
+    exploded = withe.select("id", F.explode(chunk_at).alias("c"))
+    return exploded.select(
+        "id",
+        F.col("c.idx").cast("bigint").alias("chunk_idx"),
+        F.col("c.chunk").alias("chunk"),
+        F.length("c.chunk").cast("bigint").alias("chunk_len"),
+    )
+
+
+def cdc_repeated_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    divisor: int = 64,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated CDC chunks (the boilerplate detector):
+    chunk every doc, hash each chunk (md5 — cheap, and chunk-local so
+    the hash survives document edits elsewhere), keep hashes seen in
+    ≥ ``min_docs`` distinct docs. One map-side-combined aggregate on
+    chunk_md5 after the narrow chunker; at 100 TB the output is the
+    boilerplate blocklist joined back (broadcast — it's tiny) to strip
+    repeated spans before training."""
+    chunks = cdc_chunk_table(df, id_col, text_col, window, divisor)
+    return (
+        chunks.groupBy(
+            F.md5("chunk").alias("chunk_md5"),
+            F.col("chunk_len"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -862,3 +862,44 @@ def delete_from_ivf_index(
         "cells_rewritten": len(kept_cells),
         "cells_emptied": len(emptied),
     }
+
+
+def matryoshka_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    prefix_dims: int = 16,
+    shortlist: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage matryoshka retrieval: shortlist by cosine over the FIRST
+    ``prefix_dims`` dimensions, then rerank the shortlist with the full
+    vector. With MRL-trained embeddings (Kusupati et al. 2022) the prefix
+    is itself a valid low-rank embedding, so the cheap pass is a real
+    ranking, not a heuristic.
+
+    Scale shape: the corpus-wide stage reads ``prefix_dims/dim`` of the
+    vector bytes per row (with a column layout that stores the prefix
+    separately, it prunes I/O too, like sim_quantize_int8's int8 pass) and
+    is a narrow map + TakeOrdered; only ``shortlist`` rows reach the
+    full-width kernel — the same filter-then-rerank economics as IVF/PQ
+    but with zero index build, and composable with both (prefix scoring
+    inside each IVF probe cell).
+
+    Determinism: shortlist membership cuts on the 6-dp-rounded prefix
+    score with id tie-break — the cut is reproducible across engines, and
+    the final top-k reranks on the full-width 6-dp cosine."""
+    pre = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.slice(F.col(vec_col), 1, prefix_dims).alias("_prefix"),
+    )
+    qpre = query.select(F.slice(F.col(vec_col), 1, prefix_dims).alias("_prefix"))
+    short = (
+        cosine_scores(pre, qpre, id_col, "_prefix", keep=(vec_col,))
+        .select(id_col, F.round("cos_sim", 6).alias("pre_sim"), vec_col)
+        .orderBy(F.desc("pre_sim"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    return cosine_topk(short, query, k=k, id_col=id_col, vec_col=vec_col)

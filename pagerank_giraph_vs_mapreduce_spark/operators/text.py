@@ -545,3 +545,44 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(t).alias("fp_md5"),
         checksum.alias("fp_checksum"),
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-level Shannon entropy per document (bits/char) — the
+    classic gibberish/binary-spill gate: natural prose sits ~4-4.5 bits,
+    single-char spam near 0, random bytes ~8. Emitted alongside the
+    distinct-char count (its integer cousin).
+
+    Zero-shuffle: H is per-row — char codes O(len), counts via one
+    filter-per-distinct-char pass (O(len·distinct), distinct ≤ alphabet),
+    no explode/groupBy. H = log2(n) − (Σ c·log2 c)/n over per-char counts
+    c, each c·log2 c rounded to 9 dp and summed as DECIMAL in sorted-code
+    order (the text_lm_score determinism discipline), H rounded to 6 dp.
+    """
+    t = F.col(text_col)
+    codes = F.transform(F.split(t, ""), lambda ch: F.ascii(ch).cast("long"))
+    pre = df.filter(F.length(t) >= 1).select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("_n"),
+        codes.alias("_codes"),
+    )
+    dist = F.array_sort(F.array_distinct(F.col("_codes")))
+    cnt = lambda c: F.size(F.filter(F.col("_codes"), lambda x: x == c))  # noqa: E731
+    terms = F.transform(
+        dist,
+        lambda c: F.round(cnt(c).cast("double") * F.log2(cnt(c)), 9).cast(
+            "decimal(20,9)"
+        ),
+    )
+    ssum = F.aggregate(
+        terms,
+        F.lit(0).cast("decimal(30,9)"),
+        lambda acc, x: (acc + x).cast("decimal(30,9)"),
+    )
+    return pre.select(
+        F.col(id_col),
+        F.size(dist).cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            F.log2(F.col("_n")) - ssum.cast("double") / F.col("_n"), 6
+        ).alias("entropy_bits"),
+    )

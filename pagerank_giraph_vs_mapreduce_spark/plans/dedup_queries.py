@@ -875,3 +875,66 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.9)
         .select("id_a", "id_b", F.round(cont, 6).alias("containment"))
     )
+
+
+CDC_W = 8
+CDC_D = 64
+
+
+def _cdc_oracle(w: int, d: int) -> str:
+    from pagerank_giraph_vs_mapreduce_spark.functions.hashing import CODE_MOD, MULT
+
+    terms = " + ".join(
+        f"CAST(ascii(substr(dd.text, s + {k}, 1)) AS BIGINT) * {MULT ** (w - 1 - k)}"
+        for k in range(w)
+    )
+    code = f"(({terms}) % {CODE_MOD})"
+    return f"""WITH docs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1),
+b AS (
+  SELECT doc_id, text, n,
+         list_filter(range(1, greatest(n - {w} + 1, 0) + 1),
+                     s -> {code} % {d} = 0) AS bstarts
+  FROM docs dd),
+e AS (
+  SELECT doc_id, text, n, list_transform(bstarts, s -> s + {w} - 1) AS bends
+  FROM b),
+e2 AS (
+  SELECT doc_id, text, n,
+         CASE WHEN len(bends) > 0 AND bends[-1] = n THEN bends
+              ELSE list_append(bends, n) END AS ends
+  FROM e),
+ch AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ends) + 1),
+           i -> substr(text, CASE WHEN i = 1 THEN 0 ELSE ends[i-1] END + 1,
+                       ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1] END)) AS cl
+  FROM e2),
+fl AS (SELECT doc_id, unnest(cl) AS chunk FROM ch)
+SELECT md5(chunk) AS chunk_md5, length(chunk) AS chunk_len,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM fl GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, chunk_md5 LIMIT 20"""
+
+
+@query("dedup_cdc_chunks", oracle=_cdc_oracle(CDC_W, CDC_D))
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking boilerplate detector: CDC-chunk every
+    document (rolling-hash boundaries — see operators/dedup.py:
+    cdc_chunk_table for why CDC, not fixed blocks), hash chunks, and
+    report the top spans repeated across ≥2 distinct documents — the
+    sub-document dedup pass (headers, licence blocks, templated pages)
+    that document-level MinHash cannot see. Whole pipeline is one narrow
+    per-row map + one map-side-combined aggregate on chunk_md5."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        cdc_repeated_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = cdc_repeated_chunks(docs, "doc_id", "text", CDC_W, CDC_D)
+    return (
+        rep.select("chunk_md5", "chunk_len", "n_occ", "n_docs")
+        .orderBy(F.desc("n_docs"), "chunk_md5")
+        .limit(20)
+    )

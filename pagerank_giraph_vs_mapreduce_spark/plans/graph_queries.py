@@ -1111,3 +1111,39 @@ def g_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.components, edges.unionAll(delta), delta
     )
     return res.components
+
+
+AA_HUB_CAP = 256
+AA_TOP_K = 20
+
+_AA_SQL = f"""{GRAPH_CTES},
+und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst GROUP BY 1, 2),
+sym AS (SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v AS node, u AS nbr FROM und),
+dg AS (SELECT node, count(*) AS d FROM sym GROUP BY node),
+tr AS (SELECT s.node, s.nbr, g.d FROM sym s JOIN dg g USING (node)
+       WHERE g.d <= {AA_HUB_CAP}),
+pr AS (SELECT s1.nbr AS a, s2.nbr AS b,
+              CAST(round(1.0 / ln(s1.d), 9) AS DECIMAL(20,9)) AS w
+       FROM tr s1 JOIN tr s2 ON s1.node = s2.node AND s1.nbr < s2.nbr),
+sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+              round(CAST(sum(w) AS DOUBLE), 6) AS aa_score
+       FROM pr GROUP BY a, b)
+SELECT a, b, common_neighbors, aa_score FROM sc
+WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.u = sc.a AND und.v = sc.b)
+ORDER BY aa_score DESC, a, b LIMIT {AA_TOP_K}"""
+
+
+@query("g_link_adamic_adar", oracle=_AA_SQL)
+def g_link_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction: top-20 non-adjacent pairs by Adamic-Adar score
+    (Σ 1/ln deg over common neighbors, hub-capped transit — see
+    graph/motifs.py:adamic_adar_topk for the power-law fan-out bound).
+    The mining counterpart of the reference's structural queries: which
+    edges are MISSING, the relatedness signal a corpus-curation pipeline
+    uses to link near-topic documents."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import adamic_adar_topk
+
+    raw = derived_edges(spark, sf_dir)
+    return adamic_adar_topk(raw, hub_cap=AA_HUB_CAP, k=AA_TOP_K)

@@ -55,6 +55,13 @@ _QUERY_MODULES = (
 # up to the ~50 budget. The rest of the r03 tail and the r04 cohort are
 # queued immediately after so r08's budget retires them without editing.
 _PRIORITY = (
+    # --- new in r07 (third wave): must certify
+    "dedup_cdc_chunks",  # NEW: content-defined chunking boilerplate detector
+    "g_link_adamic_adar",  # NEW: hub-capped common-neighbor link prediction
+    "sim_matryoshka_rerank",  # NEW: prefix-dim shortlist + full-width rerank
+    "text_entropy",  # NEW: per-row char-entropy quality gate
+    "source_jsonl_gz",  # NEW: gzip JSONL ingest (Common Crawl delivery shape)
+    "storage_partition_prune",  # NEW: hive-partitioned write + pruned scan
     # --- new in r07: must certify
     "mm_jpeg_decode",  # NEW: real baseline-JPEG decoder through the seam
     "pipeline_rag_retrieve_encoder",  # NEW: mapInPandas model swap, same plan
@@ -119,9 +126,11 @@ _PRIORITY = (
     "g_ppr_k3",
     "g_degree_hist",
     "g_lpa_r3",
+    # ---- ~50-row budget line (r07 gate reaches about here: the 6
+    # third-wave entries above push the r03 graph tail's last rows and
+    # everything below into r08's budget; all r02-era rows still fit) ----
     "rel_q1_pricing",
     "rel_join_q3",
-    # ---- ~50-row budget line (r07 gate reaches about here) ----
     "rel_broadcast_dim_join",
     "rel_semi_join",
     "rel_anti_join",

@@ -923,3 +923,42 @@ def sim_ivf_indexed_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, table, q, _centroids(spark, sf_dir), k=5, nprobe=NPROBE
     )
     return top.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+MATRYOSHKA_PREFIX = 16
+MATRYOSHKA_SHORTLIST = 50
+MATRYOSHKA_K = 5
+
+_MAT_SQL = f"""WITH q AS (
+  SELECT embedding, list_slice(embedding, 1, {MATRYOSHKA_PREFIX}) AS pe
+  FROM embeddings WHERE vec_id = {QUERY_ID}),
+pre AS (
+  SELECT e.vec_id, e.embedding,
+         round({_sql_cos(f'list_slice(e.embedding, 1, {MATRYOSHKA_PREFIX})', 'q.pe')}, 6)
+           AS pre_sim
+  FROM embeddings e, q),
+short AS (
+  SELECT vec_id, embedding FROM pre
+  ORDER BY pre_sim DESC, vec_id LIMIT {MATRYOSHKA_SHORTLIST})
+SELECT s.vec_id, round({_sql_cos('s.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM short s, q
+ORDER BY cos_sim DESC, s.vec_id LIMIT {MATRYOSHKA_K}"""
+
+
+@query("sim_matryoshka_rerank", oracle=_MAT_SQL)
+def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka two-stage retrieval: 16-dim-prefix cosine shortlists 50
+    candidates (4x fewer FLOPs/bytes per corpus row than full width),
+    full 64-dim cosine reranks to top-5 — the filter-then-rerank
+    economics of IVF/PQ with zero index build (operators/similarity.py:
+    matryoshka_topk). Same 6-dp/id-tiebreak determinism contract as
+    sim_cosine_top10."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        matryoshka_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    return matryoshka_topk(
+        emb, q, MATRYOSHKA_PREFIX, MATRYOSHKA_SHORTLIST, MATRYOSHKA_K
+    )

@@ -569,3 +569,56 @@ def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return parse_warc(warc_payload(docs))
+
+
+@query("source_jsonl_gz", oracle=_ROUNDTRIP_ORACLE)
+def source_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> gzip-compressed JSON-lines -> read back (explicit
+    schema) -> per-lang aggregate: the Common Crawl / web-scrape delivery
+    format (*.jsonl.gz). Spark decompresses transparently via the codec
+    registry. Scale caveat the plan must respect: gzip is NOT splittable
+    — one .gz file = one task regardless of size, so a 100 TB corpus must
+    arrive as many ~100 MB-1 GB members (as Common Crawl does) or use a
+    splittable codec (bzip2, or zstd with seekable framing); the writer
+    here emits one member per input partition, which is exactly that
+    discipline."""
+    out = _staging_dir("src_jsonl_gz_", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs.write.mode("overwrite").option("compression", "gzip").json(out)
+    back = spark.read.schema(_DOC_SCHEMA).json(out)
+    return _roundtrip_agg(back)
+
+
+PRUNE_LANG = "en"
+
+_PRUNE_ORACLE = f"""SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents WHERE lang = '{PRUNE_LANG}' GROUP BY source"""
+
+
+@query("storage_partition_prune", oracle=_PRUNE_ORACLE)
+def storage_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout + partition pruning: documents written
+    ``partitionBy(lang)``, read back with a literal lang filter — the
+    filter resolves against DIRECTORY NAMES, so non-matching partitions
+    are never opened (tests/test_storage_layout.py pins PartitionFilters
+    in the scan and that the pruned scan reads only the one partition).
+    The first-line defense at 100 TB: a corpus partitioned by
+    lang/source/crawl-date turns every language-scoped job into a scan
+    of just its slice — no file I/O for the rest. Distinct from
+    storage_zorder_buckets (intra-file skipping) and
+    storage_bucketed_join (shuffle avoidance): partitioning prunes
+    whole directories."""
+    out = _staging_dir("storage_part_", sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == PRUNE_LANG)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_n_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

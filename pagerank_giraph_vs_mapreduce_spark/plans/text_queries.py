@@ -801,3 +801,33 @@ def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "ngram")
         .limit(20)
     )
+
+
+_ENTROPY_SQL = """WITH base AS (
+  SELECT doc_id, length(text) AS n,
+         list_transform(string_split(text, ''), c -> ascii(c)) AS codes
+  FROM documents WHERE length(text) >= 1),
+wd AS (
+  SELECT doc_id, n, list_sort(list_distinct(codes)) AS dist, codes FROM base),
+t AS (
+  SELECT doc_id, n, len(dist) AS n_distinct_chars,
+         list_sum(list_transform(dist,
+           c -> CAST(round(len(list_filter(codes, x -> x = c))
+                           * log2(len(list_filter(codes, x -> x = c))), 9)
+                     AS DECIMAL(20,9)))) AS s
+  FROM wd)
+SELECT doc_id, CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       round(log2(n) - CAST(s AS DOUBLE) / n, 6) AS entropy_bits
+FROM t"""
+
+
+@query("text_entropy", oracle=_ENTROPY_SQL)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality gate (operators/text.py:char_entropy):
+    bits/char Shannon entropy + distinct-char count per document — the
+    gibberish/binary-spill detector that complements the ratio-based
+    text_quality features. Zero-shuffle per-row computation."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text")
