@@ -562,6 +562,13 @@ def main() -> int:
         "pipeline_rag_mmr",
         "source_tar_members",
         "source_warc_records",
+        # round-7 third wave
+        "dedup_cdc_chunks",
+        "g_link_adamic_adar",
+        "sim_matryoshka_rerank",
+        "text_entropy",
+        "source_jsonl_gz",
+        "storage_partition_prune",
     ):
         timed(q, run_query_rows(q))
 

@@ -140,6 +140,12 @@ HEADLINE = [
     "pipeline_rag_mmr",
     "source_tar_members",
     "source_warc_records",
+    # round-7 third wave
+    "dedup_cdc_chunks",
+    "g_link_adamic_adar",
+    "sim_matryoshka_rerank",
+    "text_entropy",
+    "storage_partition_prune",
 ]
 
 
