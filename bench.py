@@ -569,6 +569,9 @@ def main() -> int:
         "text_entropy",
         "source_jsonl_gz",
         "storage_partition_prune",
+        "mm_ahash_pairs",
+        "sim_binary_rerank",
+        "pipeline_shuffle_shards",
     ):
         timed(q, run_query_rows(q))
 

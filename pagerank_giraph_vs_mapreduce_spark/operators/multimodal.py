@@ -812,3 +812,55 @@ def audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+AHASH_W, AHASH_H = 8, 2
+
+
+def ahash16(media: DataFrame) -> DataFrame:
+    """16-bit average perceptual hash per image: decode → nearest-resize
+    to 8x2 grayscale (first channel; same index arithmetic as
+    ``resize_nearest``) → bit k set iff its pixel exceeds the tile mean,
+    as the EXACT integer comparison ``16·px_k > Σ px`` (no float mean —
+    cross-engine ties are impossible). The image analog of SimHash:
+    near-identical images (recompression, slight crops at the resample
+    grid) land within small Hamming distance, so image dedup reuses the
+    text pipeline's multi-probe blocker (dedup.simhash_pairs_from_sigs,
+    bits=16). Production pHash uses 64-bit DCT signatures — same
+    plumbing, wider blocks (the simhash_wide discipline); 16 bits is the
+    fixture-sized instance with an exact SQL oracle.
+
+    Narrow Arrow-batched map over the media scan: no shuffle; undecodable
+    payloads emit NULL (degrade-not-fail, the decode_pixels contract)."""
+    n_px = AHASH_W * AHASH_H
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_pixels(payload)
+                if d is None:
+                    rows.append((int(doc_id), None))
+                    continue
+                w, h, ch, src = d
+                px = []
+                for y in range(AHASH_H):
+                    sy = (y * h) // AHASH_H
+                    for x in range(AHASH_W):
+                        sx = (x * w) // AHASH_W
+                        px.append(src[(sy * w + sx) * ch])
+                total = sum(px)
+                sig = 0
+                for k, v in enumerate(px):
+                    if n_px * v > total:
+                        sig |= 1 << k
+                rows.append((int(doc_id), sig))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema)

@@ -903,3 +903,67 @@ def matryoshka_topk(
         .limit(shortlist)
     )
     return cosine_topk(short, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def _pack_sign_bits(vec: Column, offset: int, width: int = 32) -> Column:
+    """BIGINT with bit d set iff ``vec[offset+d] > 0`` — 32 dims per
+    word keeps every bit below the sign bit (no ANSI overflow, and the
+    unrolled when-chain stays inside whole-stage codegen)."""
+    total = F.lit(0).cast("long")
+    for d in range(width):
+        total = total + F.when(
+            F.element_at(vec, offset + d + 1) > 0, F.lit(1 << d).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return total
+
+
+def binary_quantize(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """1-bit (sign) quantization of a 64-dim embedding into two BIGINT
+    words — 32x smaller than float32, and Hamming distance (two
+    xor+popcount ops) replaces 64 fused-multiply-adds. The coarsest
+    point on the quantization curve sim_quantize_int8 starts (int8 = 4x;
+    binary = 32x), and the standard first-pass filter for billion-vector
+    search when even int8 doesn't fit memory."""
+    return emb.select(
+        F.col(id_col),
+        _pack_sign_bits(F.col(vec_col), 0).alias("b0"),
+        _pack_sign_bits(F.col(vec_col), 32).alias("b1"),
+        *keep,
+    )
+
+
+def binary_rerank_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    shortlist: int = 50,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage binary search: Hamming shortlist over the sign-bit
+    signatures (integer-exact, so the cut is deterministic with the id
+    tie-break — no rounding contract needed), full-precision cosine
+    rerank of the shortlist. Same filter-then-rerank economics as
+    matryoshka_topk at a 32x compression point; the corpus-wide pass
+    touches 16 bytes/row and no floats."""
+    sigs = binary_quantize(emb, id_col, vec_col, keep=(vec_col,))
+    qsig = F.broadcast(
+        binary_quantize(query, id_col, vec_col).select(
+            F.col("b0").alias("qb0"), F.col("b1").alias("qb1")
+        )
+    )
+    ham = F.bit_count(F.col("b0").bitwiseXOR(F.col("qb0"))) + F.bit_count(
+        F.col("b1").bitwiseXOR(F.col("qb1"))
+    )
+    short = (
+        sigs.crossJoin(qsig)
+        .select(id_col, vec_col, ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    return cosine_topk(short, query, k=k, id_col=id_col, vec_col=vec_col)

@@ -386,3 +386,51 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_stats(synth_wav(docs))
+
+
+_AHASH_SQL = """WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), k ->
+           CASE WHEN (32*(k//8) + 2*(k%8)) < length(text)
+                THEN CAST(ascii(substr(text, CAST(32*(k//8) + 2*(k%8) + 1 AS INT), 1)) AS BIGINT)
+                ELSE 32 END) AS px
+  FROM documents),
+tot AS (SELECT doc_id, px, list_sum(px) AS total FROM px),
+sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 16),
+           k -> CASE WHEN 16 * px[k + 1] > total
+                THEN CAST(1 AS BIGINT) << CAST(k AS INT) ELSE 0 END)) AS h
+  FROM tot)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 2"""
+
+
+@query("mm_ahash_pairs", oracle=_AHASH_SQL)
+def mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection: 16-bit average perceptual hash per
+    decoded image (operators/multimodal.py:ahash16 — integer-exact
+    threshold), then Hamming-≤2 pairs through the SAME multi-probe
+    pigeonhole blocker the text SimHash path uses
+    (dedup.simhash_pairs_from_sigs, bits=16) — image dedup rides the
+    existing exact-recall blocking infrastructure instead of an
+    all-pairs join. The oracle IS the all-pairs answer, so the blocker's
+    exact-recall claim is re-proven on image signatures."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        ahash16,
+        png_payload,
+    )
+
+    media = png_payload(load_table(spark, sf_dir, "documents"))
+    sigs = ahash16(media).select(
+        F.col("doc_id").alias("id"), F.col("ahash").alias("simhash")
+    )
+    pairs = simhash_pairs_from_sigs(sigs, max_hamming=2, bits=16)
+    return pairs.select(
+        F.col("id_a"), F.col("id_b"), F.col("hamming").cast("bigint").alias("hamming")
+    )

@@ -1122,3 +1122,46 @@ def pipeline_rag_retrieve_encoder(spark: SparkSession, sf_dir: str) -> DataFrame
         encode, "doc_id bigint, chunk_id int, vec array<bigint>"
     )
     return _rag_score_topk(embedded)
+
+
+SHUFFLE_A = 1103515245
+SHUFFLE_B = 12345
+SHUFFLE_M = 2147483647
+N_SHARDS = 8
+
+_SHUFFLE_SQL = f"""WITH keyed AS (
+  SELECT doc_id,
+         (doc_id * {SHUFFLE_A} + {SHUFFLE_B}) % {SHUFFLE_M} AS k
+  FROM documents)
+SELECT doc_id,
+       CAST(k % {N_SHARDS} AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY k % {N_SHARDS}
+                               ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM keyed"""
+
+
+@query("pipeline_shuffle_shards", oracle=_SHUFFLE_SQL)
+def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle + sharding: a seeded affine
+    permutation key (doc_id·A + B mod 2³¹−1 — bijective below the prime,
+    so it IS a permutation, reproducible across runs/engines with no RNG
+    state) assigns each doc a shard by key range and a position by
+    per-shard key order. The epoch-shuffle every trainer needs, with the
+    scale-honest shape: NO global sort — shard assignment is per-row
+    arithmetic, position is a per-shard local window (repartition by
+    shard + sortWithinPartitions at 100 TB; shards sort independently).
+    Re-keying with a new seed pair is a full reshuffle for the next
+    epoch."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * SHUFFLE_A + SHUFFLE_B) % SHUFFLE_M).alias("k"),
+    )
+    w = Window.partitionBy(F.col("k") % N_SHARDS).orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.col("k") % N_SHARDS).cast("bigint").alias("shard_id"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

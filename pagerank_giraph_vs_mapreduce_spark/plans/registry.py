@@ -56,6 +56,9 @@ _QUERY_MODULES = (
 # queued immediately after so r08's budget retires them without editing.
 _PRIORITY = (
     # --- new in r07 (third wave): must certify
+    "mm_ahash_pairs",  # NEW: perceptual-hash image dedup via the blocker
+    "sim_binary_rerank",  # NEW: sign-bit 32x quantization + hamming rerank
+    "pipeline_shuffle_shards",  # NEW: deterministic epoch shuffle/sharding
     "dedup_cdc_chunks",  # NEW: content-defined chunking boilerplate detector
     "g_link_adamic_adar",  # NEW: hub-capped common-neighbor link prediction
     "sim_matryoshka_rerank",  # NEW: prefix-dim shortlist + full-width rerank

@@ -962,3 +962,48 @@ def sim_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_topk(
         emb, q, MATRYOSHKA_PREFIX, MATRYOSHKA_SHORTLIST, MATRYOSHKA_K
     )
+
+
+BINQ_SHORTLIST = 50
+BINQ_K = 5
+
+
+def _binq_pack_sql(vec: str, offset: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, 32), d -> CASE WHEN {vec}[d + {offset} + 1] > 0 "
+        f"THEN CAST(1 AS BIGINT) << CAST(d AS INT) ELSE 0 END))"
+    )
+
+
+_BINQ_SQL = f"""WITH q AS (
+  SELECT embedding,
+         {_binq_pack_sql('embedding', 0)} AS qb0,
+         {_binq_pack_sql('embedding', 32)} AS qb1
+  FROM embeddings WHERE vec_id = {QUERY_ID}),
+sg AS (
+  SELECT e.vec_id, e.embedding,
+         bit_count(xor({_binq_pack_sql('e.embedding', 0)}, q.qb0))
+         + bit_count(xor({_binq_pack_sql('e.embedding', 32)}, q.qb1)) AS hamming
+  FROM embeddings e, q),
+short AS (
+  SELECT vec_id, embedding FROM sg
+  ORDER BY hamming ASC, vec_id LIMIT {BINQ_SHORTLIST})
+SELECT s.vec_id, round({_sql_cos('s.embedding', 'q.embedding')}, 6) AS cos_sim
+FROM short s, q
+ORDER BY cos_sim DESC, s.vec_id LIMIT {BINQ_K}"""
+
+
+@query("sim_binary_rerank", oracle=_BINQ_SQL)
+def sim_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized two-stage search: sign-bit signatures (32x
+    compression, 2 BIGINTs/vector), Hamming shortlist of 50, full
+    cosine rerank to top-5 (operators/similarity.py:binary_rerank_topk).
+    The integer Hamming cut needs no rounding contract — exact across
+    engines by construction."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        binary_rerank_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_ID)
+    return binary_rerank_topk(emb, q, BINQ_SHORTLIST, BINQ_K)

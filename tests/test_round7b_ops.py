@@ -260,3 +260,98 @@ def test_jsonl_gz_files_and_roundtrip(spark, tmp_path):
     assert parts and all(p.endswith(".json.gz") for p in parts)
     back = spark.read.schema("doc_id bigint, text string, n bigint").json(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+# ------------------------------------------------- aHash image dedup
+
+
+def test_ahash_planted_image_dups(spark):
+    """Identical texts → identical 16x4 PNGs → hamming-0 pairs; the
+    multi-probe blocker must find exactly the all-pairs answer."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        simhash_pairs_from_sigs,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        ahash16,
+        png_payload,
+    )
+
+    t1 = "the quick brown fox jumps over the lazy dog and more text here"
+    t2 = "совершенно another text with different characters in every row"
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t1), (3, t1), (4, t2)], "doc_id bigint, text string"
+    )
+    sigs = ahash16(png_payload(docs)).select(
+        F.col("doc_id").alias("id"), F.col("ahash").alias("simhash")
+    )
+    by_id = {r["id"]: r["simhash"] for r in sigs.collect()}
+    assert by_id[1] == by_id[2] == by_id[3]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs_from_sigs(sigs, max_hamming=2, bits=16).collect()
+    }
+    # brute force over the four signatures
+    import itertools
+
+    expect = {}
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        h = bin(by_id[a] ^ by_id[b]).count("1")
+        if h <= 2:
+            expect[(a, b)] = h
+    assert pairs == expect
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+
+
+# ------------------------------------------------- binary rerank
+
+
+def test_binary_rerank_full_shortlist_equals_bruteforce(spark, sf_dir):
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        binary_rerank_topk,
+        cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") == 0)
+    brute = [tuple(r) for r in cosine_topk(emb, q, k=5).collect()]
+    got = [tuple(r) for r in binary_rerank_topk(emb, q, shortlist=n, k=5).collect()]
+    assert got == brute
+
+
+def test_binary_quantize_bits_match_python(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
+        binary_quantize,
+    )
+
+    vec = [(1.0 if (i * 7) % 3 == 0 else -1.0) for i in range(64)]
+    emb = spark.createDataFrame(
+        [(0, [float(x) for x in vec])], "vec_id bigint, embedding array<float>"
+    )
+    r = binary_quantize(emb).collect()[0]
+    b0 = sum(1 << d for d in range(32) if vec[d] > 0)
+    b1 = sum(1 << d for d in range(32) if vec[32 + d] > 0)
+    assert (r["b0"], r["b1"]) == (b0, b1)
+
+
+# ------------------------------------------------- shuffle shards
+
+
+def test_shuffle_shards_is_permutation(spark):
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        N_SHARDS,
+        pipeline_shuffle_shards,
+    )
+
+    out = pipeline_shuffle_shards(spark, "/root/testdata/sf0.001").collect()
+    n_docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).count()
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(N_SHARDS))
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))

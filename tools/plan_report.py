@@ -146,6 +146,9 @@ HEADLINE = [
     "sim_matryoshka_rerank",
     "text_entropy",
     "storage_partition_prune",
+    "mm_ahash_pairs",
+    "sim_binary_rerank",
+    "pipeline_shuffle_shards",
 ]
 
 
