@@ -572,6 +572,7 @@ def main() -> int:
         "mm_ahash_pairs",
         "sim_binary_rerank",
         "pipeline_shuffle_shards",
+        "pipeline_corpus_build",
     ):
         timed(q, run_query_rows(q))
 

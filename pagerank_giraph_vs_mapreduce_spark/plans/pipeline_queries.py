@@ -1165,3 +1165,105 @@ def pipeline_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") % N_SHARDS).cast("bigint").alias("shard_id"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+@query(
+    "pipeline_corpus_build",
+    oracle=f"""WITH {{PIPELINE_CTES}},
+toks AS (
+  SELECT doc_id, n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS okey,
+         doc_id % {{PACK_SHARDS}} AS shard
+  FROM final),
+streamed AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY okey
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks),
+shard_bins AS (
+  SELECT shard,
+         CAST(floor((sum(n_tokens) + {{PACK_BUDGET}} - 1) / {{PACK_BUDGET}})
+              AS BIGINT) AS n_bins
+  FROM toks GROUP BY shard),
+bases AS (
+  SELECT shard,
+         COALESCE(sum(n_bins) OVER (
+             ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_base
+  FROM shard_bins)
+SELECT s.doc_id, s.n_tokens,
+       CAST(b.bin_base
+            + floor(CAST(s.cum - s.n_tokens AS DOUBLE) / {{PACK_BUDGET}})
+         AS BIGINT) AS bin,
+       CAST((s.cum - s.n_tokens) % {{PACK_BUDGET}} AS BIGINT) AS offset_in_bin
+FROM streamed s JOIN bases b ON b.shard = s.shard""".format(
+        PIPELINE_CTES=PIPELINE_CTES,
+        PACK_SHARDS=PACK_SHARDS,
+        PACK_BUDGET=PACK_BUDGET,
+    ),
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build in ONE lazy plan — the capstone
+    composition a pretraining-data user actually runs: signal extraction
+    -> lang/quality gate -> exact dedup -> MinHash near-dup removal
+    (= pipeline_curation's survivors) -> shard-parallel sequence packing
+    of the survivors into {PACK_BUDGET}-token bins (the
+    pipeline_pack_sequences discipline: per-shard running sums, global
+    bin ids from broadcast per-shard bases, no whale-domain
+    serialization). Nothing materializes between stages: Catalyst fuses
+    the gate predicates into the scan, the near-dup joins run over the
+    gated survivors only, and the packing windows see just (doc_id,
+    n_tokens) — the narrowest possible stream at 100 TB."""
+    from pyspark.sql import Window
+
+    survivors = curate_corpus(
+        _docs3(spark, sf_dir),
+        "doc_id",
+        "text",
+        lang=LANG,
+        min_quality=MIN_QUALITY,
+        near_threshold=NEAR_THRESHOLD,
+    )
+    toks = survivors.select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    streamed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    shard_bins = toks.groupBy("shard").agg(
+        F.floor((F.sum("n_tokens") + PACK_BUDGET - 1) / PACK_BUDGET)
+        .cast("bigint")
+        .alias("n_bins")
+    )
+    w_base = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = shard_bins.select(
+        "shard",
+        F.coalesce(F.sum("n_bins").over(w_base), F.lit(0)).alias("bin_base"),
+    )
+    return (
+        streamed.join(F.broadcast(bases), "shard")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("bin_base")
+                + F.floor(
+                    (F.col("cum") - F.col("n_tokens")).cast("double")
+                    / PACK_BUDGET
+                )
+            )
+            .cast("bigint")
+            .alias("bin"),
+            ((F.col("cum") - F.col("n_tokens")) % PACK_BUDGET)
+            .cast("bigint")
+            .alias("offset_in_bin"),
+        )
+    )

@@ -355,3 +355,24 @@ def test_shuffle_shards_is_permutation(spark):
     assert set(by_shard) <= set(range(N_SHARDS))
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+# ------------------------------------------------- corpus build
+
+
+def test_corpus_build_packing_invariants(spark):
+    """The capstone plan's packing must cover exactly the curation
+    survivors, with in-bin offsets under the budget and every doc's
+    start-bin consistent with its shard's running sum."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        PACK_BUDGET,
+        pipeline_corpus_build,
+        pipeline_curation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    built = pipeline_corpus_build(spark, sf).collect()
+    survivors = {r["doc_id"] for r in pipeline_curation(spark, sf).collect()}
+    assert {r["doc_id"] for r in built} == survivors
+    assert all(0 <= r["offset_in_bin"] < PACK_BUDGET for r in built)
+    assert all(r["bin"] >= 0 for r in built)

@@ -149,6 +149,7 @@ HEADLINE = [
     "mm_ahash_pairs",
     "sim_binary_rerank",
     "pipeline_shuffle_shards",
+    "pipeline_corpus_build",
 ]
 
 
