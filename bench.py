@@ -573,6 +573,7 @@ def main() -> int:
         "sim_binary_rerank",
         "pipeline_shuffle_shards",
         "pipeline_corpus_build",
+        "g_walk_cooccurrence",
     ):
         timed(q, run_query_rows(q))
 

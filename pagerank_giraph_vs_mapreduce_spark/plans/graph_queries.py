@@ -1147,3 +1147,80 @@ def g_link_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = derived_edges(spark, sf_dir)
     return adamic_adar_topk(raw, hub_cap=AA_HUB_CAP, k=AA_TOP_K)
+
+
+COOC_WINDOW = 2
+COOC_TOP_K = 20
+
+
+def _walk_cooc_oracle(steps: int, window: int, k: int) -> str:
+    """Reuse the unrolled deterministic-walk CTEs, wrap the step UNION
+    into a ``walks`` CTE, then count skip-gram pairs within the window."""
+    ctes = [f"w0 AS (SELECT id AS walk, id AS v FROM verts WHERE id % {WALK_MOD} = 0)"]
+    for s in range(1, steps + 1):
+        ctes.append(
+            f"""s{s} AS (
+  SELECT walk, v FROM (
+    SELECT w.walk, e.dst AS v,
+           row_number() OVER (PARTITION BY w.walk
+               ORDER BY md5(CAST(w.walk AS VARCHAR) || '|{s}|'
+                            || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM {'w0' if s == 1 else f's{s - 1}'} w JOIN edges e ON e.src = w.v)
+  WHERE rn = 1)"""
+        )
+    selects = ["SELECT walk, CAST(0 AS INT) AS step, v AS vertex FROM w0"] + [
+        f"SELECT walk, CAST({s} AS INT) AS step, v AS vertex FROM s{s}"
+        for s in range(1, steps + 1)
+    ]
+    walks = "\nUNION ALL\n".join(selects)
+    return f"""{GRAPH_CTES},
+{','.join(ctes)},
+walks AS ({walks})
+SELECT least(a.vertex, b.vertex) AS v_a,
+       greatest(a.vertex, b.vertex) AS v_b,
+       CAST(count(*) AS BIGINT) AS n_cooc
+FROM walks a JOIN walks b
+  ON a.walk = b.walk AND a.step < b.step AND b.step - a.step <= {window}
+GROUP BY 1, 2
+ORDER BY n_cooc DESC, v_a, v_b LIMIT {k}"""
+
+
+@query(
+    "g_walk_cooccurrence",
+    oracle=_walk_cooc_oracle(WALK_STEPS, COOC_WINDOW, COOC_TOP_K),
+)
+def g_walk_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk/node2vec training-pair generation: skip-gram
+    co-occurrence counts over the deterministic walk corpus (vertex
+    pairs within ±COOC_WINDOW steps of the same walk, unordered, top-20).
+    The step that turns a graph into an embedding-training dataset —
+    downstream is any word2vec-style trainer. Scale shape: the pair
+    generator is a per-walk self-join bounded by walk_len x window
+    (never O(E)); counts are one map-side-combined aggregate keyed on
+    the pair. Walks replay identically across engines/retries
+    (hash-seeded successor choice), so the oracle unrolls them
+    exactly."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import random_walks
+
+    _, edges, verts, _ = _graph_parts(spark, sf_dir)
+    sources = verts.filter(F.col("id") % WALK_MOD == 0)
+    walks = random_walks(edges, sources, steps=WALK_STEPS)
+    a = walks.select(
+        F.col("walk"), F.col("step").alias("s_a"), F.col("vertex").alias("x_a")
+    )
+    b = walks.select(
+        F.col("walk"), F.col("step").alias("s_b"), F.col("vertex").alias("x_b")
+    )
+    pairs = a.join(b, "walk").filter(
+        (F.col("s_a") < F.col("s_b"))
+        & (F.col("s_b") - F.col("s_a") <= COOC_WINDOW)
+    )
+    return (
+        pairs.groupBy(
+            F.least("x_a", "x_b").alias("v_a"),
+            F.greatest("x_a", "x_b").alias("v_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .orderBy(F.desc("n_cooc"), "v_a", "v_b")
+        .limit(COOC_TOP_K)
+    )

@@ -376,3 +376,28 @@ def test_corpus_build_packing_invariants(spark):
     assert {r["doc_id"] for r in built} == survivors
     assert all(0 <= r["offset_in_bin"] < PACK_BUDGET for r in built)
     assert all(r["bin"] >= 0 for r in built)
+
+
+# ------------------------------------------------- walk co-occurrence
+
+
+def test_walk_cooccurrence_on_chain(spark):
+    """A single chain graph makes walks deterministic regardless of the
+    hash seed (one successor each) — the skip-gram pairs of a 3-step
+    walk from vertex 0 with window 2 are exactly enumerable."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import random_walks
+
+    edges = make_edges(spark, [(0, 1), (1, 2), (2, 3)])
+    sources = spark.createDataFrame([(0,)], "id bigint")
+    walks = random_walks(edges, sources, steps=3)
+    rows = {(r["step"], r["vertex"]) for r in walks.collect()}
+    assert rows == {(0, 0), (1, 1), (2, 2), (3, 3)}
+    a = walks.select("walk", F.col("step").alias("s_a"), F.col("vertex").alias("x_a"))
+    b = walks.select("walk", F.col("step").alias("s_b"), F.col("vertex").alias("x_b"))
+    pairs = (
+        a.join(b, "walk")
+        .filter((F.col("s_a") < F.col("s_b")) & (F.col("s_b") - F.col("s_a") <= 2))
+        .select(F.least("x_a", "x_b").alias("v_a"), F.greatest("x_a", "x_b").alias("v_b"))
+    )
+    got = sorted((r["v_a"], r["v_b"]) for r in pairs.collect())
+    assert got == [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]

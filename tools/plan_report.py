@@ -150,6 +150,7 @@ HEADLINE = [
     "sim_binary_rerank",
     "pipeline_shuffle_shards",
     "pipeline_corpus_build",
+    "g_walk_cooccurrence",
 ]
 
 
