@@ -574,6 +574,7 @@ def main() -> int:
         "pipeline_shuffle_shards",
         "pipeline_corpus_build",
         "g_walk_cooccurrence",
+        "dedup_cdc_strip",
     ):
         timed(q, run_query_rows(q))
 

@@ -753,3 +753,67 @@ def cdc_repeated_chunks(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def cdc_strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    divisor: int = 64,
+    min_docs: int = 10,
+) -> DataFrame:
+    """Remove cross-document boilerplate spans: CDC-chunk every doc,
+    build the repeated-chunk blocklist (chunks in ≥ ``min_docs`` docs),
+    drop blocklisted chunks, reassemble the remaining chunks in order →
+    ``(id, n_chunks, n_dropped, clean_len, clean_md5)``. The cleaner
+    half of the cdc_repeated_chunks detector — what a curation pipeline
+    actually applies before training.
+
+    Scale shape: the blocklist is the tiny aggregate output (broadcast
+    back onto the chunk stream — never a shuffle of the corpus), and
+    reassembly is one per-doc aggregate over (idx, chunk) pairs.
+    min_docs sets the precision/recall point: high thresholds only
+    strip truly pervasive spans (licences, navigation chrome)."""
+    chunks = cdc_chunk_table(df, id_col, text_col, window, divisor)
+    block = (
+        chunks.groupBy(F.md5("chunk").alias("chunk_md5"))
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("chunk_md5")
+    )
+    marked = chunks.join(
+        F.broadcast(block),
+        F.md5(F.col("chunk")) == block.chunk_md5,
+        "left",
+    ).select(
+        "id",
+        "chunk_idx",
+        "chunk",
+        F.col("chunk_md5").isNotNull().alias("dropped"),
+    )
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(
+                ~F.col("dropped"),
+                F.struct(F.col("chunk_idx").alias("idx"), F.col("chunk").alias("c")),
+            )
+        )
+    )
+    return (
+        marked.groupBy(F.col("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.col("dropped").cast("bigint")).alias("n_dropped"),
+            F.concat_ws(
+                "", F.transform(kept_sorted, lambda s: s["c"])
+            ).alias("_clean"),
+        )
+        .select(
+            "id",
+            "n_chunks",
+            "n_dropped",
+            F.length("_clean").cast("bigint").alias("clean_len"),
+            F.md5("_clean").alias("clean_md5"),
+        )
+    )

@@ -938,3 +938,78 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "chunk_md5")
         .limit(20)
     )
+
+
+CDC_STRIP_MIN_DOCS = 10
+
+
+def _cdc_strip_oracle(w: int, d: int, min_docs: int) -> str:
+    from pagerank_giraph_vs_mapreduce_spark.functions.hashing import CODE_MOD, MULT
+
+    terms = " + ".join(
+        f"CAST(ascii(substr(dd.text, s + {k}, 1)) AS BIGINT) * {MULT ** (w - 1 - k)}"
+        for k in range(w)
+    )
+    code = f"(({terms}) % {CODE_MOD})"
+    return f"""WITH docs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) >= 1),
+b AS (
+  SELECT doc_id, text, n,
+         list_filter(range(1, greatest(n - {w} + 1, 0) + 1),
+                     s -> {code} % {d} = 0) AS bstarts
+  FROM docs dd),
+e2 AS (
+  SELECT doc_id, text, n,
+         CASE WHEN len(bends) > 0 AND bends[-1] = n THEN bends
+              ELSE list_append(bends, n) END AS ends
+  FROM (SELECT doc_id, text, n,
+               list_transform(bstarts, s -> s + {w} - 1) AS bends FROM b)),
+fl AS (
+  SELECT doc_id, u.idx AS chunk_idx, u.chunk AS chunk
+  FROM (SELECT doc_id,
+               list_transform(range(1, len(ends) + 1),
+                 i -> struct_pack(idx := i,
+                      chunk := substr(text,
+                        CASE WHEN i = 1 THEN 0 ELSE ends[i-1] END + 1,
+                        ends[i] - CASE WHEN i = 1 THEN 0 ELSE ends[i-1] END))) AS cl
+        FROM e2) t,
+       LATERAL (SELECT unnest(cl, recursive := true)) u),
+blocklist AS (
+  SELECT md5(chunk) AS bmd5 FROM fl
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {min_docs}),
+marked AS (
+  SELECT f.doc_id, f.chunk_idx, f.chunk,
+         (bl.bmd5 IS NOT NULL) AS dropped
+  FROM fl f LEFT JOIN blocklist bl ON bl.bmd5 = md5(f.chunk)),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         string_agg(CASE WHEN dropped THEN '' ELSE chunk END, ''
+                    ORDER BY chunk_idx) AS clean
+  FROM marked GROUP BY doc_id)
+SELECT doc_id AS id, n_chunks, n_dropped,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_md5
+FROM agg"""
+
+
+@query(
+    "dedup_cdc_strip",
+    oracle=_cdc_strip_oracle(CDC_W, CDC_D, CDC_STRIP_MIN_DOCS),
+)
+def dedup_cdc_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaner half of the CDC boilerplate story: chunks repeated in
+    ≥10 distinct docs form the blocklist (a tiny aggregate, broadcast
+    back), blocklisted chunks are dropped, and each doc's remaining
+    chunks reassemble in order — emitted as (n_chunks, n_dropped,
+    clean_len, clean_md5) so corruption anywhere in the strip/reassembly
+    is a hash mismatch (operators/dedup.py:cdc_strip_boilerplate)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        cdc_strip_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_strip_boilerplate(
+        docs, "doc_id", "text", CDC_W, CDC_D, CDC_STRIP_MIN_DOCS
+    )

@@ -58,6 +58,7 @@ _PRIORITY = (
     # --- new in r07 (third wave): must certify
     "pipeline_corpus_build",  # NEW: gate->dedup->pack capstone, one plan
     "g_walk_cooccurrence",  # NEW: DeepWalk skip-gram pair generation
+    "dedup_cdc_strip",  # NEW: blocklist-strip + reassembly (CDC cleaner)
     "mm_ahash_pairs",  # NEW: perceptual-hash image dedup via the blocker
     "sim_binary_rerank",  # NEW: sign-bit 32x quantization + hamming rerank
     "pipeline_shuffle_shards",  # NEW: deterministic epoch shuffle/sharding

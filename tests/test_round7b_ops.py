@@ -401,3 +401,41 @@ def test_walk_cooccurrence_on_chain(spark):
     )
     got = sorted((r["v_a"], r["v_b"]) for r in pairs.collect())
     assert got == [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]
+
+
+def test_cdc_strip_identity_without_blocklist(spark, sf_dir):
+    """With an unreachable min_docs threshold the strip is the identity:
+    every doc reassembles to its own md5 with zero dropped chunks."""
+    import hashlib
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        cdc_strip_boilerplate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    out = cdc_strip_boilerplate(docs, "doc_id", "text", min_docs=10**9).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        t = texts[r["id"]]
+        assert r["n_dropped"] == 0
+        assert r["clean_len"] == len(t)
+        assert r["clean_md5"] == hashlib.md5(t.encode()).hexdigest()
+
+
+def test_cdc_strip_removes_planted_boilerplate(spark):
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        cdc_strip_boilerplate,
+    )
+
+    licence = (
+        "licensed under the apache license version two point zero you may "
+        "not use this file except in compliance with the license obtain a "
+        "copy at the usual location and carry on with your day "
+    )
+    rows = [(i, f"unique preamble number {i * 7919} " + licence) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["id"]: r for r in cdc_strip_boilerplate(
+        df, "doc_id", "text", min_docs=8).collect()}
+    assert all(out[i]["n_dropped"] >= 1 for i in range(8))
+    assert all(out[i]["clean_len"] < len(rows[i][1]) for i in range(8))

@@ -151,6 +151,7 @@ HEADLINE = [
     "pipeline_shuffle_shards",
     "pipeline_corpus_build",
     "g_walk_cooccurrence",
+    "dedup_cdc_strip",
 ]
 
 
