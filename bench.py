@@ -462,6 +462,23 @@ def main() -> int:
 
     timed("wcc_incremental_vs_full", run_wcc_incremental)
 
+    def run_adamic_adar_powerlaw() -> None:
+        """Link prediction on a 100k-vertex / 500k-edge power-law graph —
+        the shape the hub cap exists for (the derived TPC-H graph at
+        sf0.1 is uniformly dense, median degree 704, so the cap would
+        null it — see bench list note). Records the candidate-pair count
+        the cap admits; the capped fan-out is the operator's scale
+        claim (SCALING.md §22)."""
+        from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+            adamic_adar_topk,
+        )
+
+        edges = synth_powerlaw(100_000, 500_000, seed=11)
+        top = adamic_adar_topk(edges, hub_cap=256, k=20)
+        extras["adamic_adar_rows"] = top.count()
+
+    timed("adamic_adar_powerlaw_100k", run_adamic_adar_powerlaw)
+
     timed("pagerank_full", run_pagerank)
     timed("pagerank_skewed_3iter", run_pagerank_skewed)
     timed("pagerank_large_3iter", run_pagerank_large)
@@ -564,7 +581,10 @@ def main() -> int:
         "source_warc_records",
         # round-7 third wave
         "dedup_cdc_chunks",
-        "g_link_adamic_adar",
+        # (g_link_adamic_adar benches on a synthetic power-law graph below:
+        # the derived TPC-H graph at sf0.1 is uniformly dense — median
+        # undirected degree 704 — so the hub cap of 256 would null the
+        # transit set and the timing would measure an empty plan)
         "sim_matryoshka_rerank",
         "text_entropy",
         "source_jsonl_gz",

@@ -345,3 +345,44 @@ def test_gif_roundtrip_property(w, h, interlace, data):
     assert d is not None and (d["width"], d["height"]) == (w, h)
     fw, fh, rgb = d["frames"][0]
     assert bytes(rgb[3 * i] for i in range(w * h)) == idx  # gray palette
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=0, max_size=400),
+        min_size=1,
+        max_size=5,
+    ),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=1, max_size=40),
+)
+def test_cdc_chunks_properties(spark, texts, prefix):
+    """Content-defined chunking on ARBITRARY printable-ASCII inputs:
+    (1) chunks reassemble byte-exact (every non-empty doc), and
+    (2) shift-resilience — prepending a prefix preserves every chunk of
+    the original from the second chunk on (the property that makes CDC
+    hashes edit-stable where fixed blocks are not)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
+        cdc_chunk_table,
+    )
+
+    shifted = [prefix + t for t in texts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)]
+        + [(1000 + i, t) for i, t in enumerate(shifted)],
+        "doc_id bigint, text string",
+    )
+    rows = cdc_chunk_table(df, "doc_id", "text").collect()
+    by_doc: dict[int, list[str]] = {}
+    for r in sorted(rows, key=lambda r: (r["id"], r["chunk_idx"])):
+        by_doc.setdefault(r["id"], []).append(r["chunk"])
+    for i, t in enumerate(texts):
+        if t:
+            assert "".join(by_doc[i]) == t, (i, t)
+        if t and (1000 + i) in by_doc:
+            assert "".join(by_doc[1000 + i]) == prefix + t
+            tail = by_doc[i][1:]
+            if tail:
+                assert by_doc[1000 + i][-len(tail):] == tail, (i, t, prefix)
