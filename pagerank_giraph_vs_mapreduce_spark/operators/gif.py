@@ -286,9 +286,18 @@ def encode_gif(
     Animated when len(frames) > 1 (no GCE timing — stats pipelines
     don't consume delays)."""
     n_colors = len(palette) // 3
+    # Validate up front: depth = max(2, (n_colors-1).bit_length()) always
+    # satisfies 2 << (depth-1) >= n_colors, so a post-hoc check there is dead
+    # code — a >256-color palette would instead silently overflow the 3-bit
+    # GCT size field (0x80 | (depth-1)) and emit min_code_size > 8, which the
+    # GIF spec caps at 8 (corrupt output). Reject before computing flags.
+    if n_colors < 2 or n_colors > 256:
+        raise ValueError(f"palette must hold 2..256 colors, got {n_colors}")
+    if n_colors & (n_colors - 1):
+        raise ValueError(f"palette not power-of-two sized: {n_colors} colors")
+    if len(palette) % 3:
+        raise ValueError("palette length must be a multiple of 3")
     depth = max(2, (n_colors - 1).bit_length())
-    if 2 << ((depth - 1)) < n_colors:
-        raise ValueError("palette not power-of-two sized")
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
     out += palette.ljust(3 * (2 << (depth - 1)), b"\x00")

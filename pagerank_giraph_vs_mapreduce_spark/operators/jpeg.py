@@ -372,12 +372,22 @@ def _decode_inner(data: bytes, keep_pixels: bool) -> dict | None:
     frame = None  # (h, w, [(cid, fh, fv, tq)])
     restart_interval = 0
     scan = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
+        # Spec-legal 0xFF fill bytes may pad between segments (B.1.1.2):
+        # skip repeats so the byte after the last 0xFF is the marker code.
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # Standalone (length-less) markers: TEM, RSTn, stray SOI.
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            return None
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen

@@ -908,11 +908,18 @@ def matryoshka_topk(
 def _pack_sign_bits(vec: Column, offset: int, width: int = 32) -> Column:
     """BIGINT with bit d set iff ``vec[offset+d] > 0`` — 32 dims per
     word keeps every bit below the sign bit (no ANSI overflow, and the
-    unrolled when-chain stays inside whole-stage codegen)."""
+    unrolled when-chain stays inside whole-stage codegen).
+
+    Uses ``try_element_at`` so a vector shorter than ``offset+width``
+    contributes sign bit 0 for the absent dims (NULL > 0 is NULL →
+    otherwise-branch) instead of throwing INVALID_ARRAY_INDEX mid-scan
+    under ANSI mode; callers that require exactly 64 dims assert via
+    ``_require_dim`` before packing."""
     total = F.lit(0).cast("long")
     for d in range(width):
         total = total + F.when(
-            F.element_at(vec, offset + d + 1) > 0, F.lit(1 << d).cast("long")
+            F.try_element_at(vec, F.lit(offset + d + 1)) > 0,
+            F.lit(1 << d).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
     return total
 

@@ -48,78 +48,28 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-7 budget math (r06 recorded exactly 50 rows, all green, covering the
-# r06 head down through g_triangle_count; cumulative newest-driver-row ages
-# after r06: 21 queries at r02, 43 at r03, 44 at r04): first the queries NEW
-# or code-changed this round, then ALL remaining r02-era rows, then r03 rows
-# up to the ~50 budget. The rest of the r03 tail and the r04 cohort are
-# queued immediately after so r08's budget retires them without editing.
+# Round-8 budget math (r07 recorded exactly 50 rows, all green; cumulative
+# newest-driver-row ages after r07: 5 queries at r02, 39 at r03, 43 at r04):
+# first the queries NEW or code-changed this round (~6), then ALL 44 r02/r03
+# rows — VERDICT r07 "Next round" #1: after CORRECTNESS_r08, no registered
+# query's newest driver row may be older than r04. 6 + 44 = the full budget;
+# the r04 cohort queues immediately after for r09.
 _PRIORITY = (
-    # --- new in r07 (third wave): must certify
-    "pipeline_corpus_build",  # NEW: gate->dedup->pack capstone, one plan
-    "g_walk_cooccurrence",  # NEW: DeepWalk skip-gram pair generation
-    "dedup_cdc_strip",  # NEW: blocklist-strip + reassembly (CDC cleaner)
-    "mm_ahash_pairs",  # NEW: perceptual-hash image dedup via the blocker
-    "sim_binary_rerank",  # NEW: sign-bit 32x quantization + hamming rerank
-    "pipeline_shuffle_shards",  # NEW: deterministic epoch shuffle/sharding
-    "dedup_cdc_chunks",  # NEW: content-defined chunking boilerplate detector
-    "g_link_adamic_adar",  # NEW: hub-capped common-neighbor link prediction
-    "sim_matryoshka_rerank",  # NEW: prefix-dim shortlist + full-width rerank
-    "text_entropy",  # NEW: per-row char-entropy quality gate
-    "source_jsonl_gz",  # NEW: gzip JSONL ingest (Common Crawl delivery shape)
-    "storage_partition_prune",  # NEW: hive-partitioned write + pruned scan
-    # --- new in r07: must certify
-    "mm_jpeg_decode",  # NEW: real baseline-JPEG decoder through the seam
-    "pipeline_rag_retrieve_encoder",  # NEW: mapInPandas model swap, same plan
-    "text_bpe_merges_k64",  # NEW: 64-merge scaled BPE trainer, md5 gate
-    "g_pagerank_hubsplit_k3",  # NEW: broadcast hub routing, same oracle
-    "mm_gif_decode",  # NEW: real GIF/LZW decoder through the seam
-    "mm_gif_frames",  # NEW: real per-frame decode of an animated format
-    "mm_resize_jpeg",  # NEW: full-pixel JPEG decode -> nearest resize
-    "pipeline_rag_mmr",  # NEW: MMR diversity rerank over the top-pool
-    "source_tar_members",  # NEW: real tar container expansion
-    "source_warc_records",  # NEW: Common Crawl WARC parsing (gzip members)
-    # --- code-changed in r07: re-certify
-    # (shared polyhash moved to the one-pass char-array helper; bloom probe
-    # column/quoting hardened; scatter join refactored through
-    # scatter_gather; BPE oracle CTEs materialized; stream source now
-    # raises on partial drain)
-    "pipeline_rag_retrieve",  # polyhash helper + factored scoring
-    "text_feature_hash_64",  # polyhash helper
-    "text_fingerprint",  # polyhash helper (weight_mod 64)
-    "pipeline_dsir_resample",  # consumes text_feature_hash_64
-    "rel_bloom_semi_join",  # __bloom_bits alias + quoted key
-    "stream_python_source",  # loud TimeoutError on partial drain
-    "storage_time_travel",  # versioned.py vacuum grace window
-    "text_bpe_merges_k3",  # oracle CTEs AS MATERIALIZED
-    "text_bpe_encode",  # oracle CTEs AS MATERIALIZED
-    "g_pagerank_k3",  # superstep now routes through scatter_gather
-    "g_pagerank_top20",  # same kernel
-    "g_pagerank_incremental",  # same kernel, warm start
-    # --- rotation: the last rows whose newest driver evidence is r02
-    "g_two_hop_count",
-    "sql_exists_correlated",
-    "sql_grouping_sets",
-    "sql_unpivot",
-    "sql_posexplode",
-    "edge_parse_snap",
-    "win_session_30m",
-    "win_sliding_1h_30m",
-    "win_tumbling_15m",
-    "text_lang_id",
-    "text_regexp_tokens",
-    "text_token_stats",
-    "fn_sketch_bounds",
-    "fn_stats_agg",
-    "fn_win_frames",
-    "fn_agg_breadth",
+    # --- new in r08: must certify
+    "text_bpe_merges_k64_batched",  # NEW: top-B non-overlapping merges/round
+    "g_link_aa_pervertex",  # NEW: per-vertex top-k Adamic-Adar candidates
+    "mm_webp_decode",  # NEW: real VP8L (WebP-lossless) decoder
+    "source_avro_roundtrip",  # NEW: pure-Python Avro OCF reader
+    # --- code-changed in r08: re-certify
+    "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
+    "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
+    # --- rotation: ALL remaining r02-era rows (fn_* tail)
+    "fn_c5_c6",
+    "fn_date_arith",
     "fn_hash_sample",
     "fn_math",
-    "fn_date_arith",
     "fn_null_semantics",
-    "fn_c5_c6",
-    # --- rotation: r03-era rows (graph core + relational head fill the
-    # remainder of the ~50 budget; the rest queue for r08)
+    # --- rotation: ALL remaining r03-era rows
     "g_vertex_universe",
     "g_graph_counts",
     "g_out_degree",
@@ -127,14 +77,10 @@ _PRIORITY = (
     "g_scatter_contribs",
     "g_gather_sum",
     "g_wcc_k4",
-    "g_pagerank_weighted_k3",
     "g_bfs_hops_k4",
     "g_ppr_k3",
     "g_degree_hist",
     "g_lpa_r3",
-    # ---- ~50-row budget line (r07 gate reaches about here: the 6
-    # third-wave entries above push the r03 graph tail's last rows and
-    # everything below into r08's budget; all r02-era rows still fit) ----
     "rel_q1_pricing",
     "rel_join_q3",
     "rel_broadcast_dim_join",
@@ -158,13 +104,13 @@ _PRIORITY = (
     "sql_array_funcs",
     "sql_higher_order",
     "sql_map_funcs",
-    "sql_recursive_bfs_k3",
     "pipeline_curation_funnel",
     "pipeline_chunk_dedup",
     "text_vocab_top20",
     "text_chunks",
     "stream_vocab_top20",
-    # --- r04 cohort (newest driver row r04), queued behind the r03 tail
+    # ---- ~50-row budget line (r08 gate reaches about here) ----
+    # --- r04 cohort (newest driver row r04), queued for r09
     "mm_features",
     "mm_png_decode",
     "text_tfidf_top_term",
@@ -206,6 +152,24 @@ _PRIORITY = (
     "rel_q15_top_supplier",
     "rel_q17_small_quantity",
     "source_json_corrupt_records",
+    "g_pagerank_weighted_k3",
+    "sql_recursive_bfs_k3",
+    "g_two_hop_count",
+    "sql_exists_correlated",
+    "sql_grouping_sets",
+    "sql_unpivot",
+    "sql_posexplode",
+    "edge_parse_snap",
+    "win_session_30m",
+    "win_sliding_1h_30m",
+    "win_tumbling_15m",
+    "text_lang_id",
+    "text_regexp_tokens",
+    "text_token_stats",
+    "fn_sketch_bounds",
+    "fn_stats_agg",
+    "fn_win_frames",
+    "fn_agg_breadth",
 )
 
 

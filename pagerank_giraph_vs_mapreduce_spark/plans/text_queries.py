@@ -526,6 +526,163 @@ def text_bpe_merges_k64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_BATCH = 16  # merges per driver round in the batched trainer
+BPE_BATCH_ROUNDS = 8  # oracle unroll depth (engine needs ~ceil(64/13) rounds)
+
+
+def _bpe_batched_oracle(
+    merges: int, batch: int, rounds: int, gate_hexmax: str
+) -> str:
+    """DuckDB replay of operators/text.py:bpe_learn_batched: per round,
+    rank the pair counts, greedy-select up to ``batch`` symbol-disjoint
+    pairs from the top-``4*batch`` candidate pool with a RECURSIVE CTE
+    (the linear scan carrying the used-symbol list), then apply the
+    whole batch in one gaps-and-islands merge replay. Rounds past the
+    point where ``merges`` total pairs are selected pick nothing and
+    replay as identity, so a fixed ``rounds`` unroll ≥ the engine's
+    data-dependent round count reproduces its output exactly."""
+    pool = 4 * batch
+    ctes = [
+        f"""bw AS MATERIALIZED (
+  SELECT t.tok AS w, count(*) AS cnt
+  FROM documents, LATERAL unnest(
+    list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != '')
+  ) AS t(tok)
+  WHERE substr(md5(text), 1, 1) < '{gate_hexmax}'
+  GROUP BY t.tok)""",
+        """bs0 AS MATERIALIZED (
+  SELECT w, cnt,
+         list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)) AS syms
+  FROM bw)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"bs{r - 1}"
+        picked_so_far = (
+            " - ".join(
+                [str(merges)]
+                + [f"(SELECT count(*) FROM bk{j})" for j in range(1, r)]
+            )
+            if r > 1
+            else str(merges)
+        )
+        ctes.append(
+            f"""bp{r} AS MATERIALIZED (
+  SELECT l.pair, CAST(sum(cnt) AS BIGINT) AS n_occ
+  FROM {prev}, LATERAL unnest(list_transform(range(1, len(syms)),
+       i -> syms[i] || ' ' || syms[i + 1])) AS l(pair)
+  GROUP BY l.pair)"""
+        )
+        ctes.append(
+            f"""bc{r} AS MATERIALIZED (
+  SELECT pair, n_occ,
+         row_number() OVER (ORDER BY n_occ DESC, pair) AS rk,
+         LEAST({batch}, {picked_so_far}) AS cap
+  FROM bp{r} ORDER BY n_occ DESC, pair LIMIT {pool})"""
+        )
+        # greedy non-overlap scan: rank by rank, carrying the used set
+        sel_cond = (
+            "g.n_sel < c.cap"
+            " AND NOT list_contains(g.used, string_split(c.pair, ' ')[1])"
+            " AND NOT list_contains(g.used, string_split(c.pair, ' ')[2])"
+            " AND NOT list_contains(g.used, replace(c.pair, ' ', ''))"
+        )
+        ctes.append(
+            f"""bg{r} AS (
+  SELECT 0 AS rk, CAST(NULL AS VARCHAR) AS pair,
+         CAST(NULL AS BIGINT) AS n_occ, false AS sel,
+         CAST([] AS VARCHAR[]) AS used, 0 AS n_sel
+  UNION ALL
+  SELECT c.rk, c.pair, c.n_occ, {sel_cond} AS sel,
+         CASE WHEN {sel_cond} THEN list_concat(g.used,
+              [string_split(c.pair, ' ')[1], string_split(c.pair, ' ')[2],
+               replace(c.pair, ' ', '')]) ELSE g.used END AS used,
+         g.n_sel + CASE WHEN {sel_cond} THEN 1 ELSE 0 END AS n_sel
+  FROM bg{r} g JOIN bc{r} c ON c.rk = g.rk + 1)"""
+        )
+        ctes.append(
+            f"""bk{r} AS MATERIALIZED (
+  SELECT pair, n_occ, row_number() OVER (ORDER BY rk) AS rn
+  FROM bg{r} WHERE sel)"""
+        )
+        if r == rounds:
+            break
+        ctes.append(
+            f"""be{r} AS MATERIALIZED (
+  SELECT w, cnt, p.pos, syms[p.pos] AS s,
+         CASE WHEN p.pos < len(syms) THEN syms[p.pos + 1] END AS nxts,
+         COALESCE(CASE WHEN p.pos < len(syms)
+                  THEN syms[p.pos] || ' ' || syms[p.pos + 1] END
+                  IN (SELECT pair FROM bk{r}), false) AS ism
+  FROM {prev}, LATERAL unnest(range(1, len(syms) + 1)) AS p(pos))"""
+        )
+        ctes.append(
+            f"""bmm{r} AS MATERIALIZED (
+  SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+  FROM be{r} WHERE ism)"""
+        )
+        ctes.append(
+            f"""bsl{r} AS MATERIALIZED (
+  SELECT w, pos FROM (
+    SELECT w, pos, row_number() OVER (PARTITION BY w, grp ORDER BY pos) AS rk
+    FROM bmm{r}) WHERE rk % 2 = 1)"""
+        )
+        ctes.append(
+            f"""bs{r} AS MATERIALIZED (
+  SELECT e.w, e.cnt,
+         list(CASE WHEN sl.pos IS NOT NULL THEN e.s || e.nxts ELSE e.s END
+              ORDER BY e.pos) AS syms
+  FROM be{r} e
+  LEFT JOIN bsl{r} sl ON sl.w = e.w AND sl.pos = e.pos
+  LEFT JOIN bsl{r} sp ON sp.w = e.w AND sp.pos = e.pos - 1
+  WHERE sp.pos IS NULL
+  GROUP BY e.w, e.cnt)"""
+        )
+    selects = []
+    for r in range(1, rounds + 1):
+        offset = " + ".join(
+            ["0"] + [f"(SELECT count(*) FROM bk{j})" for j in range(1, r)]
+        )
+        selects.append(
+            f"SELECT CAST({offset} + rn AS INT) AS merge_round, pair, n_occ"
+            f" FROM bk{r}"
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@query(
+    "text_bpe_merges_k64_batched",
+    oracle=_bpe_batched_oracle(
+        BPE_MERGES_SCALED, BPE_BATCH, BPE_BATCH_ROUNDS, BPE_SAMPLE_HEXMAX
+    ),
+)
+def text_bpe_merges_k64_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (operators/text.py:bpe_learn_batched —
+    VERDICT r07 item 4): 64 merges in ~5 driver rounds instead of 64, by
+    greedy-selecting the top-16 symbol-disjoint pairs per round and
+    applying them in ONE map-literal fold. Symbol-disjointness makes the
+    simultaneous apply equal the sequential apply, so the only classic-BPE
+    deviation is that in-round counts are measured at round start —
+    documented in the operator and bounded by tests/test_round8_ops.py
+    (B=1 ≡ bpe_learn_scaled, batched ≡ pure-Python oracle). The DuckDB
+    oracle replays the greedy scan with a recursive CTE."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import (
+        bpe_learn_batched,
+    )
+
+    return bpe_learn_batched(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        merges=BPE_MERGES_SCALED,
+        merges_per_round=BPE_BATCH,
+        sample_hexmax=BPE_SAMPLE_HEXMAX,
+    )
+
+
 @query("text_bpe_encode", oracle=_bpe_encode_oracle(BPE_MERGES))
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLY (operators/text.py:bpe_encode_counts): per-doc

@@ -86,13 +86,22 @@ def tar_members(
 
 def _gunzip_members(data: bytes) -> bytes:
     """Concatenated decompression of a MULTI-MEMBER gzip stream (the
-    Common Crawl WARC layout: one gzip member per record)."""
+    Common Crawl WARC layout: one gzip member per record).
+
+    A corrupt member stops decompression but KEEPS the members already
+    decompressed — leading intact records still parse, matching the tar
+    path's degrade-don't-drop contract (a raising zlib.error here would
+    throw away the whole file for one bad record)."""
     out = bytearray()
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out += d.decompress(data[pos:])
-        out += d.flush()
+        try:
+            chunk = d.decompress(data[pos:])
+            chunk += d.flush()
+        except zlib.error:
+            break  # keep the members decompressed so far
+        out += chunk
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break
