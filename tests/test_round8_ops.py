@@ -262,3 +262,41 @@ def test_bpe_batched_fewer_driver_rounds(spark):
     picked = _bpe_greedy_select(ranked, 3)
     assert picked == [("a b", 10), ("c d", 8), ("e f", 7)]
     assert _bpe_greedy_select(ranked, 1) == [("a b", 10)]
+
+
+# ---------------------------------------------- 6. per-vertex Adamic-Adar
+
+def test_adamic_adar_pervertex_matches_rank_filtered_global(spark):
+    """Per-vertex top-k must equal the rank-k cut of the global scored
+    pair table exploded into both directions — same scores, same
+    (aa_score desc, cand asc) tie-break."""
+    from conftest import make_edges
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        adamic_adar_pervertex,
+        adamic_adar_topk,
+    )
+
+    pairs = [((i * 31 + 7) % 23, (i * 17 + 3) % 23) for i in range(80)]
+    edges = make_edges(spark, pairs)
+    full = {
+        (r["a"], r["b"]): (r["common_neighbors"], r["aa_score"])
+        for r in adamic_adar_topk(edges, hub_cap=10, k=10_000).collect()
+    }
+    # python-side per-vertex rank cut
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for (a, b), (cn, s) in full.items():
+        per[a].append((s, b, cn))
+        per[b].append((s, a, cn))
+    want = {}
+    for v, cands in per.items():
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (s, c, cn) in enumerate(cands[:2], start=1):
+            want[(v, c)] = (cn, s, rk)
+    got = {
+        (r["id"], r["cand"]): (r["common_neighbors"], r["aa_score"], r["rk"])
+        for r in adamic_adar_pervertex(edges, hub_cap=10, k=2).collect()
+    }
+    assert got == want
