@@ -38,6 +38,7 @@ class GraphTables:
     vertices: DataFrame  # (id BIGINT)
     links: DataFrame  # (src BIGINT, dst BIGINT, outdeg BIGINT) — deduped
     n_vertices: int
+    n_edges: int = 0  # deduped edge count (the links materialization count)
 
     def unpersist(self) -> None:
         self.vertices.unpersist()
@@ -86,6 +87,11 @@ def build_graph(
     if num_partitions:
         links = links.repartition(num_partitions, "src")
     links = links.persist(StorageLevel.MEMORY_AND_DISK)
-    links.count()  # materialize before the loop starts
+    n_edges = links.count()  # materialize before the loop starts
 
-    return GraphTables(vertices=vertices, links=links, n_vertices=n_vertices)
+    return GraphTables(
+        vertices=vertices,
+        links=links,
+        n_vertices=n_vertices,
+        n_edges=n_edges,
+    )

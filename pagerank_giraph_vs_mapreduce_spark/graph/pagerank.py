@@ -47,6 +47,11 @@ from pyspark.storagelevel import StorageLevel
 
 from pagerank_giraph_vs_mapreduce_spark.graph.builder import GraphTables, build_graph
 
+# "auto" hub-split floor: below this out-degree a src can't meaningfully
+# straggle a task, so tiny/test graphs (where E/partitions rounds to a few)
+# never take the broadcast branch and keep the exact unsplit plan.
+HUB_AUTO_FLOOR = 4096
+
 
 @dataclass
 class IterationStats:
@@ -78,6 +83,10 @@ class PageRankResult:
     # Graph build + rank init wall time — the reference's Setup phase
     # (Giraph's 19.06 s graph load on web-Google, README.md:228).
     build_seconds: float = 0.0
+    # Hub sources routed through the broadcast scatter branch (empty =
+    # plain path). Observability for the "auto" threshold: a uniform
+    # graph must report [] here.
+    hub_ids: list[int] = field(default_factory=list)
 
 
 def latest_checkpoint(spark, checkpoint_dir: str):
@@ -164,7 +173,7 @@ def pagerank(
     phase_timing: bool = False,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 10,
-    hub_split_outdeg: int | None = None,
+    hub_split_outdeg: int | None | str = "auto",
 ) -> PageRankResult:
     """Run PageRank over edges(src, dst); returns ranks + convergence history.
 
@@ -187,15 +196,19 @@ def pagerank(
     MR's documented 3.7× slowdown. Vertices missing from the provided state
     are seeded uniformly at 1/N.
 
-    ``hub_split_outdeg`` (default off) caps the per-task cost of hub
-    SOURCES: srcs whose out-degree exceeds the cap scatter through a
-    broadcast join of just their ranks (see ``scatter_gather``) instead
-    of piling their edge rows' join work onto the single task that owns
-    their hash partition. Set it so a single src's edges can't dominate
-    one partition (e.g. E/partitions); the id list it collects is at
-    most E/cap entries. Off by default because the derived test graphs
-    are uniform; the skewed bench entry and tests/test_skew_scatter.py
-    exercise it.
+    ``hub_split_outdeg`` caps the per-task cost of hub SOURCES: srcs
+    whose out-degree exceeds the cap scatter through a broadcast join of
+    just their ranks (see ``scatter_gather``) instead of piling their
+    edge rows' join work onto the single task that owns their hash
+    partition. Default ``"auto"`` (VERDICT r07 item 7) derives the cap
+    at build time as ``max(HUB_AUTO_FLOOR, E // shuffle_partitions)`` —
+    a src owning more edges than one partition's fair share IS the
+    straggler bound on a 1000-executor cluster, while the floor keeps
+    test-sized graphs (where E/P rounds to a few) off the split path.
+    On uniform graphs no src exceeds the fair share, so hub_ids is
+    empty and the plan is bit-identical to the unsplit path (pinned by
+    tests/test_skew_scatter.py). Pass an int to pin the cap manually or
+    ``None`` to disable; the id list collects at most E/cap entries.
 
     ``checkpoint_dir`` (default off — local behavior unchanged) writes the
     ranks table durably every ``checkpoint_every`` supersteps as parquet
@@ -254,6 +267,13 @@ def pagerank(
     # the per-superstep stats action) — and their scatter rides a broadcast
     # join every superstep (see scatter_gather).
     hub_ids: list[int] = []
+    if hub_split_outdeg == "auto":
+        shuffle_parts = int(
+            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        hub_split_outdeg = max(
+            HUB_AUTO_FLOOR, g.n_edges // max(shuffle_parts, 1)
+        )
     if hub_split_outdeg is not None:
         hub_ids = [
             r["src"]
@@ -342,7 +362,13 @@ def pagerank(
     if own_graph:
         g.unpersist()
     return PageRankResult(
-        result, n, iterations, converged, history, build_seconds=build_seconds
+        result,
+        n,
+        iterations,
+        converged,
+        history,
+        build_seconds=build_seconds,
+        hub_ids=hub_ids,
     )
 
 

@@ -137,3 +137,57 @@ def test_pagerank_hub_split_matches_unsplit_ranks(spark):
     rb = {r["id"]: r["pr"] for r in b.ranks.collect()}
     assert set(ra) == set(rb)
     assert all(abs(ra[k] - rb[k]) < 1e-12 for k in ra)
+
+
+def test_hub_split_auto_threshold(spark):
+    """VERDICT r07 item 7: the default hub_split_outdeg='auto' derives
+    the cap from max(HUB_AUTO_FLOOR, E // shuffle_partitions) at build
+    time — uniform graphs report no hub ids (plain scatter plan, no
+    Union/broadcast branch), a 50%-hub graph routes exactly the hub
+    through the broadcast branch with NO manual knob, and the ranks
+    match the unsplit run bit-for-bit."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        HUB_AUTO_FLOOR,
+        pagerank,
+        scatter_gather,
+    )
+
+    # uniform: every outdeg ~ E/V, far below both floor and fair share
+    uniform = spark.range(20_000).select(
+        (F.col("id") % 500).alias("src"),
+        ((F.col("id") * 7 + 1) % 500).alias("dst"),
+    )
+    res_u = pagerank(uniform, max_iter=2, tol=-1.0, min_iter=0)
+    assert res_u.hub_ids == []
+
+    # hub: src 0 owns 20k distinct dsts; E=40k, P=8 -> fair share 5k,
+    # threshold = max(4096, 5000) = 5000 < 20000 -> auto-split fires
+    hub = spark.range(40_000).select(
+        F.when(F.col("id") < 20_000, F.lit(0))
+        .otherwise(F.col("id") % 100 + 1)
+        .cast("long")
+        .alias("src"),
+        F.col("id").cast("long").alias("dst"),
+    )
+    assert HUB_AUTO_FLOOR < 20_000
+    res_h = pagerank(hub, max_iter=2, tol=-1.0, min_iter=0)
+    assert res_h.hub_ids == [0]
+
+    # ranks identical to the explicitly-unsplit run
+    res_n = pagerank(hub, max_iter=2, tol=-1.0, min_iter=0, hub_split_outdeg=None)
+    ra = {r["id"]: r["pr"] for r in res_h.ranks.collect()}
+    rb = {r["id"]: r["pr"] for r in res_n.ranks.collect()}
+    assert ra == rb
+
+    # plan shape: the split branch unions a broadcast join; plain doesn't
+    # (ranks0 built union-free — g.vertices' universe lineage has a Union)
+    g = build_graph(hub)
+    ranks0 = spark.range(40_001).select(
+        F.col("id").cast("long").alias("id"),
+        F.lit(1.0 / g.n_vertices).alias("pr"),
+    )
+    split_plan = scatter_gather(g.links, ranks0, [0])._jdf.queryExecution().analyzed().toString()
+    plain_plan = scatter_gather(g.links, ranks0, [])._jdf.queryExecution().analyzed().toString()
+    assert "Union" in split_plan and "Union" not in plain_plan
+    g.unpersist()
