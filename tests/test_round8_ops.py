@@ -300,3 +300,95 @@ def test_adamic_adar_pervertex_matches_rank_filtered_global(spark):
         for r in adamic_adar_pervertex(edges, hub_cap=10, k=2).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------------ 7. Avro OCF
+
+def test_avro_ocf_roundtrip_all_types():
+    from pagerank_giraph_vs_mapreduce_spark.sources.avro_ocf import (
+        parse_avro_bytes,
+        write_avro_ocf,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "u", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "int"}},
+            {"name": "e", "type": {"type": "enum", "name": "E",
+                                    "symbols": ["A", "B", "C"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "Fx",
+                                     "size": 4}},
+            {"name": "nested", "type": {"type": "record", "name": "N",
+                "fields": [{"name": "x", "type": "long"}]}},
+        ],
+    }
+    recs = [
+        {"b": True, "i": -1, "l": 2**40, "f": 0.5, "d": -3.25,
+         "s": "héllo", "by": b"\x00\xff", "u": None, "arr": [1, -2, 3],
+         "m": {"k1": 7, "k2": -9}, "e": "B", "fx": b"abcd",
+         "nested": {"x": -(2**50)}},
+        {"b": False, "i": 0, "l": -1, "f": 1.5, "d": 0.0,
+         "s": "", "by": b"", "u": 42, "arr": [], "m": {}, "e": "C",
+         "fx": b"\x00\x01\x02\x03", "nested": {"x": 0}},
+    ] * 3
+    for codec in ("null", "deflate"):
+        blob = write_avro_ocf(recs, schema, codec=codec, blocks=3)
+        got_schema, got = parse_avro_bytes(blob)
+        assert got_schema == schema
+        assert got == recs
+
+
+def test_avro_ocf_degrades_on_corrupt_block():
+    from pagerank_giraph_vs_mapreduce_spark.sources.avro_ocf import (
+        parse_avro_bytes,
+        write_avro_ocf,
+    )
+
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "v", "type": "long"}]}
+    recs = [{"v": i} for i in range(10)]
+    blob = write_avro_ocf(recs, schema, codec="null", blocks=2)
+    # find the second block: after header+sync, block1(count,size,body,sync)
+    # corrupt the tail sync of the last block -> framing break after block1
+    broken = blob[:-8] + b"\x00" * 8
+    _, got = parse_avro_bytes(broken)
+    assert got == recs[:5]  # first block survives
+    # truncated mid-block
+    _, got2 = parse_avro_bytes(blob[: len(blob) - 20])
+    assert got2 == recs[:5]
+    # not avro at all
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an avro"):
+        parse_avro_bytes(b"PAR1xxxx")
+
+
+def test_avro_reader_handles_negative_array_block_counts():
+    """The spec allows array/map blocks with negative counts followed by
+    a byte size; our writer never emits them but the reader must accept
+    foreign encoders that do."""
+    from pagerank_giraph_vs_mapreduce_spark.sources.avro_ocf import (
+        _decode_value,
+        _zigzag_encode,
+    )
+
+    schema = {"type": "array", "items": "long"}
+    body = bytearray()
+    # block of -2 items (negative => byte size follows), items 7, 8
+    items = _zigzag_encode(7) + _zigzag_encode(8)
+    body += _zigzag_encode(-2)
+    body += _zigzag_encode(len(items))
+    body += items
+    body += _zigzag_encode(0)
+    got, _pos = _decode_value(schema, bytes(body), 0)
+    assert got == [7, 8]
