@@ -198,11 +198,12 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def _decode_stub(payload: bytes) -> dict:
     """STUB decoder — deterministic byte statistics standing in for media
-    decodes this repo has no codec for (progressive JPEG, WebP, video).
-    Swap this function for the real codec; the Spark plumbing around it
-    (schema, batching, partitioning) is the tested contract. PNG and
-    baseline JPEG do not reach here — ``decode_png`` and ``decode_jpeg``
-    are the real thing."""
+    decodes this repo has no codec for (progressive JPEG, lossy-VP8 WebP,
+    video). Swap this function for the real codec; the Spark plumbing
+    around it (schema, batching, partitioning) is the tested contract.
+    PNG, baseline JPEG, GIF and lossless WebP do not reach here —
+    ``decode_png``/``decode_jpeg``/``decode_gif``/``decode_webp`` are the
+    real thing."""
     if payload is None or len(payload) == 0:
         return {"n_bytes": 0, "first_byte": -1, "byte_mean": 0.0}
     return {
@@ -247,6 +248,24 @@ def _decode_dispatch(payload: bytes, declared_format: str | None) -> dict:
                 "byte_mean": None,
                 "format": "image/jpeg",
                 **jpg,
+            }
+    if (
+        payload is not None
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WEBP"
+    ):
+        from pagerank_giraph_vs_mapreduce_spark.operators.webp import (
+            decode_webp,
+        )
+
+        wp = decode_webp(payload)
+        if wp is not None:
+            return {
+                "n_bytes": len(payload),
+                "first_byte": payload[0],
+                "byte_mean": None,
+                "format": "image/webp",
+                **wp,
             }
     if payload is not None and bytes(payload[:4]) == b"GIF8":
         from pagerank_giraph_vs_mapreduce_spark.operators.gif import (
@@ -483,6 +502,57 @@ def gif_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(batches, schema)
 
 
+WEBP_W, WEBP_H = 16, 4  # 64 px, one per text byte (the GIF/PNG shape)
+
+
+def webp_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload BINARY, meta STRUCT): each doc's first 64 text
+    bytes (space-padded) as a REAL lossless-WebP (VP8L) 16x4 grayscale
+    image — full prefix coding, greedy LZ77 and a 5-bit color cache, so
+    text with repeats exercises the backref and cache decode paths.
+    Lossless: decoded RGB pixel_mean equals the byte mean exactly."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.webp import encode_webp
+
+    n_px = WEBP_W * WEBP_H
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("format", T.StringType()),
+                        T.StructField("n_bytes", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                bs = (text or "").encode("utf-8")[:n_px].ljust(n_px, b" ")
+                px = [0xFF000000 | (b << 16) | (b << 8) | b for b in bs]
+                payloads.append(
+                    encode_webp(px, WEBP_W, WEBP_H, cache_bits=5)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "meta": [
+                        {"format": "image/webp", "n_bytes": len(p)}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(batches, schema)
+
+
 def gif_animated_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, payload BINARY): a REAL 4-frame animated GIF per doc —
     frame f holds text bytes [16f, 16f+16) (space-padded) as a 16x1
@@ -663,6 +733,31 @@ def decode_pixels(payload: bytes) -> tuple[int, int, int, bytes] | None:
         if g is not None:
             fw, fh, rgb = g["frames"][0]
             return fw, fh, 3, rgb
+    if (
+        payload is not None
+        and bytes(payload[:4]) == b"RIFF"
+        and bytes(payload[8:12]) == b"WEBP"
+    ):
+        from pagerank_giraph_vs_mapreduce_spark.operators.webp import (
+            decode_webp,
+        )
+
+        wp = decode_webp(payload, keep_pixels=True)
+        if wp is not None:
+            ch = wp["channels"]
+            buf = bytearray()
+            for p in wp["pixels"]:
+                buf += bytes(
+                    ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+                    if ch == 3
+                    else (
+                        (p >> 16) & 0xFF,
+                        (p >> 8) & 0xFF,
+                        p & 0xFF,
+                        (p >> 24) & 0xFF,
+                    )
+                )
+            return wp["width"], wp["height"], ch, bytes(buf)
     return None
 
 

