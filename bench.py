@@ -92,6 +92,37 @@ def main() -> int:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
 
+    # Memory-ceiling probes (SCALING.md §23): multi-minute one-off graph
+    # builds that are NOT part of the default suite — they run only when
+    # named explicitly (`python bench.py pagerank_s5scale_5iter`). Results
+    # persist under BENCH_full.json["probes"]; per-round suite runs carry
+    # the stored probe rows forward instead of re-paying the build.
+    probes: dict[str, dict] = {}
+
+    def timed_probe(name: str, fn) -> None:
+        if name not in only:
+            return
+        cur: dict = {}
+        t0 = time.monotonic()
+        fn(cur)
+        cur["sec"] = round(time.monotonic() - t0, 3)
+        probes[name] = cur
+        spark.catalog.clearCache()
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    def cache_residency() -> tuple[int, int]:
+        # (memory bytes, disk bytes) across all currently cached blocks —
+        # disk > 0 means the MEMORY_AND_DISK links cache spilled past the
+        # storage pool, the regime the s5 probe exists to measure.
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return (
+            int(sum(i.memSize() for i in infos)),
+            int(sum(i.diskSize() for i in infos)),
+        )
+
     def run_query(name: str):
         return lambda: QUERIES[name](spark, sf_dir).count()
 
@@ -334,6 +365,71 @@ def main() -> int:
         # synthetic graph; record the final value so the early stop is
         # auditable rather than surprising.
         extras["pagerank_s3conv_final_avg_diff"] = res.history[-1].avg_diff
+
+    def run_pagerank_s5scale(out: dict) -> None:
+        """s5 memory-ceiling probe (SCALING.md §23, VERDICT r07 item 2):
+        30M V / 500M E power-law — ~3.3x the s4 probe, ~7.2x the S3
+        headline — 5 forced supersteps through the standard kernel.
+        Records the build, the full superstep curve, and whether the
+        MEMORY_AND_DISK links cache spilled past the storage pool (the
+        question a 1000-executor deployment asks per-executor). Run with
+        SPARK_DRIVER_MEM=96g: the point is the single-box ceiling, not an
+        artificial 16g squeeze."""
+        res = pagerank(
+            synth_powerlaw(30_000_000, 500_000_000),
+            max_iter=5,
+            tol=-1.0,
+            min_iter=0,
+        )
+        secs = [h.seconds for h in res.history]
+        out["n_vertices"] = res.n_vertices
+        out["n_edges"] = 500_000_000
+        out["build_sec"] = round(res.build_seconds, 3)
+        out["iter_secs"] = [round(s, 3) for s in secs]
+        out["iter_median_sec"] = round(sorted(secs)[len(secs) // 2], 3)
+        out["iter_last_sec"] = round(secs[-1], 3)
+        mem_b, disk_b = cache_residency()
+        out["cache_mem_bytes"] = mem_b
+        out["cache_disk_bytes"] = disk_b
+        out["driver_mem"] = os.environ.get("SPARK_DRIVER_MEM", "16g")
+
+    timed_probe("pagerank_s5scale_5iter", run_pagerank_s5scale)
+
+    def run_pagerank_s5skew(out: dict) -> None:
+        """Hub-split on/off delta at s5 scale (VERDICT r07 item 2): same
+        30M V / 500M E, but ONE source owns 10% of all edges (50M out-
+        edges — far past the auto threshold E/shuffle_partitions). Builds
+        the graph once, then 3 forced supersteps with the auto hub split
+        vs. hub split disabled. On 32 local threads the absolute delta is
+        bounded by core count; the structural claim (one task owning a
+        50M-edge scatter partition is a 1/32 → 1/1000 straggler on a real
+        cluster) is what §23 documents."""
+        from pyspark.sql import functions as F
+
+        from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
+
+        n_v, n_e = 30_000_000, 500_000_000
+        e = spark.range(n_e)
+        edges = e.select(
+            F.when(F.col("id") % 10 < 1, F.lit(0))
+            .otherwise(F.abs(F.xxhash64(F.col("id"), F.lit(21))) % n_v)
+            .alias("src"),
+            (F.abs(F.xxhash64(F.col("id"), F.lit(22))) % n_v).alias("dst"),
+        )
+        t0 = time.monotonic()
+        g = build_graph(edges)
+        out["build_sec"] = round(time.monotonic() - t0, 3)
+        res_split = pagerank(edges, graph=g, max_iter=3, tol=-1.0, min_iter=0)
+        out["split_iter_secs"] = [round(h.seconds, 3) for h in res_split.history]
+        res_plain = pagerank(
+            edges, graph=g, max_iter=3, tol=-1.0, min_iter=0,
+            hub_split_outdeg=None,
+        )
+        out["plain_iter_secs"] = [round(h.seconds, 3) for h in res_plain.history]
+        out["split_last_sec"] = out["split_iter_secs"][-1]
+        out["plain_last_sec"] = out["plain_iter_secs"][-1]
+
+    timed_probe("pagerank_s5skew_3iter", run_pagerank_s5skew)
 
     def run_pagerank_s1_srcskew() -> None:
         """Hub stress at reference S1 scale: 875k V / 5.1M E with ONE
@@ -730,19 +826,11 @@ def main() -> int:
 
     timed("text_bpe_merges_k64", run_bpe_k64)
 
-    unknown = only - set(timings)
+    unknown = only - set(timings) - set(probes)
     if unknown:
         print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    full = {
-        "metric": "headline_suite_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        **extras,
-    }
     # Full artifact committed in-repo: the driver captures only a ~2000-char
     # stdout tail, so the complete per-query dict lives here (BENCH came back
     # "parsed": null in rounds 1-6 because the single stdout line outgrew
@@ -750,6 +838,35 @@ def main() -> int:
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
     )
+    prior: dict = {}
+    if os.path.exists(full_path):
+        try:
+            with open(full_path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            prior = {}
+    if only:
+        # Solo/probe mode: update only the entries this invocation ran;
+        # never clobber the committed full-suite artifact with a partial
+        # dict (pre-r08 solo runs did exactly that).
+        full = prior or {"metric": "headline_suite_total", "unit": "sec"}
+        full.setdefault("queries", {}).update(timings)
+        full.update(extras)
+    else:
+        full = {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            **extras,
+        }
+    # Probes (multi-minute one-offs, SCALING.md §23) persist across suite
+    # runs: a fresh full-suite write carries stored probe rows forward.
+    all_probes = dict(prior.get("probes", {}))
+    all_probes.update(probes)
+    if all_probes:
+        full["probes"] = all_probes
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
         f.write("\n")

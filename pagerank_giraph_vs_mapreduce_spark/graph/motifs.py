@@ -38,7 +38,14 @@ def closed_triangles(edges: DataFrame) -> DataFrame:
     wedge rows on a single task. Each triangle appears exactly once (its
     three vertices in some orientation-determined order).
     """
-    eo = undirect_dedup(edges)
+    return closed_triangles_of(undirect_dedup(edges))
+
+
+def closed_triangles_of(eo: DataFrame) -> DataFrame:
+    """closed_triangles over an ALREADY-canonical edge set ``(u < v,
+    deduped, no self-loops)`` — the per-round entry point for k-truss
+    peeling, where re-canonicalizing the shrinking survivor set every
+    round would waste a distinct per iteration."""
     # Undirected degree: each canonical edge contributes to both endpoints.
     ud = (
         eo.select(F.col("u").alias("id"))
@@ -290,3 +297,53 @@ def adamic_adar_topk(
     return _aa_scored_non_edges(edges, hub_cap).orderBy(
         F.desc("aa_score"), F.asc("a"), F.asc("b")
     ).limit(k)
+
+
+def ktruss_edges(edges: DataFrame, k: int = 4, rounds: int = 3) -> DataFrame:
+    """``rounds`` rounds of k-truss peeling on the undirected deduped
+    graph: each round computes per-edge triangle support (the number of
+    triangles the edge closes among CURRENT survivors) and keeps edges
+    with support >= k-2. With enough rounds this converges to the
+    k-truss — the densest-cohesion subgraph family one step up from
+    k-core (every surviving edge sits in >= k-2 surviving triangles). A
+    fixed round count keeps it expressible as an unrolled SQL oracle,
+    the same discipline as g_kcore64_r4 / g_pagerank_k3.
+
+    Scale shape: each round is one degree-oriented triangle enumeration
+    over the surviving canonical edge set (closed_triangles_of — wedge
+    work O(E^1.5), no hub-keyed quadratic task), one map-side-combined
+    support aggregate over 3 pair projections, one filter. The edge set
+    only shrinks; survivors materialize per round via eager
+    localCheckpoint (the PageRank-loop lineage discipline — without it
+    round r re-executes every round before it). Edges in no triangle
+    have support 0 and are dropped in round 1 for any k >= 3.
+
+    Returns the surviving canonical edges ``(u BIGINT, v BIGINT)``, u < v.
+    """
+    e = undirect_dedup(edges).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        tri = closed_triangles_of(e)
+        pairs = (
+            tri.select(
+                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+            )
+            .unionAll(
+                tri.select(
+                    F.least("x", "z").alias("u"),
+                    F.greatest("x", "z").alias("v"),
+                )
+            )
+            .unionAll(
+                tri.select(
+                    F.least("y", "z").alias("u"),
+                    F.greatest("y", "z").alias("v"),
+                )
+            )
+        )
+        supp = pairs.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c"))
+        e = (
+            supp.filter(F.col("c") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return e

@@ -4,7 +4,7 @@ operators (functions/hashing.py) so both engines hash identically.
 
 The testdata documents are all-distinct at sf0.01, so near-dup queries run
 over ``docs2`` — documents plus verbatim copies of every doc_id % 10 == 0
-under id+10000 — giving known true duplicates while keeping everything
+under id+1000000000 — giving known true duplicates while keeping everything
 reconstructable in SQL.
 """
 
@@ -38,7 +38,7 @@ ROWS_PER_BAND = 6
 DOCS2_SQL = """docs2 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
 
 # Distinct (id, code) shingle codes — mirrors operators.dedup.shingles.
 SHINGLES_SQL = f"""sh AS (
@@ -83,7 +83,7 @@ jac AS (
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (F.col("doc_id") + 1000000000).alias("doc_id"), "text"
     )
     return docs.unionAll(dups)
 
@@ -434,7 +434,7 @@ def pipeline_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 {JACCARD_SQL},
 detected AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
 planted AS (
-  SELECT doc_id AS id_a, doc_id + 10000 AS id_b FROM documents
+  SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b FROM documents
   WHERE doc_id % 10 = 0),
 hit AS (
   SELECT count(*) AS n_hit FROM planted p
@@ -449,7 +449,7 @@ FROM hit""",
 def dedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup quality measurement — the 'measure, don't guess' companion to
     the MinHash pipeline: recall of minhash_near_dups against the KNOWN
-    planted duplicates (doc_id ↔ doc_id+10000 exact copies in the doubled
+    planted duplicates (doc_id ↔ doc_id+1000000000 exact copies in the doubled
     corpus). Planted exact dups have identical signatures, so every banded
     bucket contains both — recall must be 1.0; n_detected additionally
     counts organic near-dup pairs the word-salad corpus happens to
@@ -467,7 +467,7 @@ def dedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("id_a"),
-        (F.col("doc_id") + 10000).alias("id_b"),
+        (F.col("doc_id") + 1000000000).alias("id_b"),
     )
     hit = planted.join(pairs, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("n_hit")
@@ -495,9 +495,9 @@ def dedup_recall_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""WITH docs2 AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
 newb AS (
-  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+  SELECT doc_id + 2000000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
 alld AS (SELECT * FROM docs2 UNION ALL SELECT * FROM newb),
 {SHINGLES_SQL.replace("FROM docs2", "FROM alld")},
 {SIG_SQL},
@@ -505,7 +505,7 @@ alld AS (SELECT * FROM docs2 UNION ALL SELECT * FROM newb),
 cand AS (
   SELECT DISTINCT a.id AS id_new, b.id AS id_old
   FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-  WHERE a.id >= 20000 AND b.id < 20000),
+  WHERE a.id >= 2000000000 AND b.id < 2000000000),
 {JACCARD_SQL.replace("c.id_a", "c.id_new").replace("c.id_b", "c.id_old")
              .replace("i.id_a", "i.id_new").replace("i.id_b", "i.id_old")
              .replace("id_a,", "id_new,").replace("id_a AS", "id_new AS")
@@ -520,18 +520,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (asymmetric candidate join new x old, never old x old, never
     all-pairs), so daily cost tracks batch size while the corpus index is
     a static bucketed table. Fixture: corpus = docs with doc_id % 5 != 0
-    plus the usual planted +10000 copies; batch = the % 5 == 0 docs
-    re-ingested at +20000 — every batch doc whose original text also
+    plus the usual planted +1000000000 copies; batch = the % 5 == 0 docs
+    re-ingested at +2000000000 — every batch doc whose original text also
     appears in the corpus must be flagged. Returns (id_new, dup_of,
     best_jaccard) for flagged batch docs."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0).unionAll(
         docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            (F.col("doc_id") + 1000000000).alias("doc_id"), "text"
         )
     )
     batch = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+        (F.col("doc_id") + 2000000000).alias("doc_id"), "text"
     )
     alld = corpus.unionAll(batch)
     from pagerank_giraph_vs_mapreduce_spark.operators.dedup import (
@@ -546,7 +546,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = banded.select(F.col("id").alias("id_old"), "band", "bkey")
     cand = (
         a.join(b, ["band", "bkey"])
-        .filter((F.col("id_new") >= 20000) & (F.col("id_old") < 20000))
+        .filter((F.col("id_new") >= 2000000000) & (F.col("id_old") < 2000000000))
         .select("id_new", "id_old")
         .distinct()
     )
@@ -596,7 +596,7 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str) -> str:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0).unionAll(
         docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            (F.col("doc_id") + 1000000000).alias("doc_id"), "text"
         )
     )
     sig = minhash_signatures(corpus, "doc_id", "text", N_HASHES, SHINGLE_LEN)
@@ -616,9 +616,9 @@ def _corpus_band_index(spark: SparkSession, sf_dir: str) -> str:
     oracle=f"""WITH docs2 AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
 newb AS (
-  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
+  SELECT doc_id + 2000000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0),
 alld AS (SELECT * FROM docs2 UNION ALL SELECT * FROM newb),
 {SHINGLES_SQL.replace("FROM docs2", "FROM alld")},
 {SIG_SQL},
@@ -626,7 +626,7 @@ alld AS (SELECT * FROM docs2 UNION ALL SELECT * FROM newb),
 cand AS (
   SELECT DISTINCT a.id AS id_new, b.id AS id_old
   FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-  WHERE a.id >= 20000 AND b.id < 20000),
+  WHERE a.id >= 2000000000 AND b.id < 2000000000),
 {JACCARD_SQL.replace("c.id_a", "c.id_new").replace("c.id_b", "c.id_old")
              .replace("i.id_a", "i.id_new").replace("i.id_b", "i.id_old")
              .replace("id_a,", "id_new,").replace("id_a AS", "id_new AS")
@@ -655,7 +655,7 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _corpus_band_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     batch = docs.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+        (F.col("doc_id") + 2000000000).alias("doc_id"), "text"
     )
     sig_new = minhash_signatures(batch, "doc_id", "text", N_HASHES, SHINGLE_LEN)
     banded_new = banded_keys(sig_new, bands=BANDS, rows_per_band=ROWS_PER_BAND)
@@ -675,7 +675,7 @@ def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = docs.filter(F.col("doc_id") % 5 != 0).unionAll(
         docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+            (F.col("doc_id") + 1000000000).alias("doc_id"), "text"
         )
     )
     # verify cost is O(batch + MATCHED old docs), never O(corpus): only

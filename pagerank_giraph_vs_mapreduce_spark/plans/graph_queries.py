@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
 from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
     kcore_survivors,
+    ktruss_edges,
     local_clustering,
     triangle_count,
     two_hop_count,
@@ -521,6 +522,53 @@ def g_kcore64_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over the shrinking survivor set)."""
     _, edges, _, _ = _graph_parts(spark, sf_dir)
     return kcore_survivors(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 3
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel: per round, canonical triangle enumeration
+    (u < v edges, so each triangle x < y < z appears once), per-edge
+    support via 3 pair projections, filter support >= k-2."""
+    parts = [
+        f"""{GRAPH_CTES},
+e0 AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM edges WHERE src <> dst)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+tri{i} AS (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM e{i - 1} a
+  JOIN e{i - 1} b ON b.u = a.v
+  JOIN e{i - 1} c ON c.u = a.u AND c.v = b.v),
+supp{i} AS (
+  SELECT u, v, count(*) AS c FROM (
+    SELECT x AS u, y AS v FROM tri{i}
+    UNION ALL SELECT x AS u, z AS v FROM tri{i}
+    UNION ALL SELECT y AS u, z AS v FROM tri{i})
+  GROUP BY u, v),
+e{i} AS (SELECT u, v FROM supp{i} WHERE c >= {k - 2})"""
+        )
+    parts.append(f"\nSELECT u, v FROM e{rounds}")
+    return "".join(parts)
+
+
+@query("g_ktruss4_r3", oracle=_ktruss_oracle(KTRUSS_K, KTRUSS_ROUNDS))
+def g_ktruss4_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of 4-truss peeling — the edge-cohesion kernel one
+    step up from k-core: every surviving edge must close >= k-2 = 2
+    triangles among current survivors each round. Fixed round count
+    keeps it expressible as an unrolled SQL oracle (the g_kcore64_r4
+    discipline); implementation: graph/motifs.py:ktruss_edges
+    (degree-oriented per-round triangle enumeration, O(E^1.5) wedge
+    work, eager localCheckpoint per round on the shrinking edge set)."""
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    return ktruss_edges(edges, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
 
 
 LPA_ROUNDS = 3

@@ -9,9 +9,14 @@ certifies the composition, not a re-derivation.
 Input is ``docs3``: documents plus two planted duplicate classes that
 exercise both dedup stages —
 
-  +10000  verbatim copies of doc_id %% 10 == 0   (caught by exact dedup)
-  +20000  near-copies of doc_id %% 10 == 5 with ' zz' appended
-          (same md5? no — caught by MinHash at jaccard >= 0.8)
+  +DUP_OFFSET    verbatim copies of doc_id %% 10 == 0  (caught by exact dedup)
+  +2*DUP_OFFSET  near-copies of doc_id %% 10 == 5 with ' zz' appended
+                 (same md5? no — caught by MinHash at jaccard >= 0.8)
+
+DUP_OFFSET is 1e9, not a table-sized constant: a fixed +10000 silently
+collides with real doc_ids once the documents table exceeds 10000 rows
+(sf >= ~1) and the planted "duplicates" become id-aliased real docs —
+the same trap bench.py's semantic_k64 entry documents for vec_ids.
 """
 
 from __future__ import annotations
@@ -44,6 +49,9 @@ from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
 LANG = "en"
 MIN_QUALITY = 0.5
 NEAR_THRESHOLD = 0.8
+# Planted-duplicate id offset — far past any realistic doc_id range so the
+# synthetic dup classes never alias real documents at higher scale factors.
+DUP_OFFSET = 1_000_000_000
 
 # Pipeline CTE chain shared by both queries. The exact-dedup survivors are
 # named ``docs2`` because dedup_queries' SHINGLES_SQL/SIG_SQL fragments
@@ -51,9 +59,9 @@ NEAR_THRESHOLD = 0.8
 PIPELINE_CTES = f"""docs3 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 20000 AS doc_id, text || ' zz' AS text
+  SELECT doc_id + {2 * DUP_OFFSET} AS doc_id, text || ' zz' AS text
   FROM documents WHERE doc_id % 10 = 5),
 padded_docs AS (
   SELECT doc_id, text, concat(' ', text, ' ') AS padded FROM docs3),
@@ -94,10 +102,10 @@ final AS (
 def _docs3(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     verbatim = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
     )
     near = docs.filter(F.col("doc_id") % 10 == 5).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
+        (F.col("doc_id") + 2 * DUP_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
     )
     return docs.unionAll(verbatim).unionAll(near)
@@ -195,9 +203,9 @@ def pipeline_curation_staged_funnel(spark: SparkSession, sf_dir: str) -> DataFra
     oracle=f"""WITH docs3 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + {DUP_OFFSET} AS doc_id, text FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 20000 AS doc_id, text || ' zz' AS text
+  SELECT doc_id + {2 * DUP_OFFSET} AS doc_id, text || ' zz' AS text
   FROM documents WHERE doc_id % 10 = 5),
 base AS (
   SELECT doc_id, text,
@@ -1266,4 +1274,154 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("offset_in_bin"),
         )
+    )
+
+
+WSAMPLE_K = 64
+WSAMPLE_SHARDS = 8
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle=f"""WITH w AS (
+  SELECT doc_id, n_chars AS w, doc_id % {WSAMPLE_SHARDS} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS okey
+  FROM documents),
+lc AS (
+  SELECT doc_id, w, shard,
+         CAST(sum(w) OVER (PARTITION BY shard ORDER BY okey, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lcum
+  FROM w),
+st AS (SELECT shard, CAST(sum(w) AS BIGINT) AS tot FROM w GROUP BY shard),
+bs AS (
+  SELECT shard,
+         CAST(COALESCE(sum(tot) OVER (ORDER BY shard
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+  FROM st),
+tw AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM w),
+c AS (
+  SELECT l.doc_id, l.w, b.base + l.lcum AS cum
+  FROM lc l JOIN bs b ON l.shard = b.shard),
+p AS (
+  SELECT doc_id, w,
+         CAST((cum * {WSAMPLE_K}) // tot_w
+              - ((cum - w) * {WSAMPLE_K}) // tot_w AS BIGINT) AS n_picks
+  FROM c, tw)
+SELECT doc_id, w, n_picks FROM p WHERE n_picks >= 1""",
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional systematic sample of 64 slots over the
+    documents table (weight = n_chars) — the deterministic weighted
+    subsampling step of a data-mixing pipeline (sample tokens, not docs).
+
+    Every row owns the half-open weight interval (cum-w, cum] of a global
+    weight axis; slot s lands at weight (s + 1) * W / K, so a row is
+    picked once per slot boundary its interval crosses:
+    n_picks = floor(cum*K/W) - floor((cum-w)*K/W). A doc heavier than
+    W/K can take several slots (multiplicity reported in ``n_picks``, the
+    with-replacement fact of systematic sampling); zero-weight docs own an
+    empty interval and are never picked.
+
+    Design for determinism AND scale — the alternative A-ES exponential
+    sort (-ln(u)/w keys) needs libm transcendentals whose last ulp is
+    engine-specific, so it cannot hash-match a second engine; this
+    formulation is pure BIGINT arithmetic (``div``, not double division —
+    exact at every boundary). The global cumulative sum is NOT a global
+    sort: per-shard window cumsums + broadcast per-shard bases (the
+    pipeline_pack_sequences discipline), so the only serialized work is
+    the 8-row base prefix-sum.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("w")
+    )
+    keyed = docs.select(
+        "doc_id",
+        "w",
+        (F.col("doc_id") % WSAMPLE_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+    )
+    ws = (
+        Window.partitionBy("shard")
+        .orderBy("okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lc = keyed.withColumn("lcum", F.sum("w").over(ws))
+    st = keyed.groupBy("shard").agg(F.sum("w").alias("tot"))
+    wb = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bs = st.select(
+        "shard", F.coalesce(F.sum("tot").over(wb), F.lit(0)).alias("base")
+    )
+    tot = docs.agg(F.sum("w").alias("tot_w"))
+    c = (
+        lc.join(F.broadcast(bs), "shard")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "w",
+            (F.col("base") + F.col("lcum")).alias("cum"),
+            "tot_w",
+        )
+    )
+    p = c.select(
+        "doc_id",
+        "w",
+        (
+            F.expr(f"(cum * {WSAMPLE_K}) div tot_w")
+            - F.expr(f"((cum - w) * {WSAMPLE_K}) div tot_w")
+        ).alias("n_picks"),
+    )
+    return p.filter(F.col("n_picks") >= 1)
+
+
+DOMAIN_CAP = 40
+
+
+@query(
+    "pipeline_domain_cap",
+    oracle=f"""WITH ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+  FROM documents)
+SELECT doc_id, source, rk FROM ranked WHERE rk <= {DOMAIN_CAP}""",
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap: keep at most 40 documents per
+    ``source``, by deterministic priority (longest first, doc_id
+    tie-break) — the anti-domination gate every web-corpus build runs so
+    one boilerplate-heavy domain cannot own the training mix.
+
+    Scale shape: a naive row_number() window keys EVERY row of a domain
+    onto one task — a whale domain (100M pages of one site in a crawl) is
+    a straggler by construction. This plan is the two-phase top-k: first
+    a window over (source, input partition) keeps at most 40
+    rows per domain PER PARTITION (each task sees only its own split's
+    rows), then the global window ranks the <= cap * n_partitions
+    survivors per domain — bounded regardless of domain size. The final
+    ranking is partition-layout-independent because the priority order
+    (n_chars DESC, doc_id) is a strict total order and phase 1 keeps a
+    superset of every global top-40.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    local = Window.partitionBy("source", "pid").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    pruned = (
+        docs.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(local))
+        .filter(F.col("lrk") <= DOMAIN_CAP)
+    )
+    final = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "rk")
     )

@@ -60,9 +60,16 @@ _PRIORITY = (
     "g_link_aa_pervertex",  # NEW: per-vertex top-k Adamic-Adar candidates
     "mm_webp_decode",  # NEW: real VP8L (WebP-lossless) decoder
     "source_avro_roundtrip",  # NEW: pure-Python Avro OCF reader
+    "g_ktruss4_r3",  # NEW: k-truss peeling (edge-cohesion kernel)
+    "pipeline_weighted_sample",  # NEW: integer-exact systematic w-sampling
+    "pipeline_domain_cap",  # NEW: two-phase per-domain top-k cap
+    "source_jsonl_bz2",  # NEW: splittable-codec JSONL round-trip
     # --- code-changed in r08: re-certify
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
     "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
+    "pipeline_curation",  # planted-dup offsets now scale-safe (1e9)
+    "dedup_incremental",  # same offset change
+    "dedup_semantic",  # same offset change (vec_id planted dups)
     # --- rotation: ALL remaining r02-era rows (fn_* tail)
     "fn_c5_c6",
     "fn_date_arith",

@@ -201,7 +201,7 @@ def sim_ivf_top5_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB2_SQL = """emb2 AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)"""
+  SELECT vec_id + 1000000000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)"""
 
 
 @query(
@@ -214,7 +214,7 @@ WHERE round({_sql_cos('a.embedding', 'b.embedding')}, 6) >= 0.99""",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over embeddings + planted verbatim
-    copies (vec_id % 10 == 0 at +10000). Spark prunes candidates through
+    copies (vec_id % 10 == 0 at +1000000000). Spark prunes candidates through
     LSH buckets; the oracle brute-forces all pairs — same survivors."""
     from pagerank_giraph_vs_mapreduce_spark.operators.similarity import (
         embedding_near_dups,
@@ -222,7 +222,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1000000000).alias("vec_id"), "embedding"
     )
     emb2 = emb.unionAll(dups)
     planes = emb.filter(
@@ -256,10 +256,10 @@ WHERE a.vec_id NOT IN (SELECT vec_id FROM dom)""",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup: cluster-then-prune semantic deduplication over embeddings
-    + planted verbatim copies (vec_id % 10 == 0 replanted at +10000). The
+    + planted verbatim copies (vec_id % 10 == 0 replanted at +1000000000). The
     codebook is the 8 data-derived centroids; each planted copy shares its
     original's cluster (identical vector → identical argmax) and is
-    dominated by it at cos=1.0, so no +10000 id survives. The oracle
+    dominated by it at cos=1.0, so no +1000000000 id survives. The oracle
     replays assignment and the EXISTS-dominance rule brute-force; Spark
     routes pairs through the centroid_id equi-join only
     (operators/similarity.py:semantic_dedup)."""
@@ -269,7 +269,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dups = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + 1000000000).alias("vec_id"), "embedding"
     )
     return semantic_dedup(
         emb.unionAll(dups), _centroids(spark, sf_dir), threshold=0.99

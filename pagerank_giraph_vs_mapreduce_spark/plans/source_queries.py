@@ -640,6 +640,26 @@ def source_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(back)
 
 
+@query("source_jsonl_bz2", oracle=_ROUNDTRIP_ORACLE)
+def source_jsonl_bz2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> bzip2-compressed JSON-lines -> read back -> per-lang
+    aggregate. The splittable-codec answer to source_jsonl_gz's caveat:
+    bzip2 is a block codec (~900 KB blocks with a scannable block magic),
+    so Hadoop's BZip2Codec implements SplittableCompressionCodec and ONE
+    multi-GB .jsonl.bz2 file still fans out across tasks — unlike gzip,
+    where file count caps parallelism. The tradeoff is compression speed
+    (bzip2 is CPU-heavy on write); at 100 TB the usual play is bzip2 or
+    seekable-zstd for long-lived text at rest, gzip only for
+    many-small-member deliveries."""
+    out = _staging_dir("src_jsonl_bz2_", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs.write.mode("overwrite").option("compression", "bzip2").json(out)
+    back = spark.read.schema(_DOC_SCHEMA).json(out)
+    return _roundtrip_agg(back)
+
+
 PRUNE_LANG = "en"
 
 _PRUNE_ORACLE = f"""SELECT source,

@@ -127,7 +127,7 @@ def test_band_index_probe_does_not_shuffle_index(spark, sf_oracle_dir):
         spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
         .select("doc_id", "text")
         .filter(F.col("doc_id") % 5 == 0)
-        .select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + 2000000000).alias("doc_id"), "text")
     )
     sig = minhash_signatures(docs, "doc_id", "text", N_HASHES, SHINGLE_LEN)
     banded = banded_keys(sig, bands=BANDS, rows_per_band=ROWS_PER_BAND)

@@ -186,12 +186,12 @@ def test_leakage_safe_split_keeps_near_dups_together(spark, sf_oracle_dir):
     load_all_queries()
     split = QUERIES["pipeline_split_leakage_safe"](spark, sf_oracle_dir)
     by_doc = {r["doc_id"]: (r["canonical_id"], r["split"]) for r in split.collect()}
-    # the doubled corpus plants exact near-dups: doc_id and doc_id+10000
-    planted = [d for d in by_doc if d + 10000 in by_doc]
+    # the doubled corpus plants exact near-dups: doc_id and doc_id+1000000000
+    planted = [d for d in by_doc if d + 1000000000 in by_doc]
     assert planted, "fixture should contain planted near-dup pairs"
     for d in planted:
-        assert by_doc[d][1] == by_doc[d + 10000][1], (
-            f"near-dup pair {d}/{d + 10000} straddles the split"
+        assert by_doc[d][1] == by_doc[d + 1000000000][1], (
+            f"near-dup pair {d}/{d + 1000000000} straddles the split"
         )
     # both classes present
     assert {s for _, s in by_doc.values()} == {"train", "test"}
