@@ -334,3 +334,155 @@ def fn_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("n_exact")
         ).alias("union_within_5pct"),
     )
+
+
+@query(
+    "fn_cms_heavy_hitters",
+    oracle="""WITH js(j) AS (VALUES (0), (1), (2)),
+buckets AS (
+  SELECT j,
+    CAST(('0x' || substr(md5('cms' || j || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+         AS UBIGINT) % 256 AS b
+  FROM events, js
+),
+sketch AS (SELECT j, b, count(*) AS c FROM buckets GROUP BY 1, 2),
+users AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+probes AS (
+  SELECT user_id, exact_cnt, j,
+    CAST(('0x' || substr(md5('cms' || j || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+         AS UBIGINT) % 256 AS b
+  FROM users, js
+),
+est AS (
+  SELECT user_id, exact_cnt, min(c) AS cms_est
+  FROM probes JOIN sketch USING (j, b) GROUP BY 1, 2
+)
+SELECT user_id, exact_cnt, cms_est, cms_est >= exact_cnt AS never_underestimates
+FROM est WHERE cms_est >= 75""",
+)
+def fn_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, hash-matchable across engines.
+
+    Unlike ``fn_sketch_bounds``/``fn_hll_union_rollup`` (whose estimators
+    are library-specific, so only error envelopes are comparable), this CMS
+    is built from first principles on md5 — a hash both engines compute
+    identically — so the oracle reproduces the sketch bit-for-bit and the
+    gate checks exact estimates, not just bounds. d=3 rows x w=256 buckets;
+    row hashes are the top 60 bits of md5("cms{j}:" || key) mod w.
+
+    Scale shape: the sketch build is ONE pass over events (explode to d
+    rows per event, then a map-side-combinable groupBy on (j, bucket) —
+    3*w=768 cells total regardless of input size); the probe side joins
+    the 768-cell sketch BROADCAST against the distinct keys. At 100 TB
+    the sketch is the only fixed-memory way to screen for heavy keys
+    before an exact per-key count of the survivors; the CMS one-sided
+    error guarantee (never underestimates) is asserted per row."""
+    ev = load_table(spark, sf_dir, "events")
+    w, d, thresh = 256, 3, 75
+
+    def bucket(j: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{j}:"), col.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % w
+        )
+
+    jb = lambda col: F.explode(  # noqa: E731
+        F.array(
+            *[
+                F.struct(F.lit(j).alias("j"), bucket(j, col).alias("b"))
+                for j in range(d)
+            ]
+        )
+    ).alias("jb")
+    sketch = (
+        ev.select(jb(F.col("user_id")))
+        .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    users = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probes = users.select("user_id", "exact_cnt", jb(F.col("user_id"))).select(
+        "user_id",
+        "exact_cnt",
+        F.col("jb.j").alias("j"),
+        F.col("jb.b").alias("b"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .filter(F.col("cms_est") >= thresh)
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("never_underestimates"),
+        )
+    )
+
+
+@query(
+    "fn_kmv_distinct",
+    oracle="""WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+              AS UBIGINT) AS h
+  FROM customer
+),
+k AS (SELECT max(h) AS hk FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+e AS (SELECT count(DISTINCT c_custkey) AS n_exact FROM customer)
+SELECT n_exact,
+  CAST(floor(255.0 * 1152921504606846976 / CAST(hk AS DOUBLE)) AS BIGINT)
+    AS kmv_est,
+  abs(CAST(floor(255.0 * 1152921504606846976 / CAST(hk AS DOUBLE)) AS BIGINT)
+      - n_exact) <= 0.20 * n_exact AS within_20pct
+FROM k, e""",
+)
+def fn_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, hash-matchable across engines.
+
+    KMV (Bar-Yossef et al. 2002; the core of Theta sketches): keep the K
+    smallest 60-bit md5 hashes of the keys; if the K-th smallest is h_K,
+    the estimate is (K-1) * 2^60 / h_K. Like fn_cms_heavy_hitters, the
+    estimator is rebuilt from md5 primitives in the oracle, so the gate
+    compares the exact estimate (floored to BIGINT — both engines do the
+    identical int64->double cast and IEEE division), not just a bound.
+    The within_20pct column is ~3 sigma at K=256 (rse = 1/sqrt(K-2) ~
+    6.3%); measured error on this table is 6.4%.
+
+    Scale shape: "K smallest" is TakeOrderedAndProject — each partition
+    keeps a local K-heap, the driver merges P*K values — no global sort,
+    no shuffle of the data. The sketch is mergeable (union = K smallest
+    of the concatenated sketches), which is what a 100 TB cube wants for
+    incremental distinct counts; vs HLL it also supports intersection
+    estimates. K=256 is 2 KB per sketch."""
+    cust = load_table(spark, sf_dir, "customer")
+    kk = 256
+    h = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    kmin = (
+        cust.select(h.alias("h"))
+        .orderBy("h")
+        .limit(kk)
+        .agg(F.max("h").alias("hk"))
+    )
+    exact = cust.agg(F.countDistinct("c_custkey").alias("n_exact"))
+    est = F.floor(
+        F.lit(float(kk - 1)) * F.lit(float(2**60)) / F.col("hk").cast("double")
+    ).cast("bigint")
+    return (
+        kmin.crossJoin(exact)
+        .select(
+            "n_exact",
+            est.alias("kmv_est"),
+            (F.abs(est - F.col("n_exact")) <= 0.20 * F.col("n_exact")).alias(
+                "within_20pct"
+            ),
+        )
+    )

@@ -1425,3 +1425,38 @@ def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= DOMAIN_CAP)
         .select("doc_id", "source", "rk")
     )
+
+
+@query(
+    "pipeline_k_anonymity",
+    oracle="""SELECT doc_id, lang,
+  CASE WHEN count(*) OVER (PARTITION BY lang, source) >= 8
+       THEN source ELSE '*' END AS source_k8,
+  count(*) OVER (PARTITION BY lang, source) < 8 AS suppressed
+FROM documents""",
+)
+def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity suppression gate over the (lang, source) quasi-identifier.
+
+    Training-data release discipline: any document whose quasi-identifier
+    combination is shared by fewer than k=8 documents has that identifier
+    suppressed to '*' before the corpus ships (small QI groups are what
+    re-identification attacks join against). The oracle states the
+    semantics as a window count; the engine-side plan avoids the window
+    shuffle-and-sort entirely: QI group sizes are a map-side-combinable
+    groupBy whose output is the QI CARDINALITY (|langs| x |sources| —
+    hundreds of rows at any corpus size), broadcast back onto the
+    documents. At 100 TB that is one scan + one broadcast hash join; the
+    window form would shuffle every row by (lang, source) — including the
+    skewed giant groups — just to count them."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 8
+    qi = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("qi_cnt"))
+    return docs.join(F.broadcast(qi), ["lang", "source"]).select(
+        "doc_id",
+        "lang",
+        F.when(F.col("qi_cnt") >= k, F.col("source"))
+        .otherwise(F.lit("*"))
+        .alias("source_k8"),
+        (F.col("qi_cnt") < k).alias("suppressed"),
+    )

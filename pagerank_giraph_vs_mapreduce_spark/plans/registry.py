@@ -50,26 +50,13 @@ _QUERY_MODULES = (
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-8 budget math (r07 recorded exactly 50 rows, all green; cumulative
 # newest-driver-row ages after r07: 5 queries at r02, 39 at r03, 43 at r04):
-# first the queries NEW or code-changed this round (~6), then ALL 44 r02/r03
-# rows — VERDICT r07 "Next round" #1: after CORRECTNESS_r08, no registered
-# query's newest driver row may be older than r04. 6 + 44 = the full budget;
-# the r04 cohort queues immediately after for r09.
+# VERDICT r07 "Next round" #1 is the hard criterion — after CORRECTNESS_r08,
+# no registered query's newest driver row may be older than r04 — so ALL 44
+# r02/r03 rows lead the order (they alone are 88% of a 50-slot budget), and
+# the round's new queries take whatever slots remain (~6); new rows that miss
+# the r08 gate lead r09's. Everything is additionally re-proven every round by
+# tools/check_oracle.py (stricter: exact stringified values, not hashes).
 _PRIORITY = (
-    # --- new in r08: must certify
-    "text_bpe_merges_k64_batched",  # NEW: top-B non-overlapping merges/round
-    "g_link_aa_pervertex",  # NEW: per-vertex top-k Adamic-Adar candidates
-    "mm_webp_decode",  # NEW: real VP8L (WebP-lossless) decoder
-    "source_avro_roundtrip",  # NEW: pure-Python Avro OCF reader
-    "g_ktruss4_r3",  # NEW: k-truss peeling (edge-cohesion kernel)
-    "pipeline_weighted_sample",  # NEW: integer-exact systematic w-sampling
-    "pipeline_domain_cap",  # NEW: two-phase per-domain top-k cap
-    "source_jsonl_bz2",  # NEW: splittable-codec JSONL round-trip
-    # --- code-changed in r08: re-certify
-    "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
-    "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
-    "pipeline_curation",  # planted-dup offsets now scale-safe (1e9)
-    "dedup_incremental",  # same offset change
-    "dedup_semantic",  # same offset change (vec_id planted dups)
     # --- rotation: ALL remaining r02-era rows (fn_* tail)
     "fn_c5_c6",
     "fn_date_arith",
@@ -116,7 +103,26 @@ _PRIORITY = (
     "text_vocab_top20",
     "text_chunks",
     "stream_vocab_top20",
+    # --- new in r08: certify with the remaining ~6 slots; overflow leads r09
+    "text_bpe_merges_k64_batched",  # NEW: top-B non-overlapping merges/round
+    "g_link_aa_pervertex",  # NEW: per-vertex top-k Adamic-Adar candidates
+    "mm_webp_decode",  # NEW: real VP8L (WebP-lossless) decoder
+    "source_avro_roundtrip",  # NEW: pure-Python Avro OCF reader
+    "g_ktruss4_r3",  # NEW: k-truss peeling (edge-cohesion kernel)
+    "pipeline_weighted_sample",  # NEW: integer-exact systematic w-sampling
     # ---- ~50-row budget line (r08 gate reaches about here) ----
+    "pipeline_domain_cap",  # NEW: two-phase per-domain top-k cap
+    "source_jsonl_bz2",  # NEW: splittable-codec JSONL round-trip
+    "rel_exact_quantiles",  # NEW: histogram-cumsum exact quantiles
+    "fn_cms_heavy_hitters",  # NEW: count-min sketch heavy hitters (md5 rows)
+    "fn_kmv_distinct",  # NEW: k-minimum-values distinct sketch (md5 space)
+    "pipeline_k_anonymity",  # NEW: quasi-identifier suppression gate
+    # --- code-changed in r08: re-certify (also re-proven by check_oracle)
+    "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
+    "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
+    "pipeline_curation",  # planted-dup offsets now scale-safe (1e9)
+    "dedup_incremental",  # same offset change
+    "dedup_semantic",  # same offset change (vec_id planted dups)
     # --- r04 cohort (newest driver row r04), queued for r09
     "mm_features",
     "mm_png_decode",
@@ -125,7 +131,6 @@ _PRIORITY = (
     "sim_pq_adc_top5",
     "sim_quantize_int8",
     "sim_knn_join_top3",
-    "dedup_incremental",
     "dedup_recall_planted",
     "dedup_wcc_canonical",
     "text_lm_score",

@@ -1723,3 +1723,80 @@ def rel_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         _dsum(F.col("o_totalprice"), "sum_price"),
     )
+
+
+@query(
+    "rel_exact_quantiles",
+    oracle="""WITH t(label, q) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)),
+n AS (SELECT count(*) AS cnt FROM lineitem),
+ranks AS (SELECT label, CAST(ceil(q * cnt) AS BIGINT) AS r FROM t, n),
+ordered AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+)
+SELECT label, v AS value FROM ranks JOIN ordered ON rn = r""",
+)
+def rel_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile_disc(p50/p90/p99) without a global sort.
+
+    The naive exact quantile is row_number() over a global ORDER BY —
+    a single-partition window that serializes 100 TB through one task
+    (that shape is reserved for the DuckDB oracle, where it's fine).
+    The engine-side plan is the classic two-phase bucket quantile:
+
+      1. histogram: groupBy(floor(v/100)) — map-side-combinable, output
+         is O(value range / bucket width) rows (~1k here), independent
+         of row count; the cumulative sum runs on the tiny histogram;
+      2. the target rank r = ceil(q*N) lands in exactly one bucket
+         (cum >= r and cum-before < r); only rows of the (broadcast-
+         joined) target buckets are ranked, partitioned BY BUCKET —
+         parallel, and each bucket holds ~1/1000th of the data.
+
+    So the full data is scanned twice but never globally sorted, and the
+    only per-row shuffle is the final in-bucket rank over the ~3 target
+    buckets' rows. Exactness: the r-th smallest VALUE is well-defined
+    under ties regardless of row_number tie order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    bucketed = li.select(
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("bkt"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    hist = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("bkt", "c", F.sum("c").over(wcum).alias("cum"))
+    targets = (
+        cum.agg(F.max("cum").alias("n"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lbl).alias("label"),
+                            F.ceil(F.lit(q) * F.col("n")).cast("bigint").alias("r"),
+                        )
+                        for lbl, q in qs
+                    ]
+                )
+            ).alias("t")
+        )
+        .select(F.col("t.label").alias("label"), F.col("t.r").alias("r"))
+    )
+    tb = targets.join(
+        cum,
+        (F.col("cum") >= F.col("r")) & (F.col("cum") - F.col("c") < F.col("r")),
+    ).select(
+        "label",
+        "bkt",
+        (F.col("r") - (F.col("cum") - F.col("c"))).alias("within_rank"),
+    )
+    wb = Window.partitionBy("bkt", "label").orderBy("v")
+    return (
+        bucketed.join(F.broadcast(tb), "bkt")
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == F.col("within_rank"))
+        .select("label", F.col("v").alias("value"))
+    )

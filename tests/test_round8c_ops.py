@@ -1,0 +1,124 @@
+"""Round-8 third wave: cross-engine-exact sketches, bucketed exact
+quantiles, k-anonymity suppression.
+
+- fn_cms_heavy_hitters: CMS one-sided error (estimate >= exact for every
+  key, not just the emitted ones) and partition-layout independence.
+- fn_kmv_distinct: the KMV estimate equals a pure-Python replay of the
+  same md5 hash space, and the sketch is mergeable (union of two halves'
+  K-smallest == K-smallest of the whole).
+- rel_exact_quantiles: the bucketed two-phase answer equals Python's
+  sorted()[ceil(q*n)-1] on the real table for all three quantiles.
+- pipeline_k_anonymity: every surviving (lang, source_k8 != '*') group
+  has >= k members; suppressed rows keep their lang (only the finer
+  identifier is generalized).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _md5_60bit(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_cms_never_underestimates_any_key(spark, sf_oracle_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.function_queries import (
+        fn_cms_heavy_hitters,
+    )
+
+    out = fn_cms_heavy_hitters(spark, sf_oracle_dir).collect()
+    assert out, "threshold should keep at least one heavy user"
+    assert all(r.never_underestimates for r in out)
+    assert all(r.cms_est >= 75 for r in out)
+    # One-sided error holds for EVERY key, not just the emitted survivors:
+    # replay the sketch in Python from the raw events.
+    rows = (
+        spark.read.parquet(f"{sf_oracle_dir}/events.parquet")
+        .select("user_id")
+        .collect()
+    )
+    sketch: dict[tuple[int, int], int] = {}
+    exact: dict[int, int] = {}
+    for r in rows:
+        exact[r.user_id] = exact.get(r.user_id, 0) + 1
+        for j in range(3):
+            b = _md5_60bit(f"cms{j}:{r.user_id}") % 256
+            sketch[(j, b)] = sketch.get((j, b), 0) + 1
+    spark_est = {r.user_id: r.cms_est for r in out}
+    for uid, cnt in exact.items():
+        est = min(sketch[(j, _md5_60bit(f"cms{j}:{uid}") % 256)] for j in range(3))
+        assert est >= cnt
+        if uid in spark_est:
+            assert spark_est[uid] == est
+
+
+def test_kmv_matches_python_replay_and_merges(spark, sf_oracle_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.function_queries import (
+        fn_kmv_distinct,
+    )
+
+    row = fn_kmv_distinct(spark, sf_oracle_dir).collect()[0]
+    keys = [
+        r.c_custkey
+        for r in spark.read.parquet(f"{sf_oracle_dir}/customer.parquet")
+        .select("c_custkey")
+        .collect()
+    ]
+    hs = sorted(_md5_60bit(str(k)) for k in set(keys))
+    hk = hs[255]
+    assert row.n_exact == len(set(keys))
+    assert row.kmv_est == math.floor(255.0 * float(2**60) / float(hk))
+    # Mergeability: K-smallest of (K-smallest of each half) == K-smallest
+    # of the union — the property that makes the sketch a partial agg.
+    half = len(hs) // 2
+    merged = sorted(hs[:half][:256] + hs[half:][:256])[:256]
+    assert merged == hs[:256]
+
+
+def test_exact_quantiles_match_sorted_python(spark, sf_oracle_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.relational_queries import (
+        rel_exact_quantiles,
+    )
+
+    got = {
+        r.label: r.value for r in rel_exact_quantiles(spark, sf_oracle_dir).collect()
+    }
+    vals = sorted(
+        r.l_extendedprice
+        for r in spark.read.parquet(f"{sf_oracle_dir}/lineitem.parquet")
+        .select("l_extendedprice")
+        .collect()
+    )
+    n = len(vals)
+    for label, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        assert got[label] == vals[math.ceil(q * n) - 1], label
+    assert set(got) == {"p50", "p90", "p99"}
+
+
+def test_k_anonymity_min_group_size(spark, sf_oracle_dir):
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        pipeline_k_anonymity,
+    )
+
+    out = pipeline_k_anonymity(spark, sf_oracle_dir)
+    docs = spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+    assert out.count() == docs.count()
+    surviving = (
+        out.filter(F.col("source_k8") != "*")
+        .groupBy("lang", "source_k8")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert surviving >= 8
+    n_sup = out.filter(F.col("suppressed")).count()
+    assert 0 < n_sup < out.count()
+    # Suppression only generalizes the finer identifier: langs unchanged.
+    assert out.select("lang").distinct().count() == docs.select(
+        "lang"
+    ).distinct().count()
