@@ -1,13 +1,14 @@
 """Multimodal column plumbing: opaque BINARY payloads + typed metadata,
 processed with Arrow-batched ``mapInPandas``.
 
-The decode seam is REAL for PNG and baseline JPEG: ``decode_png`` is a
+The decode seam is REAL for PNG and JPEG: ``decode_png`` is a
 pure-stdlib decoder (zlib inflate + the five scanline filters, RFC 2083),
-``operators/jpeg.py:decode_jpeg`` is a real baseline-JPEG decoder
-(Huffman from DHT, dequant, IDCT, chroma upsampling, YCbCr→RGB), and
+``operators/jpeg.py:decode_jpeg`` is a real sequential AND progressive
+JPEG decoder (Huffman from DHT, multi-scan coefficient accumulation,
+dequant, IDCT, chroma upsampling, YCbCr→RGB), and
 ``extract_features`` dispatches on the magic bytes, emitting true image
 features (width/height/channels/bit_depth/pixel_mean). Formats neither
-decoder handles (progressive JPEG, WebP, video containers) remain
+decoder handles (lossy-VP8 WebP, video containers) remain
 STUBBED behind the same seam (deterministic byte-level "features"; a
 real deployment swaps ``_decode_stub`` for PIL/ffmpeg). What is tested
 either way:
@@ -198,8 +199,9 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def _decode_stub(payload: bytes) -> dict:
     """STUB decoder — deterministic byte statistics standing in for media
-    decodes this repo has no codec for (progressive JPEG, lossy-VP8 WebP,
-    video). Swap this function for the real codec; the Spark plumbing
+    decodes this repo has no codec for (lossy-VP8 WebP and video; PNG,
+    GIF, VP8L WebP, and both baseline AND progressive JPEG are all real).
+    Swap this function for the real codec; the Spark plumbing
     around it (schema, batching, partitioning) is the tested contract.
     PNG, baseline JPEG, GIF and lossless WebP do not reach here —
     ``decode_png``/``decode_jpeg``/``decode_gif``/``decode_webp`` are the
@@ -392,20 +394,25 @@ def png_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 JPEG_BLOCKS_X, JPEG_BLOCKS_Y = 4, 2  # 32x16 px, 8 block-constant tiles
 
 
-def jpeg_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def jpeg_payload(
+    docs: DataFrame, text_col: str = "text", progressive: bool = False
+) -> DataFrame:
     """(doc_id, payload BINARY, meta STRUCT): each doc's first
     ``JPEG_BLOCKS_X*JPEG_BLOCKS_Y`` text bytes (space-padded) become a
-    REAL baseline grayscale JPEG (operators/jpeg.py:encode_jpeg_gray),
-    one CONSTANT 8x8 block per byte. Block-constant pixels + all-ones
-    quant tables make the lossy DCT round-trip bit-exact (the only
-    nonzero coefficient is the DC term — see jpeg.py module docstring),
-    so the decoded pixel_mean keeps an exact SQL oracle over the text
-    column: the PNG-twin fixture discipline, for the codec a multimodal
-    corpus actually ships."""
+    REAL grayscale JPEG (operators/jpeg.py), one CONSTANT 8x8 block per
+    byte. Block-constant pixels + all-ones quant tables make the lossy
+    DCT round-trip bit-exact (the only nonzero coefficient is the DC
+    term — see jpeg.py module docstring), so the decoded pixel_mean
+    keeps an exact SQL oracle over the text column: the PNG-twin fixture
+    discipline, for the codec a multimodal corpus actually ships.
+    ``progressive=True`` writes SOF2 files instead (default scan script:
+    interleaved DC-first at Al=1 + DC refinement + EOB-run-coded AC
+    bands) — same pixels, so the same exact oracle holds."""
     import numpy as np
 
     from pagerank_giraph_vs_mapreduce_spark.operators.jpeg import (
         encode_jpeg_gray,
+        encode_jpeg_progressive,
     )
 
     n_blocks = JPEG_BLOCKS_X * JPEG_BLOCKS_Y
@@ -437,7 +444,10 @@ def jpeg_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 for i, v in enumerate(vals):
                     by, bx = divmod(i, JPEG_BLOCKS_X)
                     px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = v
-                payloads.append(encode_jpeg_gray(px.tobytes(), w, h))
+                if progressive:
+                    payloads.append(encode_jpeg_progressive([px]))
+                else:
+                    payloads.append(encode_jpeg_gray(px.tobytes(), w, h))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),

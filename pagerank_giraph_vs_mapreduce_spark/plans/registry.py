@@ -113,6 +113,7 @@ _PRIORITY = (
     # ---- ~50-row budget line (r08 gate reaches about here) ----
     "pipeline_domain_cap",  # NEW: two-phase per-domain top-k cap
     "source_jsonl_bz2",  # NEW: splittable-codec JSONL round-trip
+    "mm_jpeg_progressive_decode",  # NEW: real SOF2 progressive decoder
     "rel_exact_quantiles",  # NEW: histogram-cumsum exact quantiles
     "fn_cms_heavy_hitters",  # NEW: count-min sketch heavy hitters (md5 rows)
     "fn_kmv_distinct",  # NEW: k-minimum-values distinct sketch (md5 space)
