@@ -86,8 +86,13 @@ def _curation_stages(
         F.min(id_col).alias(id_col)
     )
     exact = gated.join(keep.select(id_col), id_col)
-    # Near-dup removal among exact survivors: drop the higher id of every
-    # pair at or above the Jaccard threshold.
+    # Near-dup removal among exact survivors: STAR candidates (each
+    # bucket member vs the bucket-min representative, B-1 edges/bucket)
+    # — drop every member >= the Jaccard threshold against its
+    # representative. All-pairs-per-bucket is quadratic in cluster size
+    # (525x shuffle records for 10x docs on the sf1 replica corpus —
+    # RUNTIME.md sf1 spot-run); anchor dedup is the shape that survives
+    # a boilerplate-heavy 100 TB corpus.
     pairs = minhash_near_dups(
         exact.select(id_col, text_col),
         id_col,
@@ -96,6 +101,7 @@ def _curation_stages(
         n_hashes=n_hashes,
         shingle_len=shingle_len,
         bands=bands,
+        star=True,
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     final = exact.join(drop, id_col, "left_anti").select(
@@ -215,6 +221,7 @@ def curate_corpus_staged(
         n_hashes=n_hashes,
         shingle_len=shingle_len,
         bands=bands,
+        star=True,
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     exact.join(drop, id_col, "left_anti").select(

@@ -414,6 +414,7 @@ def minhash_near_dups(
     n_hashes: int = 24,
     shingle_len: int = 5,
     bands: int = 4,
+    star: bool = False,
 ) -> DataFrame:
     """Full MinHash→LSH→exact-verify near-dup pipeline (id_a, id_b, jaccard).
 
@@ -421,7 +422,18 @@ def minhash_near_dups(
     stage and the exact-Jaccard verification — cached so shingling runs
     once; the only shuffles in the whole pipeline are the LSH bucket join
     and the candidate-routed intersection counts.
-    """
+
+    ``star=True`` swaps the all-pairs-per-bucket candidate generator for
+    ``lsh_candidate_pairs_star`` (each bucket member pairs with the
+    bucket-min id only): candidate count drops from C(B,2) to B-1 per
+    bucket, which is the difference between quadratic and linear when the
+    corpus contains large near-duplicate clusters — the sf1 spot-run
+    measured the all-pairs form at 525x shuffle records for 10x docs on a
+    replica-heavy corpus, vs ~13x for the star form (RUNTIME.md). The
+    trade: only member↔representative similarity is verified, so a pair
+    of cluster members neither of which is the bucket min is not emitted
+    — the right contract for DEDUP-style "keep one representative"
+    consumers, not for exhaustive pair mining."""
     from pyspark.storagelevel import StorageLevel
 
     rows_per_band = n_hashes // bands
@@ -437,7 +449,8 @@ def minhash_near_dups(
             for j in range(n_hashes)
         ],
     )
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    gen = lsh_candidate_pairs_star if star else lsh_candidate_pairs
+    cands = gen(sigs, bands, rows_per_band)
     sh = arr.select("id", F.explode("codes").alias("code"))
     return jaccard_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
 

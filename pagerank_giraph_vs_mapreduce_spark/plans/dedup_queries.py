@@ -69,6 +69,16 @@ CAND_SQL = """cand AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
   WHERE a.id < b.id)"""
 
+# Star-shaped candidates (lsh_candidate_pairs_star): each bucket member
+# pairs with the bucket-min id only — the generator the curation pipeline
+# uses (B-1 edges per bucket; all-pairs is quadratic in cluster size).
+CAND_STAR_SQL = """cand AS (
+  SELECT DISTINCT r.id_a, m.id AS id_b
+  FROM banded m
+  JOIN (SELECT band, bkey, min(id) AS id_a FROM banded GROUP BY band, bkey) r
+    ON m.band = r.band AND m.bkey = r.bkey
+  WHERE m.id <> r.id_a)"""
+
 JACCARD_SQL = """sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT c.id_a, c.id_b, count(*) AS i
