@@ -691,6 +691,20 @@ def main() -> int:
         "pipeline_corpus_build",
         "g_walk_cooccurrence",
         "dedup_cdc_strip",
+        # round-8 additions: batched BPE / per-vertex AA / progressive
+        # JPEG / k-truss / sketches / exact quantiles / suppression gate
+        "text_bpe_merges_k64_batched",
+        "g_link_aa_pervertex",
+        "mm_jpeg_progressive_decode",
+        "g_ktruss4_r3",
+        "pipeline_weighted_sample",
+        "pipeline_domain_cap",
+        "fn_cms_heavy_hitters",
+        "fn_kmv_distinct",
+        "rel_exact_quantiles",
+        "pipeline_k_anonymity",
+        "source_avro_roundtrip",
+        "mm_webp_decode",
     ):
         timed(q, run_query_rows(q))
 

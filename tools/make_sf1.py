@@ -11,9 +11,13 @@ word-shuffles its document with a per-(replica, doc) seeded permutation:
 - length, vocabulary, char distribution, stopword/punct ratios are all
   preserved, so the lang/quality gates pass at the same rate and the
   per-doc work (tokenize, shingle, hash) is identical to the original;
-- word 5-gram shingle sets are effectively disjoint across replicas
-  (shingle space is vocab^5), so the planted-dup rate stays the sf0.1
-  rate and measured shuffle growth is attributable to the plan alone.
+- WORD-level shingle sets are effectively disjoint across replicas, but
+  the curation near-dup stage shingles CHARACTER 5-grams, and word
+  permutation preserves every word-internal char 5-gram — so replicas
+  form genuine ~factor-member near-dup clusters (J ~ 0.5). Measured and
+  kept deliberately (RUNTIME.md "sf1 spot-run"): the corpus doubles as
+  the cluster-stress fixture for the star candidate generator; for the
+  shingle-count-linear entries (cdc, tfidf) it is still a clean 10x.
 
 Replica 0 is the original table verbatim; replicas 1..9 offset doc_id by
 a stride of (max_id + 1) per replica.
