@@ -152,6 +152,19 @@ HEADLINE = [
     "pipeline_corpus_build",
     "g_walk_cooccurrence",
     "dedup_cdc_strip",
+    # round-8
+    "g_link_aa_pervertex",
+    "mm_webp_decode",
+    "mm_jpeg_progressive_decode",
+    "source_avro_roundtrip",
+    "source_jsonl_bz2",
+    "g_ktruss4_r3",
+    "pipeline_weighted_sample",
+    "pipeline_domain_cap",
+    "fn_cms_heavy_hitters",
+    "fn_kmv_distinct",
+    "rel_exact_quantiles",
+    "pipeline_k_anonymity",
 ]
 
 
