@@ -705,6 +705,7 @@ def main() -> int:
         "pipeline_k_anonymity",
         "source_avro_roundtrip",
         "mm_webp_decode",
+        "g_betweenness_k3",
     ):
         timed(q, run_query_rows(q))
 

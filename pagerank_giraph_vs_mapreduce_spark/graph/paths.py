@@ -276,3 +276,108 @@ def sssp_distances(
 
     links.unpersist()
     return BfsResult(distances=dist, iterations=iterations, history=history)
+
+
+def truncated_betweenness(
+    edges: DataFrame, sources: list[int], max_hops: int = 3
+) -> DataFrame:
+    """Sampled-source, hop-limited betweenness centrality — the Brandes
+    (2001) accumulation truncated at ``max_hops`` (a.k.a. ego/bounded
+    betweenness, the standard approximation when exact all-pairs Brandes
+    is off the table: sample sources, bound the horizon).
+
+    Forward sweep: per-(source, vertex) shortest-path counts sigma,
+    level by level — each level is one edge join + an anti-join against
+    all earlier levels (first arrival = shortest), with the sources
+    BATCHED through a source column the way ``multi_bfs`` does, so K
+    sources cost one edge pass per hop, not K. Backward sweep: the
+    dependency fold delta_h(v) = sum over successors w at level h+1 of
+    sigma_v/sigma_w * (1 + delta_{h+1}(w)), horizon level as leaves.
+    Returns (id, bc) where bc sums each vertex's delta over sources
+    (unnormalized; vertices with zero dependency are absent).
+
+    Every level/delta frame is eagerly localCheckpoint'ed: each is
+    consumed twice (next forward level + backward fold), and the chain
+    would otherwise recompute quadratically. Shuffle per hop is the
+    frontier's out-edge fan-out — the multi-BFS bound — and the
+    backward joins move only (source, vertex, sigma/delta) rows."""
+    if not sources:
+        raise ValueError("truncated_betweenness needs at least one source")
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    spark = edges.sparkSession
+    links = (
+        edges.select("src", "dst")
+        .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    l0 = spark.createDataFrame(
+        [(int(s), int(s), 1.0) for s in sources],
+        "s bigint, v bigint, sigma double",
+    )
+    levels: list[DataFrame] = [l0]
+    seen = l0.select("s", "v")
+    for _hop in range(1, max_hops + 1):
+        nxt = (
+            levels[-1]
+            .join(links.withColumnRenamed("src", "v"), "v")
+            .select("s", F.col("dst").alias("v"), "sigma")
+            .join(seen, ["s", "v"], "left_anti")
+            .groupBy("s", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(nxt)
+        seen = seen.unionAll(nxt.select("s", "v"))
+
+    deltas: dict[int, DataFrame] = {}
+    top = len(levels) - 1
+    for h in range(top - 1, 0, -1):
+        succ = levels[h + 1].select(
+            F.col("s").alias("s2"),
+            F.col("v").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        if h + 1 in deltas:
+            succ = succ.join(
+                deltas[h + 1].select(
+                    F.col("s").alias("s2"),
+                    F.col("v").alias("w"),
+                    F.col("delta").alias("delta_w"),
+                ),
+                ["s2", "w"],
+                "left",
+            )
+        else:  # horizon level: leaves, delta = 0
+            succ = succ.withColumn("delta_w", F.lit(None).cast("double"))
+        deltas[h] = (
+            levels[h]
+            .join(links.withColumnRenamed("src", "v"), "v")
+            .join(
+                succ,
+                (F.col("s") == F.col("s2")) & (F.col("dst") == F.col("w")),
+            )
+            .groupBy("s", "v")
+            .agg(
+                F.sum(
+                    F.col("sigma")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.coalesce(F.col("delta_w"), F.lit(0.0)))
+                ).alias("delta")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    links.unpersist()
+    if not deltas:
+        return spark.createDataFrame([], "id bigint, bc double")
+    allc = None
+    for d in deltas.values():
+        allc = d if allc is None else allc.unionAll(d)
+    return (
+        allc.groupBy("v")
+        .agg(F.round(F.sum("delta"), 9).alias("bc"))
+        .select(F.col("v").alias("id"), "bc")
+    )

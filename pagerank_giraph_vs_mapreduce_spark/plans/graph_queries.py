@@ -1317,3 +1317,70 @@ def g_walk_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_cooc"), "v_a", "v_b")
         .limit(COOC_TOP_K)
     )
+
+
+_BC_SRC_VALUES = ", ".join(f"({s})" for s in MULTI_SOURCES)
+
+# Truncated Brandes unrolled for max_hops=3: forward sigma levels l1-l3
+# (each excludes all earlier levels — first arrival is the shortest), then
+# the backward dependency fold d2 <- l3 (leaves), d1 <- l2 with d2's
+# deltas. A vertex sits in exactly one level per source, so the final sum
+# never double-counts.
+_BC_SQL = (
+    GRAPH_CTES
+    + f""",
+bsrc(s) AS (VALUES {_BC_SRC_VALUES}),
+l1 AS (
+  SELECT bsrc.s, e.dst AS v, CAST(count(*) AS DOUBLE) AS sigma
+  FROM bsrc JOIN edges e ON e.src = bsrc.s
+  WHERE e.dst <> bsrc.s
+  GROUP BY bsrc.s, e.dst),
+l2 AS (
+  SELECT l1.s, e.dst AS v, SUM(l1.sigma) AS sigma
+  FROM l1 JOIN edges e ON e.src = l1.v
+  WHERE e.dst <> l1.s
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.s = l1.s AND x.v = e.dst)
+  GROUP BY l1.s, e.dst),
+l3 AS (
+  SELECT l2.s, e.dst AS v, SUM(l2.sigma) AS sigma
+  FROM l2 JOIN edges e ON e.src = l2.v
+  WHERE e.dst <> l2.s
+    AND NOT EXISTS (SELECT 1 FROM l1 x WHERE x.s = l2.s AND x.v = e.dst)
+    AND NOT EXISTS (SELECT 1 FROM l2 x WHERE x.s = l2.s AND x.v = e.dst)
+  GROUP BY l2.s, e.dst),
+d2 AS (
+  SELECT l2.s, l2.v, SUM(l2.sigma / l3.sigma) AS delta
+  FROM l2 JOIN edges e ON e.src = l2.v
+       JOIN l3 ON l3.s = l2.s AND l3.v = e.dst
+  GROUP BY l2.s, l2.v),
+d1 AS (
+  SELECT l1.s, l1.v,
+         SUM(l1.sigma / l2.sigma * (1 + COALESCE(d2.delta, 0))) AS delta
+  FROM l1 JOIN edges e ON e.src = l1.v
+       JOIN l2 ON l2.s = l1.s AND l2.v = e.dst
+       LEFT JOIN d2 ON d2.s = l2.s AND d2.v = l2.v
+  GROUP BY l1.s, l1.v)
+SELECT v AS id, round(SUM(delta), 9) AS bc
+FROM (SELECT s, v, delta FROM d1 UNION ALL SELECT s, v, delta FROM d2)
+GROUP BY v"""
+)
+
+
+@query("g_betweenness_k3", oracle=_BC_SQL)
+def g_betweenness_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-source hop-limited betweenness centrality
+    (graph/paths.py:truncated_betweenness — Brandes 2001, truncated):
+    forward per-(source, vertex) path counts level by level with the
+    sources batched through one edge pass per hop (the multi_bfs
+    amortization), then the backward dependency fold with the horizon as
+    leaves. Exact all-pairs Brandes is O(V*E) and inherently sequential
+    per source; sampling sources and bounding the horizon is the
+    standard scale approximation, and both are knobs here. Oracle: the
+    3-hop Brandes recurrence unrolled into sigma/delta CTEs."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import (
+        truncated_betweenness,
+    )
+
+    return truncated_betweenness(
+        derived_edges(spark, sf_dir), list(MULTI_SOURCES), max_hops=3
+    )

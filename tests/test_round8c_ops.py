@@ -122,3 +122,68 @@ def test_k_anonymity_min_group_size(spark, sf_oracle_dir):
     assert out.select("lang").distinct().count() == docs.select(
         "lang"
     ).distinct().count()
+
+
+def _py_truncated_brandes(pairs, sources, max_hops):
+    """Independent reference: per-source truncated BFS sigma + Brandes
+    dependency accumulation, plain dicts."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in set(pairs):
+        if a != b:
+            adj[a].add(b)
+    bc = defaultdict(float)
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        levels = [[s]]
+        for h in range(1, max_hops + 1):
+            nxt = defaultdict(float)
+            for u in levels[-1]:
+                for w in adj[u]:
+                    if w not in dist or dist[w] == h:
+                        nxt[w] += sigma[u]
+            cur = []
+            for w, sg in nxt.items():
+                if w not in dist:
+                    dist[w] = h
+                    cur.append(w)
+                sigma[w] = sigma.get(w, 0.0) + (sg if w not in sigma else 0.0)
+            if not cur:
+                break
+            levels.append(cur)
+        delta = defaultdict(float)
+        for h in range(len(levels) - 2, 0, -1):
+            for v in levels[h]:
+                for w in adj[v]:
+                    if dist.get(w) == h + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            for v in levels[h]:
+                if delta[v]:
+                    bc[v] += delta[v]
+    return dict(bc)
+
+
+def test_truncated_betweenness_matches_python(spark):
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import (
+        truncated_betweenness,
+    )
+    from tests.conftest import make_edges
+
+    # Diamond + tail + a branch: 0->1, 0->2, 1->3, 2->3, 3->4, 1->5, 5->6
+    pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (1, 5), (5, 6), (0, 1)]
+    got = {
+        r.id: r.bc
+        for r in truncated_betweenness(
+            make_edges(spark, pairs), [0, 1], max_hops=3
+        ).collect()
+    }
+    want = _py_truncated_brandes(pairs, [0, 1], 3)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+    # One value derived by hand, independent of both implementations:
+    # delta_0(2) = sigma_2/sigma_3 * (1 + delta_0(3)); sigma_2 = 1,
+    # sigma_3 = 2 (via 1 and 2), delta_0(3) = 1 (the 3->4 leaf) -> 1.0.
+    assert abs(want[2] - 1.0) < 1e-12

@@ -165,6 +165,7 @@ HEADLINE = [
     "fn_kmv_distinct",
     "rel_exact_quantiles",
     "pipeline_k_anonymity",
+    "g_betweenness_k3",
 ]
 
 
