@@ -706,6 +706,7 @@ def main() -> int:
         "source_avro_roundtrip",
         "mm_webp_decode",
         "g_betweenness_k3",
+        "pipeline_train_quality_lr",
     ):
         timed(q, run_query_rows(q))
 

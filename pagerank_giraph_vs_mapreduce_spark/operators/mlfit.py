@@ -1,0 +1,119 @@
+"""Distributed model fitting for model-in-the-loop data curation.
+
+``logreg_gd`` trains a logistic-regression-style quality classifier with
+full-batch gradient descent where every step is a single scan + one
+map-side-combined global aggregate, and the updated weights flow back as
+a broadcast 1-row DataFrame — the textbook distributed-GD shape (the
+gradient is a sum over rows, so partial aggregation does the heavy
+lifting; only |w| numbers cross the cluster per step). The whole
+training run is ONE lazy plan: no ``collect()`` between steps, the
+weight row of step t crossJoins into the scan of step t+1.
+
+Cross-engine exactness (the repo's oracle discipline): the logistic
+sigmoid is libm ``exp`` — not correctly rounded, so not hash-stable
+across engines. We substitute the rational squashing function
+
+    p(z) = 0.5 + z / (2 * (1 + |z|))
+
+(the "fast sigmoid" x/(1+|x|), rescaled to (0,1) — same sign, same
+fixed point at 0.5, strictly monotone), which is pure IEEE rational
+arithmetic and therefore bit-identical in Spark and DuckDB. Gradient
+terms are rounded to 12 dp and summed as DECIMAL(38,12) — exact and
+ORDER-INDEPENDENT, so partition count cannot move the result (a raw
+double sum varies in its last bits with aggregation order). Weights are
+rounded to 12 dp each step so both engines walk the identical
+trajectory.
+
+Reference parity note: the reference repo has no ML surface — this
+module belongs to the mandated LLM-pipeline extension (quality
+classifiers are the canonical model-in-the-loop curation gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def squash(z):
+    """Rational sigmoid substitute p(z) = 0.5 + z / (2 (1 + |z|))."""
+    return F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+
+
+def logreg_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """Full-batch GD for a linear classifier under the rational squash.
+
+    Returns a 1-row DataFrame with columns ``w_bias, w_<f1>, ...,
+    accuracy`` (training accuracy at the final weights, p >= 0.5 as the
+    positive call). ``df[label_col]`` must be 0.0/1.0 doubles.
+
+    Plan shape: ``iters`` scans of the (cached) feature projection, each
+    ending in one global aggregate whose 1-row output crossJoins the
+    next scan — weights never touch the driver. At 100 TB each step is
+    a map-side-combined sum of |w|+1 doubles per partition."""
+    names = ["bias"] + list(feature_cols)
+    feats = df.select(
+        F.lit(1.0).alias("bias"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    n = feats.count()  # one action up front; the training itself is lazy
+    w = feats.sparkSession.createDataFrame(
+        [tuple(0.0 for _ in names)], ", ".join(f"w_{c} double" for c in names)
+    )
+    for _ in range(iters):
+        z = sum(
+            (F.col(f"w_{c}") * F.col(c) for c in names[1:]),
+            F.col("w_bias") * F.col("bias"),
+        )
+        resid = F.col("_y") - squash(z)
+        grads = feats.crossJoin(F.broadcast(w)).agg(
+            *[
+                F.sum(
+                    F.round(F.col(c) * resid, 12).cast("decimal(38,12)")
+                ).alias(f"g_{c}")
+                for c in names
+            ]
+        )
+        # (g * lr) / n, left-associated — the oracle mirrors the same two
+        # IEEE ops in the same order (a precomputed lr/n quotient would
+        # round differently).
+        w = grads.select(
+            *[
+                F.round(
+                    F.col(f"g_{c}").cast("double") * F.lit(lr) / F.lit(float(n)),
+                    12,
+                ).alias(f"d_{c}")
+                for c in names
+            ]
+        ).crossJoin(F.broadcast(w)).select(
+            *[
+                F.round(F.col(f"w_{c}") + F.col(f"d_{c}"), 12).alias(f"w_{c}")
+                for c in names
+            ]
+        )
+    z = sum(
+        (F.col(f"w_{c}") * F.col(c) for c in names[1:]),
+        F.col("w_bias") * F.col("bias"),
+    )
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .agg(
+            *[F.first(f"w_{c}").alias(f"w_{c}") for c in names],
+            F.avg(
+                F.when(
+                    (squash(z) >= 0.5) == (F.col("_y") >= 0.5), 1.0
+                ).otherwise(0.0)
+            ).alias("raw_acc"),
+        )
+        .select(
+            *[F.col(f"w_{c}") for c in names],
+            F.round("raw_acc", 9).alias("accuracy"),
+        )
+    )

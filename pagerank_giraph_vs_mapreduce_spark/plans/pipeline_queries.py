@@ -1463,3 +1463,72 @@ def pipeline_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("source_k8"),
         (F.col("qi_cnt") < k).alias("suppressed"),
     )
+
+
+def _logreg_oracle(iters: int = 3) -> str:
+    """The logreg_gd trajectory unrolled into SQL CTEs — same rational
+    squash, same left-associated arithmetic, same 12-dp round points,
+    same DECIMAL(38,12) order-independent gradient sums."""
+    names = ("bias", "f_len", "f_space")
+    z = "(wb*bias + wl*f_len + ws*f_space)"
+    p = f"(0.5 + {z}/(2*(1+abs({z}))))"
+    ctes = [
+        """feats AS (
+  SELECT 1.0 AS bias,
+         CAST(length(text) AS DOUBLE) / 1000.0 AS f_len,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS f_space,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents WHERE length(text) > 0)""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats)",
+        "w0 AS (SELECT 0.0 AS wb, 0.0 AS wl, 0.0 AS ws)",
+    ]
+    for i in range(1, iters + 1):
+        gs = ", ".join(
+            f"sum(CAST(round({c} * (y - {p}), 12) AS DECIMAL(38,12))) AS g_{c}"
+            for c in names
+        )
+        ctes.append(f"g{i} AS (SELECT {gs} FROM feats, w{i - 1})")
+        up = ", ".join(
+            f"round({w} + round(CAST(g_{c} AS DOUBLE) * 1.0 / n, 12), 12) AS {w}"
+            for w, c in zip(("wb", "wl", "ws"), names)
+        )
+        ctes.append(f"w{i} AS (SELECT {up} FROM g{i}, w{i - 1}, nn)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT wb AS w_bias, wl AS w_f_len, ws AS w_f_space,
+       round(avg(CASE WHEN ({p} >= 0.5) = (y >= 0.5)
+                      THEN 1.0 ELSE 0.0 END), 9) AS accuracy
+FROM feats, w{iters}
+GROUP BY wb, wl, ws"""
+    )
+
+
+@query("pipeline_train_quality_lr", oracle=_logreg_oracle(3))
+def pipeline_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-in-the-loop curation: train a linear quality/language
+    classifier with full-batch gradient descent ON THE ENGINE
+    (operators/mlfit.py:logreg_gd) — 3 GD steps over (length, space-
+    ratio) features predicting lang=='en', each step one scan + one
+    map-side-combined global aggregate whose 1-row weight output
+    crossJoins the next scan. The whole training run is one lazy plan
+    with ZERO driver-side weight syncs; at 100 TB each step moves |w|+1
+    numbers per partition. The libm sigmoid is replaced by the rational
+    squash 0.5 + z/(2(1+|z|)) and gradients sum as rounded
+    DECIMAL(38,12), so the full 3-step trajectory (and the training
+    accuracy) hash-matches the unrolled DuckDB oracle exactly —
+    a distributed TRAINER under the same oracle discipline as every
+    query here."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import logreg_gd
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.filter(F.length("text") > 0).select(
+        (F.length("text").cast("double") / F.lit(1000.0)).alias("f_len"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("double")
+            / F.length("text").cast("double")
+        ).alias("f_space"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return logreg_gd(feats, ["f_len", "f_space"], "y", iters=3, lr=1.0)

@@ -1,5 +1,6 @@
 """Round-8 third wave: cross-engine-exact sketches, bucketed exact
-quantiles, k-anonymity suppression.
+quantiles, k-anonymity suppression, truncated betweenness, and the
+distributed GD trainer.
 
 - fn_cms_heavy_hitters: CMS one-sided error (estimate >= exact for every
   key, not just the emitted ones) and partition-layout independence.
@@ -187,3 +188,61 @@ def test_truncated_betweenness_matches_python(spark):
     # delta_0(2) = sigma_2/sigma_3 * (1 + delta_0(3)); sigma_2 = 1,
     # sigma_3 = 2 (via 1 and 2), delta_0(3) = 1 (the 3->4 leaf) -> 1.0.
     assert abs(want[2] - 1.0) < 1e-12
+
+
+def test_logreg_gd_matches_python_replay(spark, sf_oracle_dir):
+    """The full 3-step GD trajectory equals a plain-Python replay using
+    the same rational squash, 12-dp round points, and exact (Fraction)
+    order-independent gradient sums."""
+    from fractions import Fraction
+
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        pipeline_train_quality_lr,
+    )
+
+    row = pipeline_train_quality_lr(spark, sf_oracle_dir).collect()[0]
+    docs = (
+        spark.read.parquet(f"{sf_oracle_dir}/documents.parquet")
+        .select("text", "lang")
+        .collect()
+    )
+    feats = []
+    for r in docs:
+        ln = len(r.text)
+        if ln == 0:
+            continue
+        feats.append(
+            (
+                1.0,
+                float(ln) / 1000.0,
+                float(ln - len(r.text.replace(" ", ""))) / float(ln),
+                1.0 if r.lang == "en" else 0.0,
+            )
+        )
+    n = float(len(feats))
+    w = [0.0, 0.0, 0.0]
+
+    def squash(z: float) -> float:
+        return 0.5 + z / (2.0 * (1.0 + abs(z)))
+
+    for _ in range(3):
+        g = [Fraction(0), Fraction(0), Fraction(0)]
+        for b, f1, f2, y in feats:
+            z = w[0] * b + w[1] * f1 + w[2] * f2
+            resid = y - squash(z)
+            for j, x in enumerate((b, f1, f2)):
+                g[j] += Fraction(round(x * resid, 12)).limit_denominator(
+                    10**12
+                )
+        w = [
+            round(w[j] + round(float(g[j]) * 1.0 / n, 12), 12)
+            for j in range(3)
+        ]
+    assert (row.w_bias, row.w_f_len, row.w_f_space) == tuple(w)
+    correct = sum(
+        1
+        for b, f1, f2, y in feats
+        if (squash(w[0] * b + w[1] * f1 + w[2] * f2) >= 0.5) == (y >= 0.5)
+    )
+    assert row.accuracy == round(correct / n, 9)
+    assert 0.0 < row.accuracy <= 1.0

@@ -166,6 +166,7 @@ HEADLINE = [
     "rel_exact_quantiles",
     "pipeline_k_anonymity",
     "g_betweenness_k3",
+    "pipeline_train_quality_lr",
 ]
 
 
