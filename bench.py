@@ -707,6 +707,7 @@ def main() -> int:
         "mm_webp_decode",
         "g_betweenness_k3",
         "pipeline_train_quality_lr",
+        "pipeline_model_gate",
     ):
         timed(q, run_query_rows(q))
 

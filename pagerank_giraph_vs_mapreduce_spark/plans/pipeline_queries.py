@@ -1532,3 +1532,62 @@ def pipeline_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
     return logreg_gd(feats, ["f_len", "f_space"], "y", iters=3, lr=1.0)
+
+
+def _model_gate_oracle(iters: int = 3) -> str:
+    """Train (same CTEs as _logreg_oracle, with doc_id carried) and then
+    gate: emit every doc the trained classifier scores >= 0.5."""
+    base = _logreg_oracle(iters)
+    head, _tail = base.rsplit("\nSELECT ", 1)
+    head = head.replace(
+        "SELECT 1.0 AS bias,", "SELECT doc_id, 1.0 AS bias,", 1
+    )
+    z = "(wb*bias + wl*f_len + ws*f_space)"
+    p = f"(0.5 + {z}/(2*(1+abs({z}))))"
+    return (
+        head
+        + f"""
+SELECT doc_id, round({p}, 9) AS score
+FROM feats, w{iters}
+WHERE {p} >= 0.5"""
+    )
+
+
+@query("pipeline_model_gate", oracle=_model_gate_oracle(3))
+def pipeline_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full model-in-the-loop curation gate in ONE lazy plan: train
+    the quality classifier (pipeline_train_quality_lr's 3 GD steps) and
+    immediately apply it — the trained 1-row weight frame crossJoins the
+    corpus and every doc scoring >= 0.5 passes the gate. This is the
+    deployment shape of learned curation at 100 TB: the model is bytes
+    (broadcast), the gate is a codegen'd per-row expression, and nothing
+    about training or scoring touches the driver."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import (
+        logreg_gd,
+        squash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        (F.length("text").cast("double") / F.lit(1000.0)).alias("f_len"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("double")
+            / F.length("text").cast("double")
+        ).alias("f_space"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = logreg_gd(
+        feats.select("f_len", "f_space", "y"), ["f_len", "f_space"], "y"
+    ).select("w_bias", "w_f_len", "w_f_space")
+    z = (
+        F.col("w_bias") * F.lit(1.0)
+        + F.col("w_f_len") * F.col("f_len")
+        + F.col("w_f_space") * F.col("f_space")
+    )
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .filter(squash(z) >= 0.5)
+        .select("doc_id", F.round(squash(z), 9).alias("score"))
+    )

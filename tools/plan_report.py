@@ -167,6 +167,7 @@ HEADLINE = [
     "pipeline_k_anonymity",
     "g_betweenness_k3",
     "pipeline_train_quality_lr",
+    "pipeline_model_gate",
 ]
 
 
