@@ -471,3 +471,63 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, horizon_secs=3600
     )
     return _drain(joined, "append")
+
+
+@query(
+    "stream_cms_heavy_hitters",
+    oracle="""WITH js(j) AS (VALUES (0), (1), (2)),
+buckets AS (
+  SELECT j,
+    CAST(('0x' || substr(md5('cms' || j || ':' || CAST(user_id AS VARCHAR)), 1, 15))
+         AS UBIGINT) % 256 AS b
+  FROM events, js
+)
+SELECT j, b, count(*) AS c FROM buckets GROUP BY 1, 2""",
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch (fn_cms_heavy_hitters) built INCREMENTALLY
+    by Structured Streaming: each micro-batch folds its events into the
+    same 3x256 (row, bucket) cell counts — the sketch IS a streaming
+    aggregate because CMS cells are counters (associative, commutative),
+    which is the whole point of sketches at ingest time: the state store
+    holds 768 rows forever, regardless of stream volume, and any batch's
+    snapshot answers heavy-hitter queries. Driven to end-of-input, the
+    cells equal the batch sketch exactly (md5-derived buckets, so the
+    DuckDB oracle rebuilds them bit-for-bit)."""
+    ev = _events_stream(spark, sf_dir)
+    w = 256
+
+    def bucket(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cms{j}:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % w
+        )
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                        for j in range(3)
+                    ]
+                )
+            ).alias("jb")
+        )
+        .select(F.col("jb.j").alias("j"), F.col("jb.b").alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return _drain(cells, "complete")
