@@ -708,6 +708,7 @@ def main() -> int:
         "g_betweenness_k3",
         "pipeline_train_quality_lr",
         "pipeline_model_gate",
+        "pipeline_train_per_source_lr",
     ):
         timed(q, run_query_rows(q))
 

@@ -117,3 +117,74 @@ def logreg_gd(
             F.round("raw_acc", 9).alias("accuracy"),
         )
     )
+
+
+def logreg_gd_grouped(
+    df: DataFrame,
+    group_col: str,
+    feature_cols: list[str],
+    label_col: str,
+    iters: int = 3,
+    lr: float = 1.0,
+) -> DataFrame:
+    """One model PER GROUP via ``applyInPandas`` — the grouped-ML shape
+    (a fleet of small models, e.g. one quality gate per language/domain,
+    each group's data collocating on one task after the group shuffle).
+    Python-side training follows the exact discipline of ``logreg_gd``:
+    rational squash, per-row terms rounded to 12 dp, gradients summed as
+    exact ``Fraction``s (order-independent — the pandas analog of the
+    DECIMAL(38,12) sum), weights rounded to 12 dp per step. The result
+    is bit-identical to the unrolled per-group SQL oracle, making even
+    the Arrow/pandas path hash-checkable cross-engine.
+
+    Returns one row per group: ``<group_col>, w_bias, w_<f>..., n_rows``.
+    """
+    import pandas as pd
+
+    names = ["bias"] + list(feature_cols)
+    schema = ", ".join(
+        [f"{group_col} string"]
+        + [f"w_{c} double" for c in names]
+        + ["n_rows bigint"]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from fractions import Fraction
+
+        rows = [
+            (1.0, *(float(pdf[c].iloc[i]) for c in feature_cols),
+             float(pdf[label_col].iloc[i]))
+            for i in range(len(pdf))
+        ]
+        n = float(len(rows))
+        w = [0.0] * len(names)
+        for _ in range(iters):
+            g = [Fraction(0)] * len(names)
+            for r in rows:
+                x, y = r[:-1], r[-1]
+                z = 0.0
+                for j in range(len(names)):
+                    z += w[j] * x[j]
+                p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+                for j in range(len(names)):
+                    # round(...,12) then Fraction: exact and order-free,
+                    # the pandas analog of SUM(CAST(.. AS DECIMAL(38,12)))
+                    g[j] += Fraction(str(round(x[j] * (y - p), 12)))
+            w = [
+                round(w[j] + round(float(g[j]) * lr / n, 12), 12)
+                for j in range(len(names))
+            ]
+        return pd.DataFrame(
+            [[pdf[group_col].iloc[0], *w, len(rows)]],
+            columns=[group_col, *(f"w_{c}" for c in names), "n_rows"],
+        )
+
+    return (
+        df.select(
+            F.col(group_col).cast("string").alias(group_col),
+            *[F.col(c).cast("double").alias(c) for c in feature_cols],
+            F.col(label_col).cast("double").alias(label_col),
+        )
+        .groupBy(group_col)
+        .applyInPandas(fit, schema)
+    )

@@ -1591,3 +1591,79 @@ def pipeline_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(squash(z) >= 0.5)
         .select("doc_id", F.round(squash(z), 9).alias("score"))
     )
+
+
+def _grouped_logreg_oracle(iters: int = 3) -> str:
+    """Per-group GD trajectories unrolled: same recurrence as
+    _logreg_oracle but every CTE keyed by ``source``."""
+    z = "(wb*bias + wl*f_len + ws*f_space)"
+    p = f"(0.5 + {z}/(2*(1+abs({z}))))"
+    names = ("bias", "f_len", "f_space")
+    ctes = [
+        """feats AS (
+  SELECT source, 1.0 AS bias,
+         CAST(length(text) AS DOUBLE) / 1000.0 AS f_len,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS f_space,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM documents WHERE length(text) > 0)""",
+        "nn AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM feats GROUP BY source)",
+        "w0 AS (SELECT source, 0.0 AS wb, 0.0 AS wl, 0.0 AS ws FROM nn)",
+    ]
+    for i in range(1, iters + 1):
+        gs = ", ".join(
+            f"sum(CAST(round({c} * (y - {p}), 12) AS DECIMAL(38,12))) AS g_{c}"
+            for c in names
+        )
+        ctes.append(
+            f"""g{i} AS (
+  SELECT f.source, {gs}
+  FROM feats f JOIN w{i - 1} w ON w.source = f.source
+  GROUP BY f.source)"""
+        )
+        up = ", ".join(
+            f"round({w} + round(CAST(g_{c} AS DOUBLE) * 1.0 / n, 12), 12) AS {w}"
+            for w, c in zip(("wb", "wl", "ws"), names)
+        )
+        ctes.append(
+            f"""w{i} AS (
+  SELECT g.source, {up}
+  FROM g{i} g JOIN w{i - 1} w ON w.source = g.source
+       JOIN nn ON nn.source = g.source)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT w.source, wb AS w_bias, wl AS w_f_len, ws AS w_f_space,
+       CAST(n AS BIGINT) AS n_rows
+FROM w{iters} w JOIN nn ON nn.source = w.source"""
+    )
+
+
+@query("pipeline_train_per_source_lr", oracle=_grouped_logreg_oracle(3))
+def pipeline_train_per_source_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A FLEET of models — one language classifier per document source —
+    trained with ``applyInPandas`` (operators/mlfit.py:logreg_gd_grouped):
+    one shuffle groups each source's rows onto a task, the pandas fit
+    runs the identical rational-squash/12-dp GD recurrence as the
+    distributed trainer, and gradients sum as exact Fractions (the
+    in-Python analog of the DECIMAL(38,12) order-independent sum). The
+    result hash-matches the per-group unrolled DuckDB oracle — the
+    Arrow/pandas ML path held to the same exactness bar as the JVM
+    plans. The grouped shape is how per-domain gates train at 100 TB:
+    group count = model count, each group's data never leaves its task."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import (
+        logreg_gd_grouped,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.filter(F.length("text") > 0).select(
+        "source",
+        (F.length("text").cast("double") / F.lit(1000.0)).alias("f_len"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("double")
+            / F.length("text").cast("double")
+        ).alias("f_space"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return logreg_gd_grouped(feats, "source", ["f_len", "f_space"], "y")

@@ -122,6 +122,7 @@ _PRIORITY = (
     "pipeline_train_quality_lr",  # NEW: distributed GD trainer, exact oracle
     "pipeline_model_gate",  # NEW: train + apply as one lazy curation gate
     "stream_cms_heavy_hitters",  # NEW: the CMS as an incremental stream agg
+    "pipeline_train_per_source_lr",  # NEW: applyInPandas model fleet, exact oracle
     # --- code-changed in r08: re-certify (also re-proven by check_oracle)
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
     "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
