@@ -57,13 +57,18 @@ def logreg_gd(
     ending in one global aggregate whose 1-row output crossJoins the
     next scan — weights never touch the driver. At 100 TB each step is
     a map-side-combined sum of |w|+1 doubles per partition."""
+    from pyspark.storagelevel import StorageLevel
+
     names = ["bias"] + list(feature_cols)
     feats = df.select(
         F.lit(1.0).alias("bias"),
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("_y"),
-    )
-    n = feats.count()  # one action up front; the training itself is lazy
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # One action up front (materializes the cache); training itself is
+    # lazy — every GD step re-reads the narrow cached projection instead
+    # of rescanning the source.
+    n = feats.count()
     w = feats.sparkSession.createDataFrame(
         [tuple(0.0 for _ in names)], ", ".join(f"w_{c} double" for c in names)
     )
