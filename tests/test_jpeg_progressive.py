@@ -119,3 +119,67 @@ def test_truncated_progressive_returns_none():
     tex = rng.randint(0, 256, (16, 16)).astype(np.uint8)
     b = encode_jpeg_progressive([tex])
     assert decode_jpeg(b[: len(b) // 3]) is None
+
+
+# ---------------------------------------------------------------- fuzzing
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _legal_script(draw, n_comp: int):
+    """A random LEGAL progressive scan script: DC first (interleaved) at
+    some Al, DC refinements stepping Al down to 0 one bit at a time,
+    and per-component AC band chains whose successive-approximation
+    levels also step down bit by bit with contiguous spectral bands."""
+    dc_al = draw(st.integers(0, 2))
+    script = [(list(range(n_comp)), 0, 0, 0, dc_al)]
+    for al in range(dc_al - 1, -1, -1):
+        script.append((list(range(n_comp)), 0, 0, al + 1, al))
+    for ci in range(n_comp):
+        # random contiguous band split of 1..63
+        cut = draw(st.integers(1, 62))
+        ac_al = draw(st.integers(0, 2))
+        bands = [(1, cut), (cut + 1, 63)]
+        for ss, se in bands:
+            script.append(([ci], ss, se, 0, ac_al))
+        for al in range(ac_al - 1, -1, -1):
+            for ss, se in bands:
+                script.append(([ci], ss, se, al + 1, al))
+    return script
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=st.data())
+def test_progressive_parity_fuzz(data):
+    """Random pixels, random dims, random legal scan script, random
+    sampling/quant: progressive decode == baseline decode, always (both
+    files carry identical quantized coefficients by construction)."""
+    rng = np.random.RandomState(data.draw(st.integers(0, 2**31 - 1)))
+    n_comp = data.draw(st.sampled_from([1, 3]))
+    h = data.draw(st.integers(1, 34))
+    w = data.draw(st.integers(1, 34))
+    planes = [rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(n_comp)]
+    sampling = None
+    if n_comp == 3 and data.draw(st.booleans()):
+        sampling = [(2, 2), (1, 1), (1, 1)]
+    quant = None
+    if data.draw(st.booleans()):
+        quant = np.clip(
+            np.arange(1, 65).reshape(8, 8) // data.draw(st.sampled_from([1, 2, 4])),
+            1,
+            64,
+        ).astype(np.float64)
+    script = data.draw(_legal_script(n_comp))
+    base = decode_jpeg(
+        encode_jpeg(planes, sampling=sampling, quant=quant), keep_pixels=True
+    )
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            planes, sampling=sampling, quant=quant, script=script
+        ),
+        keep_pixels=True,
+    )
+    assert base is not None and prog is not None
+    assert base["pixels"] == prog["pixels"], (h, w, n_comp, script)
