@@ -709,6 +709,7 @@ def main() -> int:
         "pipeline_train_quality_lr",
         "pipeline_model_gate",
         "pipeline_train_per_source_lr",
+        "rel_exact_quantiles_grouped",
     ):
         timed(q, run_query_rows(q))
 

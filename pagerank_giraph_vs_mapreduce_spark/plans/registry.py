@@ -123,6 +123,7 @@ _PRIORITY = (
     "pipeline_model_gate",  # NEW: train + apply as one lazy curation gate
     "stream_cms_heavy_hitters",  # NEW: the CMS as an incremental stream agg
     "pipeline_train_per_source_lr",  # NEW: applyInPandas model fleet, exact oracle
+    "rel_exact_quantiles_grouped",  # NEW: per-group percentile_disc, no whale sort
     # --- code-changed in r08: re-certify (also re-proven by check_oracle)
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
     "g_pagerank_hubsplit_k3",  # same kernel, explicit split path

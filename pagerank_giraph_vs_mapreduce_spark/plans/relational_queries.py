@@ -1800,3 +1800,81 @@ def rel_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == F.col("within_rank"))
         .select("label", F.col("v").alias("value"))
     )
+
+
+@query(
+    "rel_exact_quantiles_grouped",
+    oracle="""WITH t(label, q) AS (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)),
+n AS (SELECT l_returnflag AS grp, count(*) AS cnt FROM lineitem GROUP BY 1),
+ranks AS (SELECT grp, label, CAST(ceil(q * cnt) AS BIGINT) AS r FROM t, n),
+ordered AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn
+  FROM lineitem
+)
+SELECT ranks.grp, label, v AS value
+FROM ranks JOIN ordered ON ordered.grp = ranks.grp AND rn = r""",
+)
+def rel_exact_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact percentile_disc — the everyday production ask
+    ("p50/p90/p99 per tenant") done without any global or whale-group
+    sort. Same two-phase bucket scheme as rel_exact_quantiles, but here
+    EVERY stage is group-partitioned: the histogram groups by (grp,
+    bucket); the cumulative sum windows by grp over the tiny per-group
+    histograms (parallel across groups — unlike the global variant there
+    is no single-partition window anywhere); the per-(grp, quantile)
+    target rank lands in one bucket; and the final in-bucket rank
+    windows by (grp, bucket, label) over ~one-thousandth of each group.
+    A whale tenant costs one extra bucket scan, never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = (("p50", 0.5), ("p90", 0.9), ("p99", 0.99))
+    bucketed = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("bkt"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    hist = bucketed.groupBy("grp", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("grp", "bkt", "c", F.sum("c").over(wcum).alias("cum"))
+    targets = (
+        cum.groupBy("grp")
+        .agg(F.max("cum").alias("n"))
+        .select(
+            "grp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lbl).alias("label"),
+                            F.ceil(F.lit(q) * F.col("n")).cast("bigint").alias("r"),
+                        )
+                        for lbl, q in qs
+                    ]
+                )
+            ).alias("t"),
+        )
+        .select("grp", F.col("t.label").alias("label"), F.col("t.r").alias("r"))
+    )
+    tb = targets.join(
+        cum.withColumnsRenamed({"grp": "cgrp"}),
+        (F.col("grp") == F.col("cgrp"))
+        & (F.col("cum") >= F.col("r"))
+        & (F.col("cum") - F.col("c") < F.col("r")),
+    ).select(
+        "grp",
+        "label",
+        "bkt",
+        (F.col("r") - (F.col("cum") - F.col("c"))).alias("within_rank"),
+    )
+    wb = Window.partitionBy("grp", "bkt", "label").orderBy("v")
+    return (
+        bucketed.join(F.broadcast(tb), ["grp", "bkt"])
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == F.col("within_rank"))
+        .select("grp", "label", F.col("v").alias("value"))
+    )

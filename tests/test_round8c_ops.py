@@ -246,3 +246,29 @@ def test_logreg_gd_matches_python_replay(spark, sf_oracle_dir):
     )
     assert row.accuracy == round(correct / n, 9)
     assert 0.0 < row.accuracy <= 1.0
+
+
+def test_grouped_exact_quantiles_match_python(spark, sf_oracle_dir):
+    from collections import defaultdict
+
+    from pagerank_giraph_vs_mapreduce_spark.plans.relational_queries import (
+        rel_exact_quantiles_grouped,
+    )
+
+    got = {
+        (r.grp, r.label): r.value
+        for r in rel_exact_quantiles_grouped(spark, sf_oracle_dir).collect()
+    }
+    by_grp = defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{sf_oracle_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        by_grp[r.l_returnflag].append(r.l_extendedprice)
+    want = {}
+    for g, vals in by_grp.items():
+        vals.sort()
+        for label, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            want[(g, label)] = vals[math.ceil(q * len(vals)) - 1]
+    assert got == want

@@ -168,6 +168,7 @@ HEADLINE = [
     "g_betweenness_k3",
     "pipeline_train_quality_lr",
     "pipeline_model_gate",
+    "rel_exact_quantiles_grouped",
 ]
 
 
