@@ -1546,10 +1546,16 @@ def _model_gate_oracle(iters: int = 3) -> str:
     p = f"(0.5 + {z}/(2*(1+abs({z}))))"
     return (
         head
-        + f"""
-SELECT doc_id, round({p}, 9) AS score
-FROM feats, w{iters}
-WHERE {p} >= 0.5"""
+        + f""",
+scored AS (
+  SELECT doc_id, {p} AS p FROM feats, w{iters}),
+thr AS (
+  SELECT round(CAST(sum(CAST(round(p, 12) AS DECIMAL(38,12))) AS DOUBLE)
+               / count(*), 12) AS mean_p
+  FROM scored)
+SELECT doc_id, round(p, 9) AS score
+FROM scored, thr
+WHERE round(p, 12) >= mean_p"""
     )
 
 
@@ -1558,10 +1564,15 @@ def pipeline_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full model-in-the-loop curation gate in ONE lazy plan: train
     the quality classifier (pipeline_train_quality_lr's 3 GD steps) and
     immediately apply it — the trained 1-row weight frame crossJoins the
-    corpus and every doc scoring >= 0.5 passes the gate. This is the
-    deployment shape of learned curation at 100 TB: the model is bytes
-    (broadcast), the gate is a codegen'd per-row expression, and nothing
-    about training or scoring touches the driver."""
+    corpus and every doc scoring at or above the CORPUS MEAN score
+    passes — a relative gate, because an absolute 0.5 cut is
+    class-balance-dependent (a majority-negative corpus pushes every
+    score below 0.5 and empties it). The mean is an order-independent
+    decimal sum (the repo's aggregate discipline), computed in the same
+    lazy plan and broadcast back. This is the deployment shape
+    of learned curation at 100 TB: the model is bytes (broadcast), the
+    gate is a codegen'd per-row expression, and nothing about training
+    or scoring touches the driver."""
     from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import (
         logreg_gd,
         squash,
@@ -1586,10 +1597,20 @@ def pipeline_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("w_f_len") * F.col("f_len")
         + F.col("w_f_space") * F.col("f_space")
     )
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "doc_id", squash(z).alias("p")
+    )
+    thr = scored.agg(
+        F.round(
+            F.sum(F.round("p", 12).cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("mean_p")
+    )
     return (
-        feats.crossJoin(F.broadcast(w))
-        .filter(squash(z) >= 0.5)
-        .select("doc_id", F.round(squash(z), 9).alias("score"))
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.round("p", 12) >= F.col("mean_p"))
+        .select("doc_id", F.round("p", 9).alias("score"))
     )
 
 
