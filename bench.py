@@ -710,6 +710,8 @@ def main() -> int:
         "pipeline_model_gate",
         "pipeline_train_per_source_lr",
         "rel_exact_quantiles_grouped",
+        "rel_outlier_zscore",
+        "rel_corr_exact",
     ):
         timed(q, run_query_rows(q))
 

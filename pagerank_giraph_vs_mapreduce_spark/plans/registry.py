@@ -124,6 +124,8 @@ _PRIORITY = (
     "stream_cms_heavy_hitters",  # NEW: the CMS as an incremental stream agg
     "pipeline_train_per_source_lr",  # NEW: applyInPandas model fleet, exact oracle
     "rel_exact_quantiles_grouped",  # NEW: per-group percentile_disc, no whale sort
+    "rel_outlier_zscore",  # NEW: group-moment broadcast outlier sweep
+    "rel_corr_exact",  # NEW: Pearson corr via order-independent moments
     # --- code-changed in r08: re-certify (also re-proven by check_oracle)
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
     "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
