@@ -712,6 +712,7 @@ def main() -> int:
         "rel_exact_quantiles_grouped",
         "rel_outlier_zscore",
         "rel_corr_exact",
+        "mm_y4m_frames",
     ):
         timed(q, run_query_rows(q))
 

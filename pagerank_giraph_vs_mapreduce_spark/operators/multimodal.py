@@ -7,8 +7,9 @@ pure-stdlib decoder (zlib inflate + the five scanline filters, RFC 2083),
 JPEG decoder (Huffman from DHT, multi-scan coefficient accumulation,
 dequant, IDCT, chroma upsampling, YCbCr→RGB), and
 ``extract_features`` dispatches on the magic bytes, emitting true image
-features (width/height/channels/bit_depth/pixel_mean). Formats neither
-decoder handles (lossy-VP8 WebP, video containers) remain
+features (width/height/channels/bit_depth/pixel_mean). Raw-frame video
+(YUV4MPEG2) parses for real too (operators/y4m.py). Only compressed
+codecs this repo lacks (lossy-VP8 WebP, compressed video) remain
 STUBBED behind the same seam (deterministic byte-level "features"; a
 real deployment swaps ``_decode_stub`` for PIL/ffmpeg). What is tested
 either way:
@@ -199,8 +200,9 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
 
 def _decode_stub(payload: bytes) -> dict:
     """STUB decoder — deterministic byte statistics standing in for media
-    decodes this repo has no codec for (lossy-VP8 WebP and video; PNG,
-    GIF, VP8L WebP, and both baseline AND progressive JPEG are all real).
+    decodes this repo has no codec for (lossy-VP8 WebP and compressed
+    video; PNG, GIF, VP8L WebP, baseline AND progressive JPEG, and raw
+    Y4M video are all real).
     Swap this function for the real codec; the Spark plumbing
     around it (schema, batching, partitioning) is the tested contract.
     PNG, baseline JPEG, GIF and lossless WebP do not reach here —
@@ -969,3 +971,85 @@ def ahash16(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
 
     return media.select("doc_id", "payload").mapInPandas(batches, schema)
+
+
+Y4M_FRAME_W, Y4M_FRAME_H = 8, 2  # 16 px/frame
+Y4M_N_FRAMES = 4
+
+
+def y4m_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload BINARY): a REAL 4-frame YUV4MPEG2 video per doc —
+    frame f holds text bytes [16f, 16f+16) (space-padded) as an 8x2 luma
+    plane (C420jpeg with neutral chroma, the colorspace mainstream tools
+    emit). Raw-frame video: the container the compressed-codec toolchain
+    interchanges, parseable with zero codec dependencies."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.y4m import encode_y4m
+
+    px = Y4M_FRAME_W * Y4M_FRAME_H
+    total = px * Y4M_N_FRAMES
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")[:total].ljust(total, b" ")
+                frames = [
+                    raw[f * px : (f + 1) * px] for f in range(Y4M_N_FRAMES)
+                ]
+                payloads.append(
+                    encode_y4m(
+                        frames, Y4M_FRAME_W, Y4M_FRAME_H, colorspace="420jpeg"
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def y4m_frame_stats(media: DataFrame) -> DataFrame:
+    """Decode every frame of each Y4M payload and emit (doc_id,
+    frame_idx, luma_mean, n_frames, width, height) — video frame
+    sampling with REAL container parsing. Arrow-batched; unparseable
+    payloads contribute no rows (degrade)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.y4m import decode_y4m
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "luma_mean": [],
+                "n_frames": [], "width": [], "height": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_y4m(payload)
+                if d is None:
+                    continue
+                for f, m in enumerate(d["frame_luma_means"]):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(f)
+                    rows["luma_mean"].append(m)
+                    rows["n_frames"].append(d["n_frames"])
+                    rows["width"].append(d["width"])
+                    rows["height"].append(d["height"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "luma_mean": pd.Series(rows["luma_mean"], dtype="float64"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, luma_mean double, "
+        "n_frames int, width int, height int",
+    )

@@ -516,3 +516,38 @@ def mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         F.col("id_a"), F.col("id_b"), F.col("hamming").cast("bigint").alias("hamming")
     )
+
+
+@query(
+    "mm_y4m_frames",
+    oracle="""SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+       round((coalesce(CAST(list_sum(list_transform(range(1, least(greatest(length(text) - f.f * 16, 0), 16) + 1),
+                  i -> CAST(ascii(substr(text, CAST(f.f * 16 + i AS INT), 1)) AS BIGINT))) AS DOUBLE), 0)
+              + 32 * (16 - least(greatest(length(text) - f.f * 16, 0), 16))) / 16.0, 9) AS luma_mean,
+       4 AS n_frames, 8 AS width, 2 AS height
+FROM documents, LATERAL unnest(range(0, 4)) AS f(f)""",
+)
+def mm_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container parsing through the multimodal seam: each doc
+    becomes a genuine 4-frame YUV4MPEG2 stream (operators/y4m.py — the
+    raw-frame interchange format every video toolchain reads), frame f
+    carrying text bytes [16f, 16f+16) as its 8x2 luma plane over neutral
+    C420jpeg chroma; y4m_frame_stats parses the stream header, frames the
+    FRAME markers, and emits per-frame luma means with exact SQL oracles
+    over the text. Video "decode" splits into container parsing (real,
+    here) and codec decompression (the C-library seam, stubbed) — with
+    Y4M the stub domain is compressed codecs only."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        y4m_frame_stats,
+        y4m_payload,
+    )
+
+    media = y4m_payload(load_table(spark, sf_dir, "documents"))
+    return y4m_frame_stats(media).select(
+        "doc_id",
+        "frame_idx",
+        F.round("luma_mean", 9).alias("luma_mean"),
+        "n_frames",
+        "width",
+        "height",
+    )

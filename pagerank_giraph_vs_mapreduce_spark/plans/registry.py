@@ -126,6 +126,7 @@ _PRIORITY = (
     "rel_exact_quantiles_grouped",  # NEW: per-group percentile_disc, no whale sort
     "rel_outlier_zscore",  # NEW: group-moment broadcast outlier sweep
     "rel_corr_exact",  # NEW: Pearson corr via order-independent moments
+    "mm_y4m_frames",  # NEW: real video-container (YUV4MPEG2) frame parsing
     # --- code-changed in r08: re-certify (also re-proven by check_oracle)
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
     "g_pagerank_hubsplit_k3",  # same kernel, explicit split path

@@ -272,3 +272,23 @@ def test_grouped_exact_quantiles_match_python(spark, sf_oracle_dir):
         for label, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
             want[(g, label)] = vals[math.ceil(q * len(vals)) - 1]
     assert got == want
+
+
+def test_y4m_roundtrip_and_degrade():
+    from pagerank_giraph_vs_mapreduce_spark.operators.y4m import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = [bytes([v]) * 64 for v in (10, 200, 33)]
+    for cs in ("mono", "420jpeg"):
+        d = decode_y4m(encode_y4m(frames, 8, 8, colorspace=cs), keep_frames=True)
+        assert d["frames"] == frames and d["colorspace"].startswith(cs[:4])
+        assert d["frame_luma_means"] == [10.0, 200.0, 33.0]
+        assert (d["fps_num"], d["fps_den"]) == (25, 1)
+    # truncation keeps the leading intact frames; garbage degrades to None
+    b = encode_y4m(frames, 8, 8)
+    assert decode_y4m(b[: len(b) // 2])["n_frames"] >= 1
+    assert decode_y4m(b"not a y4m") is None
+    assert decode_y4m(b"YUV4MPEG2 W0 H8 F25:1\n") is None
+    assert decode_y4m(b"YUV4MPEG2 W8 H8 C444\nFRAME\n" + b"x" * 64) is None
