@@ -28,7 +28,7 @@ def _dsum(col, alias):
 
 
 def _sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(round(sum(CAST({expr} AS DECIMAL(18,2))), 6) AS DOUBLE) AS {alias}"
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(38,12))), 6) AS DOUBLE) AS {alias}"
 
 
 # ---------------------------------------------------------------- filters
@@ -464,7 +464,7 @@ def rel_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_scalar_subquery",
     oracle="""SELECT count(*) AS n_above_avg FROM orders
 WHERE o_totalprice > (
-  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) / count(*)
   FROM orders)""",
 )
 def rel_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +518,7 @@ def rel_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
   100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))
         ELSE CAST(0 AS DECIMAL(38,12)) END) AS DOUBLE)
-  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE),
+  / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))) AS DOUBLE),
   6) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""",
@@ -785,8 +785,8 @@ def rel_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
   WHERE r_name = 'ASIA')
 SELECT o_year,
        round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                                ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE)
-             / CAST(sum(CAST(volume AS DECIMAL(18,2))) AS DOUBLE),
+                                ELSE 0 END AS DECIMAL(38,12))) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(38,12))) AS DOUBLE),
              6) AS mkt_share
 FROM allnations GROUP BY o_year""",
 )
@@ -947,12 +947,12 @@ def rel_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_q22_idle_customers",
     oracle="""WITH avg_bal AS (
-  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE)
          / count(*) AS ab
   FROM customer WHERE c_acctbal > 0)
 SELECT c_nationkey,
        count(*) AS numcust,
-       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 6) AS DOUBLE)
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,12))), 6) AS DOUBLE)
          AS totacctbal
 FROM customer, avg_bal
 WHERE c_acctbal > ab
@@ -1053,7 +1053,7 @@ dim AS (
   FROM orders GROUP BY 1)
 SELECT f.hot_key,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(sum(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(f.l_quantity AS DECIMAL(38,12))) AS DOUBLE) AS sum_qty,
        min(d.dim_price) AS dim_price
 FROM fact f JOIN dim d USING (hot_key)
 GROUP BY f.hot_key""",
@@ -1193,8 +1193,8 @@ def rel_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""SELECT
   CAST(round(100.00 * sum(CAST(CASE WHEN p_type = 'PROMO'
            THEN l_extendedprice * (1 - l_discount) ELSE 0 END
-           AS DECIMAL(18,2)))
-       / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))), 6)
+           AS DECIMAL(38,12)))
+       / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12))), 6)
        AS DOUBLE) AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01'
@@ -1234,7 +1234,7 @@ def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
          CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                             AS DECIMAL(18,2))), 6) AS DOUBLE) AS total_revenue
+                             AS DECIMAL(38,12))), 6) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1282,7 +1282,7 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""WITH part_avg AS (
   SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS threshold
   FROM lineitem GROUP BY l_partkey)
-SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0, 6)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,12))) / 7.0, 6)
             AS DOUBLE) AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -1886,7 +1886,7 @@ def rel_exact_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT l_returnflag AS grp,
     count(*) AS n,
     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx
   FROM lineitem GROUP BY 1),
 m AS (
@@ -1952,11 +1952,11 @@ def rel_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT count(*) AS n,
     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-    CAST(sum(CAST(l_quantity AS DECIMAL(38,12))
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
              * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,12))
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-    CAST(sum(CAST(l_quantity AS DECIMAL(38,12))
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
              * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
   FROM lineitem)
 SELECT n,
@@ -1974,7 +1974,7 @@ def rel_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded sqrt: a statistics aggregate with an exact cross-engine
     hash, and one map-side-combined pass at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    qx = F.col("l_quantity").cast("decimal(38,12)")
+    qx = F.col("l_quantity").cast("decimal(18,2)")
     px = F.col("l_extendedprice").cast("decimal(18,2)")
     s = li.agg(
         F.count(F.lit(1)).alias("n"),
