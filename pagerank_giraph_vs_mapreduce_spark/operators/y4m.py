@@ -106,9 +106,14 @@ def decode_y4m(payload: bytes, keep_frames: bool = False) -> dict | None:
         if fnl < 0 or data[pos : pos + 5] != b"FRAME":
             return None  # malformed frame header
         pos = fnl + 1
+        if pos + frame_bytes > len(data):
+            # Truncated final frame: keep the leading intact ones. The full
+            # frame_bytes bound (not just luma) rejects a 420 frame whose
+            # luma is complete but whose chroma planes are cut short —
+            # otherwise the frame would count as intact and pos would
+            # silently overrun the buffer end.
+            break
         plane = data[pos : pos + luma]
-        if len(plane) < luma:
-            break  # truncated final frame: keep the leading intact ones
         means.append(sum(plane) / luma)
         if keep_frames:
             frames.append(plane)

@@ -430,16 +430,20 @@ def fn_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "fn_kmv_distinct",
     oracle="""WITH h AS (
-  SELECT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))
               AS UBIGINT) AS h
   FROM customer
 ),
-k AS (SELECT max(h) AS hk FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
+k AS (SELECT max(h) AS hk, count(*) AS n_sk
+      FROM (SELECT h FROM h ORDER BY h LIMIT 256)),
 e AS (SELECT count(DISTINCT c_custkey) AS n_exact FROM customer)
 SELECT n_exact,
-  CAST(floor(255.0 * 1152921504606846976 / CAST(hk AS DOUBLE)) AS BIGINT)
-    AS kmv_est,
-  abs(CAST(floor(255.0 * 1152921504606846976 / CAST(hk AS DOUBLE)) AS BIGINT)
+  CASE WHEN n_sk < 256 THEN n_sk
+       ELSE CAST(floor(255.0 * 1152921504606846976 / CAST(hk AS DOUBLE))
+                 AS BIGINT) END AS kmv_est,
+  abs(CASE WHEN n_sk < 256 THEN n_sk
+       ELSE CAST(floor(255.0 * 1152921504606846976 / CAST(hk AS DOUBLE))
+                 AS BIGINT) END
       - n_exact) <= 0.20 * n_exact AS within_20pct
 FROM k, e""",
 )
@@ -453,7 +457,11 @@ def fn_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares the exact estimate (floored to BIGINT — both engines do the
     identical int64->double cast and IEEE division), not just a bound.
     The within_20pct column is ~3 sigma at K=256 (rse = 1/sqrt(K-2) ~
-    6.3%); measured error on this table is 6.4%.
+    6.3%); measured error on this table is 6.4%. When the table holds
+    fewer than K distinct keys the sketch is not full, h_K is the max
+    hash of the whole table and the ratio estimator is badly biased —
+    standard KMV practice returns the observed sketch size (which is the
+    exact distinct count) instead; both engines apply the same guard.
 
     Scale shape: "K smallest" is TakeOrderedAndProject — each partition
     keeps a local K-heap, the driver merges P*K values — no global sort,
@@ -468,14 +476,18 @@ def fn_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     kmin = (
         cust.select(h.alias("h"))
+        .distinct()
         .orderBy("h")
         .limit(kk)
-        .agg(F.max("h").alias("hk"))
+        .agg(F.max("h").alias("hk"), F.count("*").alias("n_sk"))
     )
     exact = cust.agg(F.countDistinct("c_custkey").alias("n_exact"))
-    est = F.floor(
+    ratio_est = F.floor(
         F.lit(float(kk - 1)) * F.lit(float(2**60)) / F.col("hk").cast("double")
     ).cast("bigint")
+    # sketch not full -> n_sk IS the exact distinct count; the ratio
+    # estimator on a non-full sketch is meaningless (h_K = table max hash)
+    est = F.when(F.col("n_sk") < kk, F.col("n_sk")).otherwise(ratio_est)
     return (
         kmin.crossJoin(exact)
         .select(

@@ -48,92 +48,43 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-8 budget math (r07 recorded exactly 50 rows, all green; cumulative
-# newest-driver-row ages after r07: 5 queries at r02, 39 at r03, 43 at r04):
-# VERDICT r07 "Next round" #1 is the hard criterion — after CORRECTNESS_r08,
-# no registered query's newest driver row may be older than r04 — so ALL 44
-# r02/r03 rows lead the order (they alone are 88% of a 50-slot budget), and
-# the round's new queries take whatever slots remain (~6); new rows that miss
-# the r08 gate lead r09's. Everything is additionally re-proven every round by
-# tools/check_oracle.py (stricter: exact stringified values, not hashes).
+# Round-9 budget math (r08 recorded exactly 50 rows, all green; after r08 no
+# query's newest driver row predates r04): VERDICT r08 "Next round" #1 is the
+# hard criterion — the 16 round-8 queries that overflowed the r08 gate lead,
+# then queries whose code changed in r09 (re-certify), then the r08
+# code-changed re-certs, then the r04 cohort (43 rows — what the ~50-slot
+# budget can't reach this round leads r10). Everything is additionally
+# re-proven every round by tools/check_oracle.py (stricter: exact stringified
+# values, not hashes).
 _PRIORITY = (
-    # --- rotation: ALL remaining r02-era rows (fn_* tail)
-    "fn_c5_c6",
-    "fn_date_arith",
-    "fn_hash_sample",
-    "fn_math",
-    "fn_null_semantics",
-    # --- rotation: ALL remaining r03-era rows
-    "g_vertex_universe",
-    "g_graph_counts",
-    "g_out_degree",
-    "g_dangling",
-    "g_scatter_contribs",
-    "g_gather_sum",
-    "g_wcc_k4",
-    "g_bfs_hops_k4",
-    "g_ppr_k3",
-    "g_degree_hist",
-    "g_lpa_r3",
-    "rel_q1_pricing",
-    "rel_join_q3",
-    "rel_broadcast_dim_join",
-    "rel_semi_join",
-    "rel_anti_join",
-    "rel_scalar_subquery",
-    "rel_q5_local_supplier",
-    "rel_q6_forecast",
-    "rel_q14_promo_ratio",
-    "rel_q18_large_orders",
-    "rel_user_funnel",
-    "dedup_exact",
-    "dedup_minhash_sig",
-    "dedup_lsh_candidates",
-    "dedup_minhash_near_dups",
-    "dedup_ngram_jaccard",
-    "sim_lsh_buckets",
-    "sim_ivf_assign",
-    "sim_kmeans_2iter",
-    "sql_array_agg",
-    "sql_array_funcs",
-    "sql_higher_order",
-    "sql_map_funcs",
-    "pipeline_curation_funnel",
-    "pipeline_chunk_dedup",
-    "text_vocab_top20",
-    "text_chunks",
-    "stream_vocab_top20",
-    # --- new in r08: certify with the remaining ~6 slots; overflow leads r09
-    "text_bpe_merges_k64_batched",  # NEW: top-B non-overlapping merges/round
-    "g_link_aa_pervertex",  # NEW: per-vertex top-k Adamic-Adar candidates
-    "mm_webp_decode",  # NEW: real VP8L (WebP-lossless) decoder
-    "source_avro_roundtrip",  # NEW: pure-Python Avro OCF reader
-    "g_ktruss4_r3",  # NEW: k-truss peeling (edge-cohesion kernel)
-    "pipeline_weighted_sample",  # NEW: integer-exact systematic w-sampling
-    # ---- ~50-row budget line (r08 gate reaches about here) ----
-    "pipeline_domain_cap",  # NEW: two-phase per-domain top-k cap
-    "source_jsonl_bz2",  # NEW: splittable-codec JSONL round-trip
-    "mm_jpeg_progressive_decode",  # NEW: real SOF2 progressive decoder
-    "rel_exact_quantiles",  # NEW: histogram-cumsum exact quantiles
-    "fn_cms_heavy_hitters",  # NEW: count-min sketch heavy hitters (md5 rows)
-    "fn_kmv_distinct",  # NEW: k-minimum-values distinct sketch (md5 space)
-    "pipeline_k_anonymity",  # NEW: quasi-identifier suppression gate
-    "g_betweenness_k3",  # NEW: truncated sampled-source Brandes
-    "pipeline_train_quality_lr",  # NEW: distributed GD trainer, exact oracle
-    "pipeline_model_gate",  # NEW: train + apply as one lazy curation gate
-    "stream_cms_heavy_hitters",  # NEW: the CMS as an incremental stream agg
-    "pipeline_train_per_source_lr",  # NEW: applyInPandas model fleet, exact oracle
-    "rel_exact_quantiles_grouped",  # NEW: per-group percentile_disc, no whale sort
-    "rel_outlier_zscore",  # NEW: group-moment broadcast outlier sweep
-    "rel_corr_exact",  # NEW: Pearson corr via order-independent moments
-    "mm_y4m_frames",  # NEW: real video-container (YUV4MPEG2) frame parsing
-    # --- code-changed in r08: re-certify (also re-proven by check_oracle)
+    # --- the 16 round-8 queries that overflowed the r08 gate (VERDICT #1)
+    "pipeline_domain_cap",  # two-phase per-domain top-k cap
+    "source_jsonl_bz2",  # splittable-codec JSONL round-trip
+    "mm_jpeg_progressive_decode",  # real SOF2 progressive decoder
+    "rel_exact_quantiles",  # histogram-cumsum exact quantiles
+    "fn_cms_heavy_hitters",  # count-min sketch heavy hitters (md5 rows)
+    "fn_kmv_distinct",  # KMV distinct sketch (+ r09 small-n guard)
+    "pipeline_k_anonymity",  # quasi-identifier suppression gate
+    "g_betweenness_k3",  # truncated sampled-source Brandes
+    "pipeline_train_quality_lr",  # distributed GD trainer, exact oracle
+    "pipeline_model_gate",  # train + apply as one lazy curation gate
+    "stream_cms_heavy_hitters",  # the CMS as an incremental stream agg
+    "pipeline_train_per_source_lr",  # applyInPandas model fleet, exact oracle
+    "rel_exact_quantiles_grouped",  # per-group percentile_disc, no whale sort
+    "rel_outlier_zscore",  # group-moment broadcast outlier sweep
+    "rel_corr_exact",  # Pearson corr via order-independent moments
+    "mm_y4m_frames",  # YUV4MPEG2 frames (+ r09 chroma-truncation guard)
+    # --- new or code-changed in r09: certify/re-certify
+    # (new r09 queries are appended here as they land)
+    "g_ktruss4_r3",  # re-fixtured to realistic sparsity (VERDICT #3)
+    "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
+    # --- code-changed in r08, newest driver row r07: re-certify
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
     "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
     "pipeline_curation",  # planted-dup offsets now scale-safe (1e9)
     "dedup_incremental",  # same offset change
     "dedup_semantic",  # same offset change (vec_id planted dups)
-    # --- r04 cohort (newest driver row r04), queued for r09
+    # --- r04 cohort (newest driver row r04); overflow leads r10
     "mm_features",
     "mm_png_decode",
     "text_tfidf_top_term",

@@ -80,6 +80,20 @@ def test_kmv_matches_python_replay_and_merges(spark, sf_oracle_dir):
     assert merged == hs[:256]
 
 
+def test_kmv_small_table_guard_returns_exact(spark, sf_dir):
+    # sf0.001 customer has 150 rows < K=256: the sketch is not full, the
+    # ratio estimator would be badly biased (h_K = table max hash), so
+    # the guard must return the observed sketch size — the exact count.
+    from pagerank_giraph_vs_mapreduce_spark.plans.function_queries import (
+        fn_kmv_distinct,
+    )
+
+    row = fn_kmv_distinct(spark, sf_dir).collect()[0]
+    assert row.n_exact < 256
+    assert row.kmv_est == row.n_exact
+    assert row.within_20pct
+
+
 def test_exact_quantiles_match_sorted_python(spark, sf_oracle_dir):
     from pagerank_giraph_vs_mapreduce_spark.plans.relational_queries import (
         rel_exact_quantiles,
@@ -292,3 +306,13 @@ def test_y4m_roundtrip_and_degrade():
     assert decode_y4m(b"not a y4m") is None
     assert decode_y4m(b"YUV4MPEG2 W0 H8 F25:1\n") is None
     assert decode_y4m(b"YUV4MPEG2 W8 H8 C444\nFRAME\n" + b"x" * 64) is None
+    # a 420 final frame with complete luma but truncated chroma is NOT an
+    # intact frame: it must be dropped, not counted (and must not overrun)
+    b420 = encode_y4m(frames, 8, 8, colorspace="420jpeg")
+    full = 64 + 2 * 16  # luma + 2 quarter-size chroma planes
+    for cut in (1, 16, 32):  # chop 1 byte .. one whole chroma plane
+        d = decode_y4m(b420[: len(b420) - cut])
+        assert d["n_frames"] == 2 and d["frame_luma_means"] == [10.0, 200.0]
+    # chop into the luma of the last frame: same verdict
+    d = decode_y4m(b420[: len(b420) - full + 10])
+    assert d["n_frames"] == 2
