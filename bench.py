@@ -43,6 +43,93 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pagerank_giraph_vs_mapreduce_spark.session import get_spark  # noqa: E402
 
 
+S3_V, S3_E = 4_847_571, 68_993_773  # soc-LiveJournal1 shape (README.md:116-120)
+
+
+def _synth_powerlaw(spark, n_v: int, n_e: int, seed: int = 1):
+    """Deterministic web-graph-shaped synthetic edges (module-level so the
+    __s3solo__ subprocess mode shares the exact generator the suite uses)."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(n_e)
+    return e.select(
+        (F.abs(F.xxhash64(F.col("id"), F.lit(seed))) % n_v).alias("src"),
+        # u in (0, 1]: clamp so u == 1.0 maps to n_v - 1, not n_v.
+        F.least(
+            F.lit(n_v - 1),
+            F.floor(
+                n_v
+                * F.pow(
+                    (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % 1_000_000 + 1)
+                    / 1_000_000.0,
+                    F.lit(2.5),
+                )
+            ),
+        )
+        .cast("long")
+        .alias("dst"),
+    )
+
+
+def _s3solo() -> int:
+    """Fresh-process S3 kernel run: 5 forced supersteps, one JSON line out.
+
+    The headline cross-round metric is the MEDIAN of >=3 of these (each a
+    fresh JVM), because the in-suite number shares a JVM with 130 other
+    entries and this host's run-to-run spread (3.35-6.16 s observed on an
+    identical tree, SCALING.md §24) exceeds any plausible plan regression —
+    VERDICT r08 item 2 makes the adjudication mechanical instead."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="bench-s3solo", cpus=cpus)
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+
+    spark.range(1000).count()  # JVM warmup outside the kernel
+    res = pagerank(
+        _synth_powerlaw(spark, S3_V, S3_E), max_iter=5, tol=-1.0, min_iter=0
+    )
+    secs = [h.seconds for h in res.history]
+    print(
+        json.dumps(
+            {
+                "s3_iter_median_sec": round(sorted(secs)[len(secs) // 2], 3),
+                "s3_iter_secs": [round(s, 3) for s in secs],
+                "s3_build_sec": round(res.build_seconds, 3),
+            }
+        )
+    )
+    return 0
+
+
+def _s3_solo_median(n_runs: int = 3) -> dict:
+    """Spawn n_runs fresh-JVM S3 kernel runs; return {median, runs[]}."""
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    medians: list[float] = []
+    builds: list[float] = []
+    for _ in range(n_runs):
+        try:
+            out = subprocess.run(
+                [sys.executable, me, "__s3solo__"],
+                capture_output=True,
+                text=True,
+                timeout=900,
+                check=True,
+            ).stdout
+            row = json.loads(out.strip().splitlines()[-1])
+            medians.append(float(row["s3_iter_median_sec"]))
+            builds.append(float(row["s3_build_sec"]))
+        except (subprocess.SubprocessError, ValueError, KeyError, IndexError) as e:
+            print(f"warning: s3 solo run failed: {e}", file=sys.stderr)
+    if not medians:
+        return {}
+    return {
+        "pagerank_s3_solo_median_sec": sorted(medians)[len(medians) // 2],
+        "pagerank_s3_solo_runs_sec": medians,
+        "pagerank_s3_solo_build_secs": builds,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -259,26 +346,7 @@ def main() -> int:
         (out-deg ~ n_e/n_v), zipf-ish dst via inverse-transform u^2.5 —
         top-hub in-degree ~ n_e * n_v^-0.4, matching the reference
         datasets' heavy in-degree skew (README.md:410-414)."""
-        from pyspark.sql import functions as F
-
-        e = spark.range(n_e)
-        return e.select(
-            (F.abs(F.xxhash64(F.col("id"), F.lit(seed))) % n_v).alias("src"),
-            # u in (0, 1]: clamp so u == 1.0 maps to n_v - 1, not n_v.
-            F.least(
-                F.lit(n_v - 1),
-                F.floor(
-                    n_v
-                    * F.pow(
-                        (F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1))) % 1_000_000 + 1)
-                        / 1_000_000.0,
-                        F.lit(2.5),
-                    )
-                ),
-            )
-            .cast("long")
-            .alias("dst"),
-        )
+        return _synth_powerlaw(spark, n_v, n_e, seed)
 
     def run_pagerank_s1scale() -> None:
         """Reference S1 scale (web-Google: 875k V / 5.1M E, README.md:116-120):
@@ -848,6 +916,18 @@ def main() -> int:
 
     timed("text_bpe_merges_k64", run_bpe_k64)
 
+    # Machine-decidable headline (VERDICT r08 item 2): median of >=3
+    # fresh-JVM solo S3 kernel runs — immune to the shared-JVM cross-talk
+    # and host spread that made the in-suite number need narrative
+    # adjudication. Runs on the full suite (and on explicit request via
+    # `python bench.py pagerank_s3_solo_median`); skippable for quick
+    # local iterations with SPARK_GRAFT_NO_SOLO=1.
+    if (not only or "pagerank_s3_solo_median" in only) and not os.environ.get(
+        "SPARK_GRAFT_NO_SOLO"
+    ):
+        extras.update(_s3_solo_median(n_runs=3))
+        only.discard("pagerank_s3_solo_median")
+
     unknown = only - set(timings) - set(probes)
     if unknown:
         print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)
@@ -924,10 +1004,22 @@ def main() -> int:
         "pagerank_s3conv_iterations",
         "pagerank_s3conv_iter_median_sec",
         "pagerank_skew_sec_per_iter",
+        "pagerank_s3_solo_median_sec",
+        "pagerank_s3_solo_runs_sec",
     ]
+    # Headline = solo median when available (fresh-JVM, machine-decidable
+    # cross-round — VERDICT r08 item 2); in-suite median is the fallback
+    # and still ships alongside for continuity with r01-r08.
     compact = {
-        "metric": "pagerank_sec_per_iter_s3_median",
-        "value": extras.get("pagerank_s3scale_iter_median_sec", total),
+        "metric": (
+            "pagerank_sec_per_iter_s3_solo_median"
+            if "pagerank_s3_solo_median_sec" in extras
+            else "pagerank_sec_per_iter_s3_median"
+        ),
+        "value": extras.get(
+            "pagerank_s3_solo_median_sec",
+            extras.get("pagerank_s3scale_iter_median_sec", total),
+        ),
         "unit": "sec",
         "suite_sec": total,
         "n_queries": len(timings),
@@ -945,4 +1037,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if sys.argv[1:] == ["__s3solo__"]:
+        raise SystemExit(_s3solo())
     raise SystemExit(main())
