@@ -781,8 +781,25 @@ def main() -> int:
         "rel_outlier_zscore",
         "rel_corr_exact",
         "mm_y4m_frames",
+        # round-9 additions
+        "g_ktruss4_conv",
     ):
         timed(q, run_query_rows(q))
+
+    def run_ktruss_dense_probe(out: dict) -> None:
+        """The pre-r09 truss fixture as a named probe (VERDICT r08 item 3):
+        3 peel rounds on the DENSE shared derived graph (997/1500 moduli,
+        ~43M triangles/round at sf0.1 — 2-3 orders of magnitude more
+        triangles per edge than a real web/social graph at this |E|). The
+        suite entry g_ktruss4_r3 now runs on a realistic-sparsity fixture;
+        this probe keeps the stress measurement without taxing every
+        round. Run explicitly: `python bench.py ktruss_dense_probe`."""
+        from pagerank_giraph_vs_mapreduce_spark.graph.motifs import ktruss_edges
+
+        res = ktruss_edges(derived_edges(spark, sf_dir), k=4, rounds=3)
+        out["survivor_edges"] = res.count()
+
+    timed_probe("ktruss_dense_probe", run_ktruss_dense_probe)
 
     def run_bloom_prune() -> None:
         # The bloom operator's SCALE claim, measured: fraction of the

@@ -27,7 +27,11 @@ from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
 )
 from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
 from pagerank_giraph_vs_mapreduce_spark.plans.registry import query
-from pagerank_giraph_vs_mapreduce_spark.sources.tables import EDGES_SQL, derived_edges
+from pagerank_giraph_vs_mapreduce_spark.sources.tables import (
+    EDGES_SQL,
+    derived_edges,
+    load_table,
+)
 
 # Shared CTE prelude: dedup edges (A2), vertex universe (J3/U1), out-degrees.
 GRAPH_CTES = f"""WITH raw AS ({EDGES_SQL}),
@@ -526,22 +530,60 @@ def g_kcore64_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KTRUSS_K = 4
 KTRUSS_ROUNDS = 3
+# Truss fixture moduli — deliberately SPARSER than the shared 997/1500
+# graph. The shared derived graph at sf0.1 is uniformly dense (median
+# degree ~700, 43M triangles/round), 2-3 orders of magnitude more
+# triangles per edge than a real web/social graph at the same |E| — a
+# suite entry on it measures the fixture, not the peeling plan (VERDICT
+# r08 item 3; the dense variant survives as bench.py's named
+# ktruss_dense_probe). mod(4001,6000) at sf0.1: ~576k edges / ~10k
+# vertices / 1.85M round-1 triangles — triangle-per-edge ratio ~3.2,
+# the soc-LiveJournal1 ballpark (69M E / 286M tri ~ 4.1) — and the
+# sf0.01 gate keeps a nonempty 84-edge 4-truss. The convergence query
+# uses mod(3001,4500), the fixture where the fixed 3-round peel provably
+# UNDER-peels at sf0.01 (round 4 still removes 61 edges: 300 -> 239).
+TRUSS_SRC_MOD = 4001
+TRUSS_DST_MOD = 6000
+TRUSS_CONV_SRC_MOD = 3001
+TRUSS_CONV_DST_MOD = 4500
+# 8 unrolled rounds reach the peeling fixpoint on every driver scale
+# (measured: sf0.001 stable at round 3, sf0.01 at round 5, sf0.1 at
+# round 2), so the fixed unroll IS the k-truss there — the oracle for
+# the rounds=None convergence mode.
+TRUSS_CONV_UNROLL = 8
 
 
-def _ktruss_oracle(k: int, rounds: int) -> str:
+def _truss_edges(spark: SparkSession, sf_dir: str, src_mod: int, dst_mod: int):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") % src_mod).alias("src"),
+        (F.col("l_partkey") % dst_mod).alias("dst"),
+    )
+
+
+def _ktruss_oracle(k: int, rounds: int, src_mod: int, dst_mod: int) -> str:
     """Unrolled k-truss peel: per round, canonical triangle enumeration
     (u < v edges, so each triangle x < y < z appears once), per-edge
-    support via 3 pair projections, filter support >= k-2."""
+    support via 3 pair projections, filter support >= k-2.
+
+    Every per-round CTE is MATERIALIZED: e{i} references e{i-1} three
+    times, so DuckDB's default CTE inlining would re-scan the base table
+    3^rounds times — the 8-round convergence unroll would open the
+    parquet file ~6.5k times (measured: fd exhaustion). Materialization
+    makes each round one pass, the same thing the Spark side's eager
+    localCheckpoint per round does."""
     parts = [
-        f"""{GRAPH_CTES},
-e0 AS (
+        f"""WITH raw AS (
+  SELECT l_orderkey % {src_mod} AS src, l_partkey % {dst_mod} AS dst
+  FROM lineitem),
+e0 AS MATERIALIZED (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-  FROM edges WHERE src <> dst)"""
+  FROM raw WHERE src <> dst)"""
     ]
     for i in range(1, rounds + 1):
         parts.append(
             f""",
-tri{i} AS (
+tri{i} AS MATERIALIZED (
   SELECT a.u AS x, a.v AS y, b.v AS z
   FROM e{i - 1} a
   JOIN e{i - 1} b ON b.u = a.v
@@ -552,13 +594,16 @@ supp{i} AS (
     UNION ALL SELECT x AS u, z AS v FROM tri{i}
     UNION ALL SELECT y AS u, z AS v FROM tri{i})
   GROUP BY u, v),
-e{i} AS (SELECT u, v FROM supp{i} WHERE c >= {k - 2})"""
+e{i} AS MATERIALIZED (SELECT u, v FROM supp{i} WHERE c >= {k - 2})"""
         )
     parts.append(f"\nSELECT u, v FROM e{rounds}")
     return "".join(parts)
 
 
-@query("g_ktruss4_r3", oracle=_ktruss_oracle(KTRUSS_K, KTRUSS_ROUNDS))
+@query(
+    "g_ktruss4_r3",
+    oracle=_ktruss_oracle(KTRUSS_K, KTRUSS_ROUNDS, TRUSS_SRC_MOD, TRUSS_DST_MOD),
+)
 def g_ktruss4_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rounds of 4-truss peeling — the edge-cohesion kernel one
     step up from k-core: every surviving edge must close >= k-2 = 2
@@ -566,9 +611,34 @@ def g_ktruss4_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it expressible as an unrolled SQL oracle (the g_kcore64_r4
     discipline); implementation: graph/motifs.py:ktruss_edges
     (degree-oriented per-round triangle enumeration, O(E^1.5) wedge
-    work, eager localCheckpoint per round on the shrinking edge set)."""
-    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    work, eager localCheckpoint per round on the shrinking edge set).
+    Runs on the sparse truss fixture (see TRUSS_SRC_MOD note): a
+    realistic triangle-per-edge ratio, so the suite entry measures the
+    peeling plan, not a 43M-triangle stress — that lives on as bench.py's
+    ktruss_dense_probe."""
+    edges = _truss_edges(spark, sf_dir, TRUSS_SRC_MOD, TRUSS_DST_MOD)
     return ktruss_edges(edges, k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
+@query(
+    "g_ktruss4_conv",
+    oracle=_ktruss_oracle(
+        KTRUSS_K, TRUSS_CONV_UNROLL, TRUSS_CONV_SRC_MOD, TRUSS_CONV_DST_MOD
+    ),
+)
+def g_ktruss4_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling TO CONVERGENCE (rounds=None): loop until the edge
+    set is stable — the actual k-truss, where the fixed 3-round slice
+    provably under-peels (on this fixture at sf0.01, round 4 still
+    removes 61 edges). The Spark side stops on a per-round count check
+    (monotone shrink makes count equality set equality); the oracle
+    unrolls TRUSS_CONV_UNROLL=8 rounds, past the measured fixpoint on
+    every driver scale, with MATERIALIZED per-round CTEs (see
+    _ktruss_oracle). Implementation: graph/motifs.py:ktruss_edges."""
+    edges = _truss_edges(
+        spark, sf_dir, TRUSS_CONV_SRC_MOD, TRUSS_CONV_DST_MOD
+    )
+    return ktruss_edges(edges, k=KTRUSS_K, rounds=None)
 
 
 LPA_ROUNDS = 3
