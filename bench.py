@@ -783,6 +783,7 @@ def main() -> int:
         "mm_y4m_frames",
         # round-9 additions
         "g_ktruss4_conv",
+        "pipeline_train_quality_lr_mb",
     ):
         timed(q, run_query_rows(q))
 

@@ -46,12 +46,32 @@ def logreg_gd(
     label_col: str,
     iters: int = 3,
     lr: float = 1.0,
+    l2: float = 0.0,
+    batch_col: str | None = None,
+    n_batches: int = 1,
 ) -> DataFrame:
-    """Full-batch GD for a linear classifier under the rational squash.
+    """GD for a linear classifier under the rational squash — full-batch
+    by default, deterministic mini-batch when ``batch_col`` is given.
 
     Returns a 1-row DataFrame with columns ``w_bias, w_<f1>, ...,
     accuracy`` (training accuracy at the final weights, p >= 0.5 as the
-    positive call). ``df[label_col]`` must be 0.0/1.0 doubles.
+    positive call, ALWAYS over the full dataset). ``df[label_col]`` must
+    be 0.0/1.0 doubles.
+
+    Mini-batching (``batch_col`` + ``n_batches``): step t trains on the
+    rows where ``batch_col == t % n_batches`` — the caller derives the
+    bucket deterministically (the repo's md5-bucket sampling discipline),
+    so the trajectory is partition-layout-independent and expressible in
+    the unrolled SQL oracle as a per-step WHERE. At 100 TB this is the
+    difference between every step scanning everything and each step
+    aggregating only its 1/B slice; per-bucket row counts are resolved
+    once up front (B numbers), weights still never touch the driver.
+
+    L2 regularization (``l2``): weight decay applied as
+    ``w <- round(w + d - round(lr*l2*w, 12), 12)`` — the shrink term is
+    its own 12-dp round so both engines walk the identical trajectory;
+    with ``l2=0`` the update is bit-identical to the historical
+    unregularized form (no extra IEEE ops are emitted).
 
     Plan shape: ``iters`` scans of the (cached) feature projection, each
     ending in one global aggregate whose 1-row output crossJoins the
@@ -64,21 +84,36 @@ def logreg_gd(
         F.lit(1.0).alias("bias"),
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("_y"),
+        *([F.col(batch_col).alias("_bkt")] if batch_col else []),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # One action up front (materializes the cache); training itself is
     # lazy — every GD step re-reads the narrow cached projection instead
     # of rescanning the source.
-    n = feats.count()
+    if batch_col is None:
+        n_of = {0: feats.count()}
+    else:
+        # one B-row action; also materializes the cache like count() does
+        n_of = {
+            int(r["_bkt"]): r["cnt"]
+            for r in feats.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
     w = feats.sparkSession.createDataFrame(
         [tuple(0.0 for _ in names)], ", ".join(f"w_{c} double" for c in names)
     )
-    for _ in range(iters):
+    for t in range(iters):
+        bkt = 0 if batch_col is None else t % n_batches
+        batch = (
+            feats if batch_col is None else feats.filter(F.col("_bkt") == bkt)
+        )
+        n_t = n_of.get(bkt, 0)
+        if n_t == 0:
+            continue  # empty bucket: gradient is zero, weights unchanged
         z = sum(
             (F.col(f"w_{c}") * F.col(c) for c in names[1:]),
             F.col("w_bias") * F.col("bias"),
         )
         resid = F.col("_y") - squash(z)
-        grads = feats.crossJoin(F.broadcast(w)).agg(
+        grads = batch.crossJoin(F.broadcast(w)).agg(
             *[
                 F.sum(
                     F.round(F.col(c) * resid, 12).cast("decimal(38,12)")
@@ -89,20 +124,21 @@ def logreg_gd(
         # (g * lr) / n, left-associated — the oracle mirrors the same two
         # IEEE ops in the same order (a precomputed lr/n quotient would
         # round differently).
+        def upd(c: str):
+            base = F.col(f"w_{c}") + F.col(f"d_{c}")
+            if l2:
+                base = base - F.round(F.lit(lr * l2) * F.col(f"w_{c}"), 12)
+            return F.round(base, 12).alias(f"w_{c}")
+
         w = grads.select(
             *[
                 F.round(
-                    F.col(f"g_{c}").cast("double") * F.lit(lr) / F.lit(float(n)),
+                    F.col(f"g_{c}").cast("double") * F.lit(lr) / F.lit(float(n_t)),
                     12,
                 ).alias(f"d_{c}")
                 for c in names
             ]
-        ).crossJoin(F.broadcast(w)).select(
-            *[
-                F.round(F.col(f"w_{c}") + F.col(f"d_{c}"), 12).alias(f"w_{c}")
-                for c in names
-            ]
-        )
+        ).crossJoin(F.broadcast(w)).select(*[upd(c) for c in names])
     z = sum(
         (F.col(f"w_{c}") * F.col(c) for c in names[1:]),
         F.col("w_bias") * F.col("bias"),

@@ -1534,6 +1534,109 @@ def pipeline_train_quality_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_gd(feats, ["f_len", "f_space"], "y", iters=3, lr=1.0)
 
 
+MB_BUCKETS = 4
+MB_ITERS = 5
+MB_LR = 1.0
+MB_L2 = 0.01
+
+
+def _logreg_mb_oracle(
+    iters: int = MB_ITERS,
+    n_buckets: int = MB_BUCKETS,
+    lr: float = MB_LR,
+    l2: float = MB_L2,
+) -> str:
+    """logreg_gd's MINI-BATCH trajectory unrolled into SQL: step i trains
+    on md5-bucket (i-1) % n_buckets only, and the L2 shrink term is its
+    own 12-dp round — identical op order to operators/mlfit.py."""
+    names = ("bias", "f_len", "f_space")
+    z = "(wb*bias + wl*f_len + ws*f_space)"
+    p = f"(0.5 + {z}/(2*(1+abs({z}))))"
+    shrink = repr(lr * l2)
+    ctes = [
+        """feats AS (
+  SELECT 1.0 AS bias,
+         CAST(length(text) AS DOUBLE) / 1000.0 AS f_len,
+         CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS f_space,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS UBIGINT) % """
+        + str(n_buckets)
+        + """ AS bkt
+  FROM documents WHERE length(text) > 0)""",
+        "w0 AS (SELECT 0.0 AS wb, 0.0 AS wl, 0.0 AS ws)",
+    ]
+    for b in sorted({(i - 1) % n_buckets for i in range(1, iters + 1)}):
+        ctes.append(
+            f"nn{b} AS (SELECT CAST(count(*) AS DOUBLE) AS n "
+            f"FROM feats WHERE bkt = {b})"
+        )
+    for i in range(1, iters + 1):
+        b = (i - 1) % n_buckets
+        gs = ", ".join(
+            f"sum(CAST(round({c} * (y - {p}), 12) AS DECIMAL(38,12))) AS g_{c}"
+            for c in names
+        )
+        ctes.append(f"g{i} AS (SELECT {gs} FROM feats, w{i - 1} WHERE bkt = {b})")
+        up = ", ".join(
+            f"round({w} + round(CAST(g_{c} AS DOUBLE) * {repr(lr)} / n, 12)"
+            f" - round({shrink} * {w}, 12), 12) AS {w}"
+            for w, c in zip(("wb", "wl", "ws"), names)
+        )
+        ctes.append(f"w{i} AS (SELECT {up} FROM g{i}, w{i - 1}, nn{b})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT wb AS w_bias, wl AS w_f_len, ws AS w_f_space,
+       round(avg(CASE WHEN ({p} >= 0.5) = (y >= 0.5)
+                      THEN 1.0 ELSE 0.0 END), 9) AS accuracy
+FROM feats, w{iters}
+GROUP BY wb, wl, ws"""
+    )
+
+
+@query("pipeline_train_quality_lr_mb", oracle=_logreg_mb_oracle())
+def pipeline_train_quality_lr_mb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch + L2 variant of the distributed GD trainer (VERDICT r08
+    item 7): full-batch GD at 100 TB means every step scans everything,
+    so step t aggregates only the rows whose deterministic md5 bucket
+    (the repo's sampling discipline) equals t % 4 — each step's gradient
+    input shrinks to ~1/4 of the corpus, and the bucket predicate is a
+    plain WHERE both engines apply identically. L2 weight decay
+    (lr*l2 = 0.01) enters as its own 12-dp-rounded shrink term so the
+    5-step trajectory stays hash-exact against the unrolled DuckDB
+    oracle. Training accuracy is still evaluated over the FULL dataset.
+    Implementation: operators/mlfit.py:logreg_gd(batch_col=, l2=)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import logreg_gd
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.filter(F.length("text") > 0).select(
+        (F.length("text").cast("double") / F.lit(1000.0)).alias("f_len"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("double")
+            / F.length("text").cast("double")
+        ).alias("f_space"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("bigint")
+            % MB_BUCKETS
+        ).alias("bkt"),
+    )
+    return logreg_gd(
+        feats,
+        ["f_len", "f_space"],
+        "y",
+        iters=MB_ITERS,
+        lr=MB_LR,
+        l2=MB_L2,
+        batch_col="bkt",
+        n_batches=MB_BUCKETS,
+    )
+
+
 def _model_gate_oracle(iters: int = 3) -> str:
     """Train (same CTEs as _logreg_oracle, with doc_id carried) and then
     gate: emit every doc the trained classifier scores >= 0.5."""

@@ -80,6 +80,94 @@ def test_ktruss_convergence_reaches_fixpoint(spark):
     assert got == fix
 
 
+def test_logreg_minibatch_l2_python_replay(spark):
+    """The mini-batch + L2 trajectory equals a pure-Python replay with
+    the same op order (bucket filter, 12-dp rounds, Fraction-exact
+    gradient sums), differs from full-batch, and L2 actually shrinks."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import logreg_gd
+
+    def r12(x):
+        # Spark F.round = BigDecimal.valueOf(double) (shortest repr) then
+        # setScale(12, HALF_UP); Python round() is half-EVEN and differs
+        # on exact 12-dp ties
+        return float(Decimal(repr(float(x))).quantize(
+            Decimal("1e-12"), rounding=ROUND_HALF_UP))
+
+    rows = [
+        (float(i % 7) / 7.0, float((i * 3) % 5) / 5.0, float(i % 2), i % 4)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y double, bkt int")
+
+    def replay(iters, lr, l2, batch=None, n_b=1):
+        w = [0.0, 0.0, 0.0]  # bias, f1, f2
+        for t in range(iters):
+            data = rows if batch is None else [r for r in rows if r[3] == t % n_b]
+            n = float(len(data))
+            g = [Fraction(0)] * 3
+            for f1, f2, y, _ in data:
+                x = (1.0, f1, f2)
+                z = w[0] * x[0] + w[1] * x[1] + w[2] * x[2]
+                p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+                for j in range(3):
+                    g[j] += Fraction(str(r12(x[j] * (y - p))))
+            nw = []
+            for j in range(3):
+                d = r12(float(g[j]) * lr / n)
+                base = w[j] + d
+                if l2:
+                    base = base - r12(lr * l2 * w[j])
+                nw.append(r12(base))
+            w = nw
+        return w
+
+    got_mb = logreg_gd(
+        df, ["f1", "f2"], "y", iters=5, lr=1.0, l2=0.01,
+        batch_col="bkt", n_batches=4,
+    ).collect()[0]
+    want = replay(5, 1.0, 0.01, batch="bkt", n_b=4)
+    assert [got_mb.w_bias, got_mb.w_f1, got_mb.w_f2] == want
+    # batching is real: full-batch with the same iters/l2 lands elsewhere
+    got_fb = logreg_gd(df, ["f1", "f2"], "y", iters=5, lr=1.0, l2=0.01).collect()[0]
+    assert [got_fb.w_bias, got_fb.w_f1, got_fb.w_f2] == replay(5, 1.0, 0.01)
+    assert (got_fb.w_bias, got_fb.w_f1) != (got_mb.w_bias, got_mb.w_f1)
+    # l2 is real: unregularized weights differ (and the regularized update
+    # matches the replay, which applies the shrink as its own round)
+    got_no = logreg_gd(df, ["f1", "f2"], "y", iters=5, lr=1.0).collect()[0]
+    assert [got_no.w_bias, got_no.w_f1, got_no.w_f2] == replay(5, 1.0, 0.0)
+    assert got_no.w_f1 != got_fb.w_f1
+    # empty-bucket guard: a bucket id no row carries leaves weights alone
+    got_gap = logreg_gd(
+        df.filter(F.col("bkt") != 2), ["f1", "f2"], "y",
+        iters=4, lr=1.0, batch_col="bkt", n_batches=4,
+    ).collect()[0]
+    rows_gap = [r for r in rows if r[3] != 2]
+
+    def replay_gap():
+        w = [0.0, 0.0, 0.0]
+        for t in range(4):
+            data = [r for r in rows_gap if r[3] == t % 4]
+            if not data:
+                continue
+            n = float(len(data))
+            g = [Fraction(0)] * 3
+            for f1, f2, y, _ in data:
+                x = (1.0, f1, f2)
+                z = w[0] * x[0] + w[1] * x[1] + w[2] * x[2]
+                p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+                for j in range(3):
+                    g[j] += Fraction(str(r12(x[j] * (y - p))))
+            w = [r12(w[j] + r12(float(g[j]) / n)) for j in range(3)]
+        return w
+
+    assert [got_gap.w_bias, got_gap.w_f1, got_gap.w_f2] == replay_gap()
+
+
 def test_ktruss_fixed_rounds_underpeel_vs_convergence(spark):
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import ktruss_edges
 
