@@ -279,7 +279,10 @@ def sssp_distances(
 
 
 def truncated_betweenness(
-    edges: DataFrame, sources: list[int], max_hops: int = 3
+    edges: DataFrame,
+    sources: list[int],
+    max_hops: int = 3,
+    normalized: bool = False,
 ) -> DataFrame:
     """Sampled-source, hop-limited betweenness centrality — the Brandes
     (2001) accumulation truncated at ``max_hops`` (a.k.a. ego/bounded
@@ -294,7 +297,16 @@ def truncated_betweenness(
     dependency fold delta_h(v) = sum over successors w at level h+1 of
     sigma_v/sigma_w * (1 + delta_{h+1}(w)), horizon level as leaves.
     Returns (id, bc) where bc sums each vertex's delta over sources
-    (unnormalized; vertices with zero dependency are absent).
+    (vertices with zero dependency are absent). ``normalized=True``
+    applies the standard directed-Brandes rescale exactly as NetworkX
+    does: bc * n / (|sources| * (n-1) * (n-2)) — the 1/((n-1)(n-2))
+    pair normalization combined with the n/k sampled-source estimator
+    correction (within the truncation horizon and with all vertices as
+    sources this is networkx.betweenness_centrality(normalized=True)
+    verbatim — pinned by a seeded-random-digraph property test).
+    Unnormalized output is byte-identical to the pre-normalization
+    operator (no rescale, matching NetworkX's directed unnormalized
+    behavior, which skips the n/k correction too).
 
     Every level/delta frame is eagerly localCheckpoint'ed: each is
     consumed twice (next forward level + backward fold), and the chain
@@ -376,8 +388,21 @@ def truncated_betweenness(
     allc = None
     for d in deltas.values():
         allc = d if allc is None else allc.unionAll(d)
+    bc = F.sum("delta")
+    if normalized:
+        # NetworkX _rescale for directed graphs: 1/((n-1)(n-2)) pair
+        # normalization times the n/k sampled-source correction; n <= 2
+        # leaves the zeros as zeros either way
+        n = (
+            edges.select(F.col("src").alias("id"))
+            .unionAll(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .count()
+        )
+        if n > 2:
+            bc = bc * F.lit(float(n) / (len(sources) * (n - 1) * (n - 2)))
     return (
         allc.groupBy("v")
-        .agg(F.round(F.sum("delta"), 9).alias("bc"))
+        .agg(F.round(bc, 9).alias("bc"))
         .select(F.col("v").alias("id"), "bc")
     )

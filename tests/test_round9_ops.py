@@ -168,6 +168,50 @@ def test_logreg_minibatch_l2_python_replay(spark):
     assert [got_gap.w_bias, got_gap.w_f1, got_gap.w_f2] == replay_gap()
 
 
+def test_betweenness_matches_networkx_on_random_digraphs(spark):
+    """Property test (VERDICT r08 item 8): with all vertices as sources
+    and a horizon >= the longest shortest path, truncated_betweenness is
+    exact Brandes — normalized=True must equal
+    networkx.betweenness_centrality(DiGraph, normalized=True) on seeded
+    random digraphs, and unnormalized must equal normalized=False."""
+    import random
+
+    import networkx as nx
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import (
+        truncated_betweenness,
+    )
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        n = 11
+        pairs = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(n)
+                if a != b and rng.random() < 0.22
+            }
+        )
+        g = nx.DiGraph(pairs)
+        verts = sorted(g.nodes)
+        edges = make_edges(spark, pairs)
+        for normalized in (False, True):
+            want = nx.betweenness_centrality(g, normalized=normalized)
+            got = {
+                r["id"]: r["bc"]
+                for r in truncated_betweenness(
+                    edges, sources=verts, max_hops=n, normalized=normalized
+                ).collect()
+            }
+            for v in verts:
+                assert abs(got.get(v, 0.0) - want[v]) < 1e-9, (
+                    seed,
+                    normalized,
+                    v,
+                )
+
+
 def test_ktruss_fixed_rounds_underpeel_vs_convergence(spark):
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import ktruss_edges
 
