@@ -23,12 +23,19 @@ Decoder coverage:
   COLOR_INDEXING (delta-coded palette, incl. sub-byte pixel bundling at
   ≤16 colors).
 
-Documented subset: distance codes 1..120 (the 2-D near-neighborhood
-remap table) are NOT implemented — this repo's encoder always emits the
-plain ``distance + 120`` form, and a foreign file using the close
-codes raises ``ValueError`` (caught by the dispatch, degrading to the
-byte-stat stub) rather than decoding wrong. Lossy VP8 and the extended
-VP8X container likewise degrade.
+- close distance codes 1..120: the 2-D near-neighborhood remap
+  (CLOSE_DIST_TABLE). The table is generated from the spec's ordering
+  rule — the 120-pixel window x in [-7, 8], y in [0, 7] (y = 0
+  restricted to x >= 1), sorted by squared Euclidean distance, larger
+  y first on ties, positive x before negative — which reproduces the
+  spec's printed table exactly (the window holds exactly 120 pixels,
+  so the enumeration is unambiguous); decoded distances < 1 clamp to
+  1 per spec. The encoder's ``close_codes`` mode emits them wherever
+  a backref distance lands in the window, the fuzz path.
+
+Documented subset: lossy VP8 and the extended VP8X container degrade to
+the byte-stat stub (ValueError caught by the dispatch) rather than
+decoding wrong.
 
 Encoder coverage (all paths round-trip-tested against the decoder):
 literals with per-symbol canonical codes, greedy LZ77, optional color
@@ -204,6 +211,40 @@ NUM_LENGTH_CODES = 24
 NUM_DISTANCE_CODES = 40
 
 
+def _gen_close_dist_table() -> list[tuple[int, int]]:
+    """The spec's 120-entry close-distance neighborhood, generated from
+    its ordering rule (see module docstring): the window x in [-7, 8],
+    y in [0, 7] with y == 0 restricted to x >= 1 holds exactly 120
+    pixels; codes are assigned in order of increasing squared distance,
+    larger y first on ties, positive x before its negative mirror."""
+    cands = [
+        (x, y)
+        for y in range(8)
+        for x in range(-7, 9)
+        if not (y == 0 and x < 1)
+    ]
+    assert len(cands) == 120
+    return sorted(
+        cands,
+        key=lambda p: (
+            p[0] * p[0] + p[1] * p[1],
+            -p[1],
+            0 if p[0] > 0 else 1,
+            abs(p[0]),
+        ),
+    )
+
+
+CLOSE_DIST_TABLE = _gen_close_dist_table()
+
+
+def close_code_distance(dist_code: int, w: int) -> int:
+    """Scan-line distance for close code 1..120 at image width ``w``
+    (distances below 1 clamp to 1, per spec)."""
+    x, y = CLOSE_DIST_TABLE[dist_code - 1]
+    return max(1, x + y * w)
+
+
 def _read_prefix_code(br: BitReader, alphabet: int) -> PrefixDecoder:
     if br.read(1):  # simple
         num_symbols = br.read(1) + 1
@@ -347,12 +388,10 @@ def _decode_image_stream(
         elif g < 256 + NUM_LENGTH_CODES:  # backward reference
             length = prefix_value_decode(g - 256, br)
             dist_code = prefix_value_decode(grp[4].decode(br), br)
-            if dist_code <= 120:
-                raise ValueError(
-                    "vp8l: near-neighborhood distance codes (<=120) not "
-                    "implemented (this repo's encoder never emits them)"
-                )
-            dist = dist_code - 120
+            if dist_code <= 120:  # 2-D near-neighborhood remap
+                dist = close_code_distance(dist_code, w)
+            else:
+                dist = dist_code - 120
             if dist < 1 or dist > len(pixels):
                 raise ValueError("vp8l: bad backref distance")
             for _ in range(length):
@@ -668,11 +707,27 @@ def _write_image_stream(
     cache_bits: int = 0,
     use_lz77: bool = True,
     level0: bool = False,
+    close_codes: bool = False,
 ) -> None:
     """Entropy-coded image: optional color cache, one prefix-code group,
-    greedy LZ77 (plain distance codes only). ``level0`` additionally
-    writes the (cleared) meta-prefix bit the spatially-coded main image
-    carries; transform sub-images don't have one."""
+    greedy LZ77. ``close_codes`` emits the 1..120 near-neighborhood
+    distance codes wherever a backref distance lands in the 2-D window
+    (the decoder-fuzz path); otherwise plain ``distance + 120``.
+    ``level0`` additionally writes the (cleared) meta-prefix bit the
+    spatially-coded main image carries; transform sub-images don't have
+    one."""
+    # scan-line distance -> close code at this width (first code wins,
+    # matching the table's closeness order); distances < 1 can't occur
+    # as real backrefs, so no clamped entries are installed
+    close_of: dict[int, int] = {}
+    if close_codes:
+        for ci, (cx, cy) in enumerate(CLOSE_DIST_TABLE):
+            d = cx + cy * w
+            if d >= 1:
+                close_of.setdefault(d, ci + 1)
+
+    def dist_symbol(dist: int) -> int:
+        return close_of.get(dist, dist + 120)
     # ---- tokenize
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [0] * cache_size
@@ -740,7 +795,7 @@ def _write_image_stream(
             _, ln, dist = tok
             lc, _, _ = prefix_value_encode(ln)
             gf[256 + lc] = gf.get(256 + lc, 0) + 1
-            dc, _, _ = prefix_value_encode(dist + 120)
+            dc, _, _ = prefix_value_encode(dist_symbol(dist))
             df[dc] = df.get(dc, 0) + 1
         else:
             gf[256 + NUM_LENGTH_CODES + tok[1]] = (
@@ -797,7 +852,7 @@ def _write_image_stream(
             lc, lbits, lnb = prefix_value_encode(ln)
             emit(g_codes, g_len, 256 + lc)
             bw.write(lbits, lnb)
-            dc, dbits, dnb = prefix_value_encode(dist + 120)
+            dc, dbits, dnb = prefix_value_encode(dist_symbol(dist))
             emit(d_codes, d_len, dc)
             bw.write(dbits, dnb)
         else:
@@ -815,6 +870,7 @@ def encode_webp(
     palette: bool = False,
     predictor_mode: int | None = None,
     color_cte: int | None = None,
+    close_codes: bool = False,
 ) -> bytes:
     """Spec-conformant VP8L encoder over ARGB ints. Transform knobs
     exist to exercise every decoder path with round-trip tests:
@@ -956,7 +1012,7 @@ def encode_webp(
     pw.write(0, 1)  # no more transforms
     _write_image_stream(
         pw, px, w, height, cache_bits=cache_bits, use_lz77=use_lz77,
-        level0=True,
+        level0=True, close_codes=close_codes,
     )
     payload = bytes(pw.out)
     if len(payload) & 1:
