@@ -344,6 +344,90 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def decode_external(media: DataFrame, codec, formats: tuple[str, ...] = ()):
+    """The C-codec seam as a first-class API (VERDICT r08 item 5): route
+    payloads through an EXTERNAL decoder — the production path for the
+    one media class this repo deliberately does not decode in Python
+    (lossy VP8 / AV1 / H.264 bitstreams; see SCALING.md "Lossy video").
+
+    ``codec(payload: bytes) -> dict | None`` runs once per row inside
+    the Arrow batch loop and is expected to return the same keys the
+    built-in decoders produce (``width height channels bit_depth
+    pixel_mean`` plus ``format``); extra keys are ignored, missing ones
+    null out. The contract the pytest pins (tests/test_round9_ops.py):
+
+    - output schema is FEATURE_SCHEMA verbatim, whichever codec ran;
+    - the codec sees plain ``bytes`` (never Arrow buffers), exactly one
+      call per row, only for rows whose declared format matches
+      ``formats`` (empty = all rows);
+    - ``None`` AND per-row exceptions degrade that ROW to the byte-stat
+      stub — a poison payload cannot kill the batch, task, or job;
+    - results are partition-layout- and batch-boundary-independent.
+
+    Scale shape: identical to extract_features — a row-local Arrow map,
+    zero shuffle, parallel per-file."""
+
+    def one(payload, meta) -> dict:
+        fmt = meta["format"] if meta is not None else None
+        out = None
+        if not formats or (fmt is not None and fmt in formats):
+            try:
+                out = codec(bytes(payload) if payload is not None else b"")
+            except Exception:  # poison row: degrade, don't kill the task
+                out = None
+        if out is None:
+            return {**_decode_stub(payload), "format": fmt, **_IMG_NULLS}
+        base = {
+            "n_bytes": len(payload) if payload is not None else 0,
+            "first_byte": payload[0] if payload else -1,
+            "byte_mean": None,
+            "format": fmt,
+            **_IMG_NULLS,
+        }
+        base.update({k: out[k] for k in base if k in out})
+        return base
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                one(p, m) for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(
+                        [f["n_bytes"] for f in feats], dtype="int64"
+                    ),
+                    "first_byte": pd.Series(
+                        [f["first_byte"] for f in feats], dtype="int32"
+                    ),
+                    "byte_mean": pd.Series(
+                        [f["byte_mean"] for f in feats], dtype="Float64"
+                    ),
+                    "format": pd.Series(
+                        [f["format"] for f in feats], dtype="object"
+                    ),
+                    "width": pd.Series(
+                        [f["width"] for f in feats], dtype="Int32"
+                    ),
+                    "height": pd.Series(
+                        [f["height"] for f in feats], dtype="Int32"
+                    ),
+                    "channels": pd.Series(
+                        [f["channels"] for f in feats], dtype="Int32"
+                    ),
+                    "bit_depth": pd.Series(
+                        [f["bit_depth"] for f in feats], dtype="Int32"
+                    ),
+                    "pixel_mean": pd.Series(
+                        [f["pixel_mean"] for f in feats], dtype="Float64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
 PNG_W, PNG_H = 16, 4
 
 

@@ -168,6 +168,81 @@ def test_logreg_minibatch_l2_python_replay(spark):
     assert [got_gap.w_bias, got_gap.w_f1, got_gap.w_f2] == replay_gap()
 
 
+def test_external_codec_seam_contract(spark):
+    """The C-codec seam contract (VERDICT r08 item 5): lossy VP8/AV1 is
+    deliberately decoded by an EXTERNAL library in production (see
+    SCALING.md "Lossy video"), so the Spark-side plumbing — schema,
+    bytes-in, per-row dispatch, poison-row isolation, layout
+    independence — is what this repo must prove, with a fake codec."""
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        decode_external,
+    )
+
+    rows = [
+        # (doc_id, payload, declared format)
+        (1, b"VP80" + bytes(range(40)), "video/vp8"),
+        (2, b"VP80" + bytes(100), "video/vp8"),
+        (3, b"POISON", "video/vp8"),  # codec raises on this one
+        (4, b"", "video/vp8"),  # empty payload
+        (5, b"VP80\x07\x08", "image/png"),  # format not routed to codec
+        (6, None, "video/vp8"),  # NULL payload
+    ]
+    media = spark.createDataFrame(
+        [(d, p, (f, len(p) if p else 0)) for d, p, f in rows],
+        "doc_id bigint, payload binary, "
+        "meta struct<format string, n_bytes bigint>",
+    )
+
+    calls_seen = []
+
+    def fake_vp8(payload: bytes) -> dict | None:
+        # contract: plain bytes in, one call per routed row
+        assert isinstance(payload, bytes)
+        if payload.startswith(b"POISON"):
+            raise ValueError("corrupt bitstream")
+        if not payload.startswith(b"VP80"):
+            return None
+        return {
+            "width": 16,
+            "height": 9,
+            "channels": 3,
+            "bit_depth": 8,
+            "pixel_mean": float(len(payload)),
+            "format": "video/vp8",
+            "irrelevant_extra_key": "ignored",
+        }
+
+    out = decode_external(media, fake_vp8, formats=("video/vp8",))
+    assert out.schema == FEATURE_SCHEMA
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # routed + decodable rows carry the codec's features
+    for d in (1, 2):
+        assert (got[d]["width"], got[d]["height"]) == (16, 9)
+        assert got[d]["pixel_mean"] == float(len(rows[d - 1][1]))
+        assert got[d]["format"] == "video/vp8"
+    # poison row degrades to the stub WITHOUT killing its batch-mates
+    assert got[3]["width"] is None
+    assert got[3]["n_bytes"] == 6 and got[3]["first_byte"] == ord("P")
+    assert abs(got[3]["byte_mean"] - sum(b"POISON") / 6) < 1e-9
+    # empty / NULL payloads: stub zeros
+    for d in (4, 6):
+        assert got[d]["n_bytes"] == 0 and got[d]["first_byte"] == -1
+    # non-matching declared format never reaches the codec
+    assert got[5]["width"] is None and got[5]["format"] == "image/png"
+    # partition-layout independence (and multi-batch execution)
+    got8 = {
+        r["doc_id"]: r.asDict()
+        for r in decode_external(
+            media.repartition(8, F.col("doc_id")), fake_vp8, ("video/vp8",)
+        ).collect()
+    }
+    assert got8 == got
+
+
 def test_webp_close_distance_codes_roundtrip_and_table():
     """VP8L close distance codes 1..120 (VERDICT r08 item 6): the
     generated table reproduces the spec's printed entries, clamping
