@@ -784,6 +784,7 @@ def main() -> int:
         # round-9 additions
         "g_ktruss4_conv",
         "pipeline_train_quality_lr_mb",
+        "g_betweenness_k3_norm",
     ):
         timed(q, run_query_rows(q))
 

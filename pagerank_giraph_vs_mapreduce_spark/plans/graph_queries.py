@@ -1454,3 +1454,41 @@ def g_betweenness_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truncated_betweenness(
         derived_edges(spark, sf_dir), list(MULTI_SOURCES), max_hops=3
     )
+
+
+# Normalized variant: same sigma/delta CTEs, final select applies the
+# NetworkX directed rescale n / (k (n-1) (n-2)). Both engines compute
+# the scale from the vertex count with the same IEEE ops (double(n)
+# divided by the exact integer product).
+_BC_NORM_SQL = _BC_SQL.replace(
+    """SELECT v AS id, round(SUM(delta), 9) AS bc
+FROM (SELECT s, v, delta FROM d1 UNION ALL SELECT s, v, delta FROM d2)
+GROUP BY v""",
+    f"""SELECT v AS id,
+  round(SUM(delta) * (CAST(n AS DOUBLE)
+        / ({len(MULTI_SOURCES)} * (n - 1) * (n - 2))), 9) AS bc
+FROM (SELECT s, v, delta FROM d1 UNION ALL SELECT s, v, delta FROM d2),
+     (SELECT count(*) AS n FROM verts)
+GROUP BY v, n""",
+)
+assert _BC_NORM_SQL != _BC_SQL
+
+
+@query("g_betweenness_k3_norm", oracle=_BC_NORM_SQL)
+def g_betweenness_k3_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g_betweenness_k3 with the standard directed-Brandes normalization
+    (graph/paths.py:truncated_betweenness(normalized=True) — VERDICT r08
+    item 8): bc * n / (k (n-1) (n-2)), the NetworkX rescale combining
+    pair normalization with the sampled-source n/k correction, pinned to
+    networkx.betweenness_centrality by the seeded-digraph property test
+    in tests/test_round9_ops.py."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import (
+        truncated_betweenness,
+    )
+
+    return truncated_betweenness(
+        derived_edges(spark, sf_dir),
+        list(MULTI_SOURCES),
+        max_hops=3,
+        normalized=True,
+    )

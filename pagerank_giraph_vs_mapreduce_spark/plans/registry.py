@@ -79,6 +79,7 @@ _PRIORITY = (
     "g_ktruss4_r3",  # re-fixtured to realistic sparsity (VERDICT #3)
     "g_ktruss4_conv",  # NEW: peel to convergence, 8-round fixpoint oracle
     "pipeline_train_quality_lr_mb",  # NEW: mini-batch + L2 GD (VERDICT #7)
+    "g_betweenness_k3_norm",  # NEW: NetworkX-rescale normalization (VERDICT #8)
     "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
     # --- code-changed in r08, newest driver row r07: re-certify
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time

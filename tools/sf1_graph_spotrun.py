@@ -111,70 +111,110 @@ def main() -> int:
     truss1 = _truss_edges(spark, BASE, TRUSS_SRC_MOD, TRUSS_DST_MOD)
     der1 = derived_edges(spark, BASE)
     srcs1 = list(MULTI_SOURCES)
-    srcs10 = [s + STRIDE * i for i in range(factor) for s in srcs1]
+
+    def srcs_for(f: int) -> list[int]:
+        return [s + STRIDE * i for i in range(f) for s in srcs1]
+
+    # AA on the derived sf0.1 graph is a null plan (uniform density ~704
+    # puts every transit vertex past the hub cap — the bench uses a
+    # power-law graph for the same reason); measure the operator on the
+    # shape it exists for.
+    def powerlaw(n_v: int, n_e: int, seed: int = 11):
+        e = spark.range(n_e)
+        return e.select(
+            (F.abs(F.xxhash64(F.col("id"), F.lit(seed))) % n_v).alias("src"),
+            F.least(
+                F.lit(n_v - 1),
+                F.floor(
+                    n_v
+                    * F.pow(
+                        (
+                            F.abs(F.xxhash64(F.col("id"), F.lit(seed + 1)))
+                            % 1_000_000
+                            + 1
+                        )
+                        / 1_000_000.0,
+                        F.lit(2.5),
+                    )
+                ),
+            )
+            .cast("long")
+            .alias("dst"),
+        )
+
+    pl1 = powerlaw(100_000, 500_000)
 
     entries = [
         (
             "g_ktruss4_r3",
-            lambda e=truss1: ktruss_edges(e, k=4, rounds=3).count(),
-            lambda e=truss1: ktruss_edges(replicate(e, factor), k=4, rounds=3).count(),
+            lambda f, e=truss1: ktruss_edges(
+                replicate(e, f), k=4, rounds=3
+            ).count(),
         ),
         (
             "g_betweenness_k3",
-            lambda e=der1: truncated_betweenness(e, srcs1, max_hops=3).count(),
-            lambda e=der1: truncated_betweenness(
-                replicate(e, factor), srcs10, max_hops=3
+            lambda f, e=der1: truncated_betweenness(
+                replicate(e, f), srcs_for(f), max_hops=3
             ).count(),
         ),
         (
-            "g_link_aa_pervertex",
-            lambda e=der1: adamic_adar_pervertex(
-                e, hub_cap=AA_HUB_CAP, k=AA_PV_K
-            ).count(),
-            lambda e=der1: adamic_adar_pervertex(
-                replicate(e, factor), hub_cap=AA_HUB_CAP, k=AA_PV_K
+            "g_link_aa_pervertex (powerlaw 100k/500k)",
+            lambda f, e=pl1: adamic_adar_pervertex(
+                replicate(e, f), hub_cap=AA_HUB_CAP, k=AA_PV_K
             ).count(),
         ),
     ]
 
     lines = [
         "",
-        f"## sf1 graph spot-run ({factor} disjoint copies,"
+        f"## sf1 graph spot-run (disjoint copies x1/x{factor // 2}/x{factor},"
         " tools/sf1_graph_spotrun.py)",
         "",
         "Volume linearity for the iterative graph headliners. Shuffle is the",
         "stage-level cumulative delta (AppStatusStore) around each run —",
         "SQLMetrics are empty for kernels that localCheckpoint per round.",
-        f"Fixture: {factor} DISJOINT id-offset copies of the sf0.1 graph",
-        "(density held fixed — a denser graph would grow triangle/path",
-        "counts by the operator's math, not the plan's shape); betweenness",
-        "replicates its source set into every copy.",
+        "Fixture: DISJOINT id-offset copies of the sf0.1 graph (density held",
+        "fixed — a denser graph would grow triangle/path counts by the",
+        "operator's math, not the plan's shape); betweenness replicates its",
+        "source set into every copy; AA runs on the power-law graph its hub",
+        "cap exists for (the uniform derived graph nulls its transit set).",
+        f"The x1 point can sit in a different AQE regime (broadcast joins",
+        f"that no longer fit at scale), so the x{factor // 2} -> x{factor}",
+        "growth WITHIN the shuffle regime is the linearity verdict; 2.0x",
+        "there = linear.",
         "",
-        "| kernel | rows 0.1 / x10 | shuffle records 0.1 / x10 (ratio) |"
-        " shuffle MB 0.1 / x10 (ratio) | sec 0.1 / x10 |",
+        f"| kernel | rows x1/x{factor // 2}/x{factor}"
+        f" | shuffle records x1/x{factor // 2}/x{factor}"
+        f" | shuffle MB x1/x{factor // 2}/x{factor} (f{factor // 2}->f{factor})"
+        f" | sec x1/x{factor // 2}/x{factor} |",
         "|---|---|---|---|---|",
     ]
 
-    for name, small, big in entries:
-        m1 = run_measured(spark, small)
-        m10 = run_measured(spark, big)
+    for name, run in entries:
+        ms = [run_measured(spark, lambda f=f: run(f)) for f in (1, factor // 2, factor)]
 
         def ratio(a, b):
-            return f"{b / a:.1f}x" if a else "n/a"
+            return f"{b / a:.2f}x" if a else "n/a"
 
         lines.append(
-            f"| {name} | {m1['rows']} / {m10['rows']} "
-            f"| {m1['shuffle_records']} / {m10['shuffle_records']} "
-            f"({ratio(m1['shuffle_records'], m10['shuffle_records'])}) "
-            f"| {m1['shuffle_mb']} / {m10['shuffle_mb']} "
-            f"({ratio(m1['shuffle_mb'], m10['shuffle_mb'])}) "
-            f"| {m1['sec']} / {m10['sec']} |"
+            f"| {name} "
+            f"| {' / '.join(str(m['rows']) for m in ms)} "
+            f"| {' / '.join(str(m['shuffle_records']) for m in ms)} "
+            f"| {' / '.join(str(m['shuffle_mb']) for m in ms)} "
+            f"({ratio(ms[1]['shuffle_mb'], ms[2]['shuffle_mb'])}) "
+            f"| {' / '.join(str(m['sec']) for m in ms)} |"
         )
-        print("measured", name, m1, m10, flush=True)
+        print("measured", name, ms, flush=True)
 
-    with open("/root/repo/RUNTIME.md", "a") as fh:
-        fh.write("\n".join(lines) + "\n")
-    print("appended RUNTIME.md")
+    # replace a prior section of the same name rather than duplicating
+    with open("/root/repo/RUNTIME.md") as fh:
+        doc = fh.read()
+    marker = "\n## sf1 graph spot-run"
+    if marker in doc:
+        doc = doc[: doc.index(marker)]
+    with open("/root/repo/RUNTIME.md", "w") as fh:
+        fh.write(doc + "\n".join(lines) + "\n")
+    print("wrote RUNTIME.md")
     return 0
 
 
