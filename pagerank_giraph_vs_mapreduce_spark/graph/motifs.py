@@ -266,19 +266,20 @@ def adamic_adar_pervertex(
     across engines; rk is emitted so downstream consumers keep the
     order."""
     scored = _aa_scored_non_edges(edges, hub_cap)
+    # one explode per pair row — a unionAll of two scored projections
+    # would re-execute the whole wedge-join + aggregate + anti-join
+    # subplan once per leg (measured 2x at the sf1 graph spot-run; the
+    # same defect class as the k-truss 3-way union, fixed r09)
     both = scored.select(
-        F.col("a").alias("id"),
-        F.col("b").alias("cand"),
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("id"), F.col("b").alias("cand")),
+                F.struct(F.col("b").alias("id"), F.col("a").alias("cand")),
+            )
+        ).alias("p"),
         "common_neighbors",
         "aa_score",
-    ).unionAll(
-        scored.select(
-            F.col("b").alias("id"),
-            F.col("a").alias("cand"),
-            "common_neighbors",
-            "aa_score",
-        )
-    )
+    ).select("p.id", "p.cand", "common_neighbors", "aa_score")
     w = Window.partitionBy("id").orderBy(F.desc("aa_score"), F.asc("cand"))
     return (
         both.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -169,6 +169,10 @@ HEADLINE = [
     "pipeline_train_quality_lr",
     "pipeline_model_gate",
     "rel_exact_quantiles_grouped",
+    # round-9
+    "g_ktruss4_conv",
+    "pipeline_train_quality_lr_mb",
+    "g_betweenness_k3_norm",
 ]
 
 
