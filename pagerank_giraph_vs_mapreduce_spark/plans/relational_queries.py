@@ -1946,6 +1946,121 @@ def rel_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grouped_median(df: DataFrame, bucket_div: float) -> DataFrame:
+    """Exact per-group median (rank ceil(n/2), percentile_disc
+    semantics) of ``v`` over ``(grp, v)`` rows — the two-phase
+    histogram-bucket scheme of rel_exact_quantiles_grouped, reused:
+    bucket histogram, per-group cumulative sum over the tiny histogram,
+    target rank lands in one bucket, in-bucket row_number. No group is
+    ever globally sorted. Returns (grp, med)."""
+    bucketed = df.select(
+        "grp", F.floor(F.col("v") / bucket_div).cast("bigint").alias("bkt"), "v"
+    )
+    hist = bucketed.groupBy("grp", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("grp", "bkt", "c", F.sum("c").over(wcum).alias("cum"))
+    targets = (
+        cum.groupBy("grp")
+        .agg(F.max("cum").alias("n"))
+        .select("grp", F.ceil(F.lit(0.5) * F.col("n")).cast("bigint").alias("r"))
+    )
+    tb = targets.join(
+        cum.withColumnsRenamed({"grp": "cgrp"}),
+        (F.col("grp") == F.col("cgrp"))
+        & (F.col("cum") >= F.col("r"))
+        & (F.col("cum") - F.col("c") < F.col("r")),
+    ).select(
+        "grp", "bkt", (F.col("r") - (F.col("cum") - F.col("c"))).alias("wr")
+    )
+    wb = Window.partitionBy("grp", "bkt").orderBy("v")
+    return (
+        bucketed.join(F.broadcast(tb), ["grp", "bkt"])
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == F.col("wr"))
+        .select("grp", F.col("v").alias("med"))
+    )
+
+
+@query(
+    "rel_outlier_mad",
+    oracle="""WITH nn AS (
+  SELECT l_returnflag AS grp, count(*) AS cnt FROM lineitem GROUP BY 1),
+om AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn
+  FROM lineitem),
+med AS (
+  SELECT om.grp, v AS med FROM om JOIN nn ON nn.grp = om.grp
+  WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT)),
+dev AS (
+  SELECT l.l_orderkey, l.l_linenumber, m.grp,
+         abs(l.l_extendedprice - m.med) AS d
+  FROM lineitem l JOIN med m ON m.grp = l.l_returnflag),
+od AS (
+  SELECT grp, d,
+         row_number() OVER (PARTITION BY grp ORDER BY d) AS rn,
+         count(*) OVER (PARTITION BY grp) AS cnt
+  FROM dev),
+mad AS (
+  SELECT grp, d AS mad FROM od
+  WHERE rn = CAST(ceil(0.5 * cnt) AS BIGINT))
+SELECT dev.l_orderkey, dev.l_linenumber, dev.grp,
+       round(0.6745 * dev.d / mad.mad, 9) AS mz
+FROM dev JOIN mad ON mad.grp = dev.grp
+WHERE mad.mad > 0 AND dev.d > 1.8 * mad.mad""",
+)
+def rel_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group MAD (median-absolute-deviation) outlier sweep — the
+    ROBUST companion to rel_outlier_zscore: mean/std move with the very
+    outliers they are hunting (one wild row inflates sigma and masks the
+    rest), while the median and MAD have a 50% breakdown point. Emits
+    the Iglewicz-Hoaglin modified z-score 0.6745*d/MAD for rows with
+    d > 1.8*MAD (the uniform-ish fixture bounds d <= 2*MAD, so the
+    textbook 3.5 cut can never fire by construction — same reasoning as
+    the 1.6-sigma choice in rel_outlier_zscore).
+
+    Scale shape: TWO exact per-group medians (values, then deviations),
+    each via the two-phase histogram-bucket scheme (_grouped_median) —
+    no group is ever sorted whole; the medians broadcast back onto the
+    fact rows. Cross-engine exactness: the median/MAD are actual data
+    elements (percentile_disc rank ceil(n/2)); d = |v - med| and the
+    final multiply/divide are IEEE-deterministic, so mz hash-matches
+    the window-form oracle exactly. MAD = 0 groups (a majority tied at
+    the median) are excluded by the same guard in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = _grouped_median(
+        li.select(F.col("l_returnflag").alias("grp"),
+                  F.col("l_extendedprice").alias("v")),
+        100.0,
+    )
+    dev = li.join(
+        F.broadcast(med), li.l_returnflag == med.grp
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "grp",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("d"),
+    )
+    mad = _grouped_median(
+        dev.select("grp", F.col("d").alias("v")), 100.0
+    ).withColumnsRenamed({"med": "mad"})
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .filter((F.col("mad") > 0) & (F.col("d") > 1.8 * F.col("mad")))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "grp",
+            F.round(F.lit(0.6745) * F.col("d") / F.col("mad"), 9).alias("mz"),
+        )
+    )
+
+
 @query(
     "rel_corr_exact",
     oracle="""WITH s AS (
