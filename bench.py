@@ -785,6 +785,7 @@ def main() -> int:
         "g_ktruss4_conv",
         "pipeline_train_quality_lr_mb",
         "g_betweenness_k3_norm",
+        "rel_outlier_mad",
     ):
         timed(q, run_query_rows(q))
 

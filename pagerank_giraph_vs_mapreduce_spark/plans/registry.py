@@ -80,7 +80,9 @@ _PRIORITY = (
     "g_ktruss4_conv",  # NEW: peel to convergence, 8-round fixpoint oracle
     "pipeline_train_quality_lr_mb",  # NEW: mini-batch + L2 GD (VERDICT #7)
     "g_betweenness_k3_norm",  # NEW: NetworkX-rescale normalization (VERDICT #8)
+    "rel_outlier_mad",  # NEW: robust MAD outliers, two-phase exact medians
     "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
+    # (g_link_aa_pervertex — r09 explode fix — already leads in the 16)
     # --- code-changed in r08, newest driver row r07: re-certify
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
     "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
