@@ -786,6 +786,7 @@ def main() -> int:
         "pipeline_train_quality_lr_mb",
         "g_betweenness_k3_norm",
         "rel_outlier_mad",
+        "mm_ivf_frames",
     ):
         timed(q, run_query_rows(q))
 

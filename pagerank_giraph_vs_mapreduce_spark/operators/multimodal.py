@@ -1060,6 +1060,89 @@ def ahash16(media: DataFrame) -> DataFrame:
 Y4M_FRAME_W, Y4M_FRAME_H = 8, 2  # 16 px/frame
 Y4M_N_FRAMES = 4
 
+IVF_CHUNK = 16  # text bytes per IVF frame payload
+IVF_N_FRAMES = 4
+
+
+def ivf_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, payload BINARY): a REAL IVF (DKIF) compressed-video
+    container per doc — frame f carries text bytes [16f, 16f+16) as its
+    opaque codec payload (UNpadded: trailing frames shrink with the
+    text, exercising variable frame sizes), fourcc VP80, timestamps
+    0..3. The container framing is real; the payloads stand in for the
+    codec bitstreams decode_external hands to a C library."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.ivf_container import (
+        encode_ivf,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                frames = [
+                    raw[f * IVF_CHUNK : (f + 1) * IVF_CHUNK]
+                    for f in range(IVF_N_FRAMES)
+                ]
+                payloads.append(encode_ivf(frames, 16, 9, fourcc=b"VP80"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, "doc_id bigint, payload binary"
+    )
+
+
+def ivf_frame_stats(media: DataFrame) -> DataFrame:
+    """Parse every frame header of each IVF payload and emit (doc_id,
+    frame_idx, frame_size, ts, byte_mean, n_frames, fourcc) — the
+    container-side statistics available WITHOUT decompressing the codec
+    bitstream. Arrow-batched; unparseable payloads contribute no rows
+    (degrade)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.ivf_container import (
+        decode_ivf,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_size": [], "ts": [],
+                "byte_mean": [], "n_frames": [], "fourcc": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_ivf(payload)
+                if d is None:
+                    continue
+                for f in range(d["n_frames"]):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(f)
+                    rows["frame_size"].append(d["frame_sizes"][f])
+                    rows["ts"].append(d["timestamps"][f])
+                    rows["byte_mean"].append(d["frame_byte_means"][f])
+                    rows["n_frames"].append(d["n_frames"])
+                    rows["fourcc"].append(d["fourcc"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "frame_size": pd.Series(rows["frame_size"], dtype="int64"),
+                    "ts": pd.Series(rows["ts"], dtype="int64"),
+                    "byte_mean": pd.Series(rows["byte_mean"], dtype="float64"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "fourcc": pd.Series(rows["fourcc"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, frame_size bigint, ts bigint, "
+        "byte_mean double, n_frames int, fourcc string",
+    )
+
 
 def y4m_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, payload BINARY): a REAL 4-frame YUV4MPEG2 video per doc —

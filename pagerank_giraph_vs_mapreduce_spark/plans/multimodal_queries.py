@@ -519,6 +519,50 @@ def mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_ivf_frames",
+    oracle="""SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+       CAST(least(greatest(length(text) - f.f * 16, 0), 16) AS BIGINT)
+         AS frame_size,
+       CAST(f.f AS BIGINT) AS ts,
+       CASE WHEN least(greatest(length(text) - f.f * 16, 0), 16) = 0
+            THEN 0.0
+            ELSE round(CAST(list_sum(list_transform(
+                   range(1, least(greatest(length(text) - f.f * 16, 0), 16) + 1),
+                   i -> CAST(ascii(substr(text, CAST(f.f * 16 + i AS INT), 1))
+                             AS BIGINT))) AS DOUBLE)
+                 / least(greatest(length(text) - f.f * 16, 0), 16), 9)
+       END AS byte_mean,
+       4 AS n_frames, 'VP80' AS fourcc
+FROM documents, LATERAL unnest(range(0, 4)) AS f(f)""",
+)
+def mm_ivf_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video CONTAINER parsing (operators/ivf_container.py):
+    each doc becomes a genuine IVF/DKIF stream — the framing format the
+    VP8/VP9/AV1 toolchain interchanges — with 4 variable-size frames
+    carrying text bytes [16f, 16f+16) as opaque codec payloads.
+    ivf_frame_stats validates the 32-byte header and walks the 12-byte
+    frame headers, emitting sizes/timestamps/byte-means with exact SQL
+    oracles over the text. Together with Y4M (raw frames) this reduces
+    the video stub domain to codec DECOMPRESSION alone, which is the
+    decode_external C-seam's job (SCALING.md §25)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        ivf_frame_stats,
+        ivf_payload,
+    )
+
+    media = ivf_payload(load_table(spark, sf_dir, "documents"))
+    return ivf_frame_stats(media).select(
+        "doc_id",
+        "frame_idx",
+        "frame_size",
+        "ts",
+        F.round("byte_mean", 9).alias("byte_mean"),
+        "n_frames",
+        "fourcc",
+    )
+
+
+@query(
     "mm_y4m_frames",
     oracle="""SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
        round((coalesce(CAST(list_sum(list_transform(range(1, least(greatest(length(text) - f.f * 16, 0), 16) + 1),

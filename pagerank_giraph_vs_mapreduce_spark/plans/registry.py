@@ -81,6 +81,7 @@ _PRIORITY = (
     "pipeline_train_quality_lr_mb",  # NEW: mini-batch + L2 GD (VERDICT #7)
     "g_betweenness_k3_norm",  # NEW: NetworkX-rescale normalization (VERDICT #8)
     "rel_outlier_mad",  # NEW: robust MAD outliers, two-phase exact medians
+    "mm_ivf_frames",  # NEW: IVF/DKIF compressed-video container parse
     "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
     # (g_link_aa_pervertex — r09 explode fix — already leads in the 16)
     # --- code-changed in r08, newest driver row r07: re-certify

@@ -243,6 +243,77 @@ def test_external_codec_seam_contract(spark):
     assert got8 == got
 
 
+def test_ivf_container_roundtrip_and_degrade():
+    from pagerank_giraph_vs_mapreduce_spark.operators.ivf_container import (
+        decode_ivf,
+        encode_ivf,
+    )
+
+    frames = [b"abc", b"", b"0123456789" * 5, b"\xff\x00\x7f"]
+    b = encode_ivf(frames, 640, 360, fourcc=b"AV01", fps=(24, 1),
+                   timestamps=[0, 33, 66, 99])
+    d = decode_ivf(b, keep_frames=True)
+    assert d["frames"] == frames
+    assert (d["fourcc"], d["width"], d["height"]) == ("AV01", 640, 360)
+    assert (d["fps_num"], d["fps_den"]) == (24, 1)
+    assert d["timestamps"] == [0, 33, 66, 99]
+    assert d["frame_sizes"] == [3, 0, 50, 3]
+    assert d["frame_byte_means"][1] == 0.0
+    assert abs(d["frame_byte_means"][3] - (255 + 0 + 127) / 3) < 1e-12
+    # truncation: cut into the last frame's payload AND into its header —
+    # both drop only that frame
+    assert decode_ivf(b[:-1])["n_frames"] == 3
+    assert decode_ivf(b[: len(b) - 3 - 5])["n_frames"] == 3
+    # a stale header frame count must not be trusted: framing wins
+    stale = bytearray(b)
+    stale[24:28] = (999).to_bytes(4, "little")
+    assert decode_ivf(bytes(stale))["n_frames"] == 4
+    # foreign/garbage payloads degrade to None, never decode wrong
+    assert decode_ivf(b"not ivf") is None
+    assert decode_ivf(None) is None
+    assert decode_ivf(b"DKIF" + b"\x01\x00" + b[6:]) is None  # version 1
+    assert decode_ivf(b"\xff\xfe" * 30) is None
+
+
+def test_ivf_frames_route_through_external_codec_seam(spark):
+    """The full compressed-video path: REAL container parse (IVF) feeds
+    frame payloads to the external-codec seam — container work is the
+    engine's, decompression is the C library's."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.ivf_container import (
+        decode_ivf,
+        encode_ivf,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        decode_external,
+    )
+
+    payload = encode_ivf([b"K" * 10, b"P" * 20], 16, 9, fourcc=b"VP80")
+    media = spark.createDataFrame(
+        [(7, payload, ("video/x-ivf", len(payload)))],
+        "doc_id bigint, payload binary, "
+        "meta struct<format string, n_bytes bigint>",
+    )
+
+    def container_then_codec(raw: bytes) -> dict | None:
+        d = decode_ivf(raw, keep_frames=True)
+        if d is None:
+            return None
+        # "decode" each frame with the external codec stand-in; the
+        # container supplies geometry, the codec supplies pixel stats
+        luma = [sum(f) / len(f) for f in d["frames"] if f]
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "channels": 3,
+            "bit_depth": 8,
+            "pixel_mean": sum(luma) / len(luma),
+        }
+
+    row = decode_external(media, container_then_codec, ("video/x-ivf",)).collect()[0]
+    assert (row["width"], row["height"]) == (16, 9)
+    assert abs(row["pixel_mean"] - (ord("K") + ord("P")) / 2) < 1e-9
+
+
 def test_webp_close_distance_codes_roundtrip_and_table():
     """VP8L close distance codes 1..120 (VERDICT r08 item 6): the
     generated table reproduces the spec's printed entries, clamping
