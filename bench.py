@@ -947,9 +947,12 @@ def main() -> int:
         "SPARK_GRAFT_NO_SOLO"
     ):
         extras.update(_s3_solo_median(n_runs=3))
-        only.discard("pagerank_s3_solo_median")
 
-    unknown = only - set(timings) - set(probes)
+    # NEVER mutate `only` here: the solo/full branch below keys off it, and
+    # an emptied set would route a solo invocation into the full-suite
+    # writer with empty timings — clobbering the committed artifact (this
+    # exact bug ate BENCH_full.json's queries dict once).
+    unknown = only - set(timings) - set(probes) - {"pagerank_s3_solo_median"}
     if unknown:
         print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)
 
