@@ -134,6 +134,19 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    only = set(sys.argv[1:])
+
+    # Machine-decidable headline (VERDICT r08 item 2): median of >=3
+    # fresh-JVM solo S3 kernel runs. MUST run BEFORE the suite's JVM
+    # exists — with the 16 GB suite session alive, the subprocesses
+    # contend for memory/cores and read ~2x slower (measured 7.5 s vs
+    # 3.8 s median on an identical tree). Skippable for quick local
+    # iterations with SPARK_GRAFT_NO_SOLO=1.
+    solo_extras: dict = {}
+    if (not only or "pagerank_s3_solo_median" in only) and not os.environ.get(
+        "SPARK_GRAFT_NO_SOLO"
+    ):
+        solo_extras = _s3_solo_median(n_runs=3)
 
     spark = get_spark(app_name="bench", cpus=cpus)
 
@@ -150,11 +163,10 @@ def main() -> int:
     spark.range(1000).count()
 
     timings: dict[str, float] = {}
-    extras: dict[str, float] = {}
+    extras: dict[str, float] = dict(solo_extras)
     # Solo mode: `python bench.py <entry> [...]` runs only the named
     # entries in a fresh session — the arbiter for in-suite regressions
     # within the shared-JVM cross-talk band (see timed()).
-    only = set(sys.argv[1:])
 
     def timed(name: str, fn) -> None:
         if only and name not in only:
@@ -943,11 +955,6 @@ def main() -> int:
     # adjudication. Runs on the full suite (and on explicit request via
     # `python bench.py pagerank_s3_solo_median`); skippable for quick
     # local iterations with SPARK_GRAFT_NO_SOLO=1.
-    if (not only or "pagerank_s3_solo_median" in only) and not os.environ.get(
-        "SPARK_GRAFT_NO_SOLO"
-    ):
-        extras.update(_s3_solo_median(n_runs=3))
-
     # NEVER mutate `only` here: the solo/full branch below keys off it, and
     # an emptied set would route a solo invocation into the full-suite
     # writer with empty timings — clobbering the committed artifact (this
