@@ -799,6 +799,7 @@ def main() -> int:
         "g_betweenness_k3_norm",
         "rel_outlier_mad",
         "mm_ivf_frames",
+        "rel_resample_gapfill",
     ):
         timed(q, run_query_rows(q))
 

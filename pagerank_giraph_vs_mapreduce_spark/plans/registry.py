@@ -82,6 +82,7 @@ _PRIORITY = (
     "g_betweenness_k3_norm",  # NEW: NetworkX-rescale normalization (VERDICT #8)
     "rel_outlier_mad",  # NEW: robust MAD outliers, two-phase exact medians
     "mm_ivf_frames",  # NEW: IVF/DKIF compressed-video container parse
+    "rel_resample_gapfill",  # NEW: dense-grid hourly rollup + forward fill
     "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
     # (g_link_aa_pervertex — r09 explode fix — already leads in the 16)
     # --- code-changed in r08, newest driver row r07: re-certify

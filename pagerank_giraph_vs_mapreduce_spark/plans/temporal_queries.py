@@ -78,3 +78,81 @@ def range_join_signup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, signups, "e_ts", "s_start", "s_end", bin_width=HOUR_US
     )
     return joined.select("signup_id", "user_id", "error_id")
+
+
+@query(
+    "rel_resample_gapfill",
+    oracle=f"""WITH hourly AS (
+  SELECT user_id, epoch_us(ts) // {HOUR_US} AS h,
+         CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS hv
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT s.user_id, g.h
+  FROM spans s, LATERAL unnest(generate_series(s.h0, s.h1)) AS g(h)),
+j AS (
+  SELECT grid.user_id, grid.h, hourly.hv
+  FROM grid LEFT JOIN hourly USING (user_id, h))
+SELECT user_id, h AS hour,
+  round(last_value(hv IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
+    AS value_filled,
+  hv IS NULL AS is_gap
+FROM j""",
+)
+def rel_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill — the hypertable-rollup staple
+    (TimescaleDB's time_bucket_gapfill + locf): per user, hourly value
+    sums on a DENSE grid spanning that user's [first, last] hour, with
+    missing hours forward-filled from the last observed bucket and
+    flagged ``is_gap``.
+
+    Scale shape: the hourly rollup is one map-side-combined groupBy; the
+    per-user span is a tiny aggregate; the dense grid is sequence() +
+    explode — bounded by span/granularity, never by event count — and
+    the forward fill is last(ignorenulls) over a per-user window on the
+    GRID rows (each user's partition is its span in hours, parallel
+    across users; no window ever touches raw events). A user's first
+    grid hour always has data (the span starts at an observed hour), so
+    the fill never emits leading NULLs.
+
+    Cross-engine exactness: per-(user, hour) sums run as rounded
+    DECIMAL(28,6) (order-independent), the decimal->double cast is
+    correctly rounded, and the filled value is carried verbatim — the
+    oracle's IGNORE NULLS window is the declarative twin of
+    F.last(ignorenulls=True)."""
+    e = load_events(spark, sf_dir)
+    hourly = (
+        e.select(
+            "user_id",
+            F.expr(f"ts_us DIV {HOUR_US}").alias("h"),
+            F.round(F.col("value"), 6).cast("decimal(28,6)").alias("v"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("v").cast("double").alias("hv"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.round(
+                F.last("hv", ignorenulls=True).over(w), 9
+            ).alias("value_filled"),
+            F.col("hv").isNull().alias("is_gap"),
+        )
+    )
