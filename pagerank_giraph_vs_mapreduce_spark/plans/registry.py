@@ -83,6 +83,7 @@ _PRIORITY = (
     "rel_outlier_mad",  # NEW: robust MAD outliers, two-phase exact medians
     "mm_ivf_frames",  # NEW: IVF/DKIF compressed-video container parse
     "rel_resample_gapfill",  # NEW: dense-grid hourly rollup + forward fill
+    "fn_kmv_set_ops",  # NEW: theta-sketch union/intersection estimates
     "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
     # (g_link_aa_pervertex — r09 explode fix — already leads in the 16)
     # --- code-changed in r08, newest driver row r07: re-certify
