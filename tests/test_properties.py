@@ -386,3 +386,35 @@ def test_cdc_chunks_properties(spark, texts, prefix):
             tail = by_doc[i][1:]
             if tail:
                 assert by_doc[1000 + i][-len(tail):] == tail, (i, t, prefix)
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=12),
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+@settings(max_examples=60, deadline=None)
+def test_ivf_container_roundtrip_property(frames, w, h):
+    """Any frame list (empty frames and empty lists included) survives an
+    IVF encode/decode round-trip byte-exactly with geometry, sizes,
+    timestamps, and per-frame byte means intact."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.ivf_container import (
+        decode_ivf,
+        encode_ivf,
+    )
+
+    b = encode_ivf(frames, w, h, fourcc=b"VP90")
+    d = decode_ivf(b, keep_frames=True)
+    assert d is not None
+    assert d["frames"] == frames
+    assert (d["width"], d["height"], d["fourcc"]) == (w, h, "VP90")
+    assert d["frame_sizes"] == [len(f) for f in frames]
+    assert d["timestamps"] == list(range(len(frames)))
+    for f, m in zip(frames, d["frame_byte_means"]):
+        assert m == (sum(f) / len(f) if f else 0.0)
+    # any strict prefix never decodes MORE frames, never errors
+    for cut in (1, 7, 13):
+        if cut <= len(b):
+            dd = decode_ivf(b[:-cut]) if cut < len(b) else None
+            if len(b) - cut >= 32:
+                assert dd is not None and dd["n_frames"] <= len(frames)
