@@ -162,8 +162,31 @@ def main() -> int:
     # Warm the JVM/session outside timed regions.
     spark.range(1000).count()
 
+    def host_calibration() -> dict:
+        """Two fixed microbenchmarks that price THIS host's Python and JVM
+        throughput, recorded with every suite run. The VM is
+        re-provisioned between rounds with 2x per-core spread (SCALING.md
+        §9), and r09 measured the two substrates drifting in OPPOSITE
+        directions (JVM entries -20%, Python-codec entries +40% on one
+        provision) — so cross-round per-query deltas should be read
+        against these two scalars, not a single host factor."""
+        t0 = time.monotonic()
+        acc = 0
+        for i in range(10_000_000):  # pure-Python integer loop (~1.2 s)
+            acc += i * 7 % 31
+        py_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        spark.range(500_000_000).selectExpr("sum(id % 97)").collect()
+        jvm_sec = time.monotonic() - t0
+        return {
+            "host_python_loop_sec": round(py_sec, 3),
+            "host_jvm_agg_sec": round(jvm_sec, 3),
+        }
+
     timings: dict[str, float] = {}
     extras: dict[str, float] = dict(solo_extras)
+    if not only:
+        extras.update(host_calibration())
     # Solo mode: `python bench.py <entry> [...]` runs only the named
     # entries in a fresh session — the arbiter for in-suite regressions
     # within the shared-JVM cross-talk band (see timed()).
