@@ -185,7 +185,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = dict(solo_extras)
-    if not only:
+    if not only or "host_calibration" in only:
         extras.update(host_calibration())
     # Solo mode: `python bench.py <entry> [...]` runs only the named
     # entries in a fresh session — the arbiter for in-suite regressions
@@ -984,7 +984,12 @@ def main() -> int:
     # an emptied set would route a solo invocation into the full-suite
     # writer with empty timings — clobbering the committed artifact (this
     # exact bug ate BENCH_full.json's queries dict once).
-    unknown = only - set(timings) - set(probes) - {"pagerank_s3_solo_median"}
+    unknown = (
+        only
+        - set(timings)
+        - set(probes)
+        - {"pagerank_s3_solo_median", "host_calibration"}
+    )
     if unknown:
         print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)
 
