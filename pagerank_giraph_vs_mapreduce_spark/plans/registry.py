@@ -85,6 +85,7 @@ _PRIORITY = (
     "rel_resample_gapfill",  # NEW: dense-grid hourly rollup + forward fill
     "fn_kmv_set_ops",  # NEW: theta-sketch union/intersection estimates
     "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
+    "g_clustering_coeff",  # re-certify: closed_triangles_of rewritten (r09)
     # (g_link_aa_pervertex — r09 explode fix — already leads in the 16)
     # --- code-changed in r08, newest driver row r07: re-certify
     "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
@@ -116,7 +117,6 @@ _PRIORITY = (
     "stream_enrich_features",
     "udf_grouped_agg_wmean",
     "g_random_walks_k3",
-    "g_clustering_coeff",
     "g_scc_of_source_k4",
     "g_multi_bfs_k4",
     "g_harmonic_k4",
