@@ -824,6 +824,7 @@ def main() -> int:
         "mm_ivf_frames",
         "rel_resample_gapfill",
         "fn_kmv_set_ops",
+        "text_zipf_fit",
     ):
         timed(q, run_query_rows(q))
 

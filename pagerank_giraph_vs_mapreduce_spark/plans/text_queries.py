@@ -137,6 +137,111 @@ def text_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocabulary(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+ZIPF_TOP = 100
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""WITH toks AS (
+  SELECT t.tok
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(tok)
+  WHERE t.tok != ''),
+vocab AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+         count(*) AS vocab_size,
+         count(*) FILTER (WHERE n = 1) AS n_hapax
+  FROM vocab),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rk
+  FROM vocab ORDER BY n DESC, tok LIMIT {ZIPF_TOP}),
+fit AS (
+  SELECT count(*) AS k,
+    CAST(sum(CAST(round(ln(rk), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(round(ln(n), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+    CAST(sum(CAST(round(ln(rk), 6) AS DECIMAL(18,6))
+             * CAST(round(ln(n), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+    CAST(sum(CAST(round(ln(rk), 6) AS DECIMAL(18,6))
+             * CAST(round(ln(rk), 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+    CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS BIGINT) AS top10
+  FROM ranked)
+SELECT vocab_size, total_tokens,
+  round(CAST(n_hapax AS DOUBLE) / vocab_size, 9) AS hapax_rate,
+  round(CAST(top10 AS DOUBLE) / total_tokens, 9) AS top10_mass,
+  round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS zipf_slope
+FROM tot, fit""",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics QA: Zipf rank-frequency fit over the top-100
+    vocabulary — the distribution check a training-corpus health
+    dashboard runs (natural text fits ln(freq) ~ slope * ln(rank) with
+    slope near -1; template/boilerplate-heavy or synthetic corpora bend
+    it). Emits vocab size, total tokens, hapax rate (fraction of
+    single-occurrence types — OCR/noise indicator), top-10 token mass
+    (boilerplate indicator), and the OLS slope of the log-log rank curve.
+
+    Scale shape: one tokenize + map-side-combined vocab count (the
+    text_vocab pass); the fit runs on the top-100 rows
+    (TakeOrderedAndProject) and the corpus-level counts are one
+    aggregate. Cross-engine exactness: ln is libm (not correctly
+    rounded), so each term is rounded to 6 dp FIRST (the fn_math
+    precedent) and the regression sums run as exact DECIMAL products;
+    the closed-form slope is then IEEE-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count_if(F.col("n") == 1).alias("n_hapax"),
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        vocab.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(ZIPF_TOP)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("tok"))
+            ),
+        )
+    )
+    x = F.round(F.log("rk"), 6).cast("decimal(18,6)")
+    y = F.round(F.log("n"), 6).cast("decimal(18,6)")
+    fit = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("top10"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(fit))
+        .select(
+            "vocab_size",
+            "total_tokens",
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("vocab_size"), 9
+            ).alias("hapax_rate"),
+            F.round(
+                F.col("top10").cast("double") / F.col("total_tokens"), 9
+            ).alias("top10_mass"),
+            F.round(
+                (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("zipf_slope"),
+        )
+    )
+
+
 CHUNK_CHARS = 200
 CHUNK_OVERLAP = 50
 _STRIDE = CHUNK_CHARS - CHUNK_OVERLAP
