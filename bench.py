@@ -825,6 +825,7 @@ def main() -> int:
         "rel_resample_gapfill",
         "fn_kmv_set_ops",
         "text_zipf_fit",
+        "stream_resample_gapfill",
     ):
         timed(q, run_query_rows(q))
 

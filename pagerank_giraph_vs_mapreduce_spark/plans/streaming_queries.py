@@ -531,3 +531,51 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return _drain(cells, "complete")
+
+
+def _gapfill_oracle() -> str:
+    from pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries import (
+        GAPFILL_SQL,
+    )
+
+    return GAPFILL_SQL
+
+
+@query("stream_resample_gapfill", oracle=_gapfill_oracle())
+def stream_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of rel_resample_gapfill, built the way production
+    time-series stores do it (the TimescaleDB continuous-aggregate
+    design): the hourly rollup is a STREAMING aggregate — per-(user,
+    hour) DECIMAL sums folded incrementally per micro-batch, state
+    bounded by |active (user, hour) pairs|, order-free because decimal
+    sums are associative/commutative — and the dense-grid + forward-fill
+    finisher (temporal_queries.gapfill_hourly, shared code) runs at
+    QUERY TIME over the rollup snapshot. Gap filling is deliberately NOT
+    stream state: a gap is only defined relative to the span observed so
+    far, so filling at ingest would emit rows a later out-of-order event
+    retracts — the rollup is the stream's, the densification the
+    reader's. Driven to end-of-input, the result equals the batch twin
+    exactly (same oracle)."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries import (
+        HOUR_US,
+        gapfill_hourly,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+            F.round(F.col("value"), 6).cast("decimal(28,6)").alias("v"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("v").cast("double").alias("hv"))
+    )
+    # localCheckpoint: gapfill_hourly references the rollup TWICE (span
+    # derivation + the grid join-back); the memory-sink view is not a
+    # MultiInstanceRelation, so the self-join trips Spark's conflicting-
+    # reference resolver — a LogicalRDD clones cleanly (and pins the
+    # snapshot the finisher reads)
+    return gapfill_hourly(
+        _drain(hourly, "complete").localCheckpoint(eager=True)
+    )

@@ -80,9 +80,7 @@ def range_join_signup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("signup_id", "user_id", "error_id")
 
 
-@query(
-    "rel_resample_gapfill",
-    oracle=f"""WITH hourly AS (
+GAPFILL_SQL = f"""WITH hourly AS (
   SELECT user_id, epoch_us(ts) // {HOUR_US} AS h,
          CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS hv
   FROM events GROUP BY 1, 2),
@@ -99,8 +97,42 @@ SELECT user_id, h AS hour,
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9)
     AS value_filled,
   hv IS NULL AS is_gap
-FROM j""",
-)
+FROM j"""
+
+
+def gapfill_hourly(hourly: DataFrame) -> DataFrame:
+    """Dense-grid + forward-fill finisher over an hourly rollup
+    ``(user_id, h, hv)`` — shared by the batch query below and its
+    streaming twin (plans/streaming_queries.py:stream_resample_gapfill),
+    which is exactly the TimescaleDB continuous-aggregate design: the
+    rollup is maintained incrementally, the gapfill is query-time."""
+    from pyspark.sql import Window
+
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.round(
+                F.last("hv", ignorenulls=True).over(w), 9
+            ).alias("value_filled"),
+            F.col("hv").isNull().alias("is_gap"),
+        )
+    )
+
+
+@query("rel_resample_gapfill", oracle=GAPFILL_SQL)
 def rel_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap-fill — the hypertable-rollup staple
     (TimescaleDB's time_bucket_gapfill + locf): per user, hourly value
@@ -132,27 +164,4 @@ def rel_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "h")
         .agg(F.sum("v").cast("double").alias("hv"))
     )
-    spans = hourly.groupBy("user_id").agg(
-        F.min("h").alias("h0"), F.max("h").alias("h1")
-    )
-    grid = spans.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
-    )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(hourly, ["user_id", "h"], "left")
-        .select(
-            "user_id",
-            F.col("h").alias("hour"),
-            F.round(
-                F.last("hv", ignorenulls=True).over(w), 9
-            ).alias("value_filled"),
-            F.col("hv").isNull().alias("is_gap"),
-        )
-    )
+    return gapfill_hourly(hourly)
