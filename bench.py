@@ -826,6 +826,7 @@ def main() -> int:
         "fn_kmv_set_ops",
         "text_zipf_fit",
         "stream_resample_gapfill",
+        "g_ppr_multi_k3",
     ):
         timed(q, run_query_rows(q))
 

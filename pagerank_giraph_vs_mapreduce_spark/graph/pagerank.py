@@ -487,6 +487,77 @@ def personalized_pagerank(
     return PageRankResult(result, n, iterations, converged, history)
 
 
+def personalized_pagerank_multi(
+    edges: DataFrame,
+    seeds: list[int],
+    damping: float = 0.85,
+    k: int = 3,
+    graph: GraphTables | None = None,
+) -> DataFrame:
+    """One INDEPENDENT PPR vector per seed, all seeds batched through a
+    single edge pass per superstep — the recsys "similar items for every
+    anchor" shape, where personalized_pagerank's shared teleport set
+    answers a different question (one blended walk).
+
+    State is SPARSE: rows (s, id, pr) exist only where the walk from s
+    has positive mass, so the per-superstep scatter is
+    Σ_s |frontier_s|-proportional (the multi_bfs / batched-Brandes
+    amortization), never K*V — and since the per-seed reset vector is
+    e_s, an absent (s, id) row IS the exact 0.0 the dense formula gives.
+    Per superstep: one links join keyed on the SAME cached partitioning
+    the uniform kernel uses, one (s, id) gather aggregate, one K-row
+    dangling aggregate, one full-outer merge with the K boost rows;
+    state localCheckpoints per round (the kernel's lineage discipline).
+
+    Returns (s, id, pr) after exactly ``k`` supersteps (unrolled-SQL
+    oracle discipline; convergence looping belongs to the single-vector
+    kernels)."""
+    spark = edges.sparkSession
+    g = graph or build_graph(edges)
+    state = spark.createDataFrame(
+        [(int(s), int(s), 1.0) for s in seeds], "s bigint, id bigint, pr double"
+    ).localCheckpoint(eager=True)
+    seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "s bigint")
+    out_src = g.links.select("src").distinct()
+    for _ in range(k):
+        contribs = (
+            state.join(g.links, state.id == g.links.src)
+            .select(
+                "s",
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("s", "id")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang = (
+            state.join(out_src, state.id == out_src.src, "left_anti")
+            .groupBy("s")
+            .agg(F.sum("pr").alias("dm"))
+        )
+        boosts = seeds_df.join(dang, "s", "left").select(
+            "s",
+            F.col("s").alias("id"),
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce("dm", F.lit(0.0))
+            ).alias("boost"),
+        )
+        state = (
+            contribs.join(boosts, ["s", "id"], "full")
+            .select(
+                "s",
+                "id",
+                (
+                    F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                    + F.coalesce("boost", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state
+
+
 def top_k(ranks: DataFrame, k: int = 50) -> DataFrame:
     """T1: top-K vertices by PR (reference K=50, MR/PageRankDriver.java:352-384).
 

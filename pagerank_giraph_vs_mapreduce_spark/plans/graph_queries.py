@@ -368,6 +368,69 @@ def g_ppr_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select("id", F.round("pr", 9).alias("pr"))
 
 
+def _ppr_multi_sql(k: int, seeds: list[int], d: float = 0.85) -> str:
+    """personalized_pagerank_multi unrolled: per-seed sparse PPR state —
+    an absent (s, id) row is an exact 0.0 because the reset vector is
+    e_s — advanced k rounds, each one scatter aggregate, one per-seed
+    dangling sum, one full-outer merge with the seed boosts."""
+    vals = ", ".join(f"({s})" for s in seeds)
+    ctes = [
+        f"""pseeds AS (
+  SELECT CAST(x AS BIGINT) AS s FROM (VALUES {vals}) t(x)),
+mp0 AS (SELECT s, s AS id, CAST(1.0 AS DOUBLE) AS pr FROM pseeds)"""
+    ]
+    for i in range(1, k + 1):
+        p = f"mp{i - 1}"
+        ctes.append(
+            f"""mpd{i} AS (
+  SELECT sd.s, coalesce(sum(p.pr), 0.0) AS dm
+  FROM pseeds sd LEFT JOIN {p} p
+    ON p.s = sd.s AND p.id NOT IN (SELECT id FROM deg)
+  GROUP BY sd.s)"""
+        )
+        ctes.append(
+            f"""mpc{i} AS (
+  SELECT r.s, e.dst AS id, sum(r.pr / g.outdeg) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.id JOIN deg g ON g.id = e.src
+  GROUP BY r.s, e.dst)"""
+        )
+        # {1.0 - d!r}: the Python double, verbatim — DuckDB's (1 - 0.85)
+        # would be exact DECIMAL 0.15 (1 ulp from the Spark side's
+        # lit(1.0 - damping)), and that ulp surfaced as a 9-dp rounding
+        # tie at sf0.001
+        ctes.append(
+            f"""mp{i} AS (
+  SELECT coalesce(c.s, b.s) AS s, coalesce(c.id, b.id) AS id,
+         {d!r} * coalesce(c.contrib, 0.0) + coalesce(b.boost, 0.0) AS pr
+  FROM mpc{i} c FULL JOIN (
+    SELECT s, s AS id, {(1.0 - d)!r} + {d!r} * dm AS boost FROM mpd{i}) b
+    ON c.s = b.s AND c.id = b.id)"""
+        )
+    return (
+        f"{GRAPH_CTES},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT s, id, round(pr, 9) AS pr FROM mp{k}"
+    )
+
+
+@query("g_ppr_multi_k3", oracle=_ppr_multi_sql(PPR_K, PPR_SOURCES))
+def g_ppr_multi_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One INDEPENDENT personalized-PageRank vector per seed (seeds 0..3),
+    batched through a single edge pass per superstep — the recsys
+    "related items for every anchor" shape, where g_ppr_k3's shared
+    teleport set is one blended walk. Sparse (s, id, pr) state (absent
+    row = exact 0.0 since the reset vector is e_s); implementation:
+    graph/pagerank.py:personalized_pagerank_multi."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        personalized_pagerank_multi,
+    )
+
+    state = personalized_pagerank_multi(
+        derived_edges(spark, sf_dir), seeds=PPR_SOURCES, k=PPR_K
+    )
+    return state.select("s", "id", F.round("pr", 9).alias("pr"))
+
+
 _TRI_CTES = f"""{GRAPH_CTES},
 eo AS (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
