@@ -422,6 +422,36 @@ def test_betweenness_matches_networkx_on_random_digraphs(spark):
                 )
 
 
+def test_ppr_multi_equals_single_source_runs(spark):
+    """Each seed's vector in the batched multi-seed PPR must equal the
+    single-source personalized_pagerank run with sources=[s] for the
+    same superstep count — the sparse (s, id) state with absent rows as
+    exact 0.0 against the dense single-vector kernel."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        personalized_pagerank,
+        personalized_pagerank_multi,
+    )
+
+    pairs = [
+        (0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 1),
+        (5, 0), (5, 6), (6, 7), (7, 5), (8, 9),  # 9 dangling
+    ]
+    edges = make_edges(spark, pairs)
+    seeds = [0, 5, 8]
+    k = 4
+    multi = personalized_pagerank_multi(edges, seeds=seeds, k=k)
+    got = {(r["s"], r["id"]): r["pr"] for r in multi.collect()}
+    for s in seeds:
+        single = personalized_pagerank(
+            edges, sources=[s], max_iter=k, tol=-1.0, min_iter=0
+        )
+        dense = {r["id"]: r["pr"] for r in single.ranks.collect()}
+        for vid, pr in dense.items():
+            assert abs(got.get((s, vid), 0.0) - pr) < 1e-12, (s, vid)
+    # sparse discipline: no (s, id) row for unreachable vertices
+    assert (0, 8) not in got and (8, 0) not in got
+
+
 def test_ktruss_fixed_rounds_underpeel_vs_convergence(spark):
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import ktruss_edges
 
