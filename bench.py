@@ -827,6 +827,7 @@ def main() -> int:
         "text_zipf_fit",
         "stream_resample_gapfill",
         "g_ppr_multi_k3",
+        "rel_resample_lerp",
     ):
         timed(q, run_query_rows(q))
 

@@ -87,6 +87,7 @@ _PRIORITY = (
     "text_zipf_fit",  # NEW: rank-frequency OLS fit, corpus-QA stats
     "stream_resample_gapfill",  # NEW: streaming rollup + query-time gapfill
     "g_ppr_multi_k3",  # NEW: per-seed batched PPR vectors, sparse state
+    "rel_resample_lerp",  # NEW: linear-interpolation gapfill companion
     "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
     "g_clustering_coeff",  # re-certify: closed_triangles_of rewritten (r09)
     # (g_link_aa_pervertex — r09 explode fix — already leads in the 16)

@@ -132,6 +132,106 @@ def gapfill_hourly(hourly: DataFrame) -> DataFrame:
     )
 
 
+LERP_SQL = f"""WITH hourly AS (
+  SELECT user_id, epoch_us(ts) // {HOUR_US} AS h,
+         CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS hv
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+grid AS (
+  SELECT s.user_id, g.h
+  FROM spans s, LATERAL unnest(generate_series(s.h0, s.h1)) AS g(h)),
+j AS (
+  SELECT grid.user_id, grid.h, hourly.hv
+  FROM grid LEFT JOIN hourly USING (user_id, h)),
+anchored AS (
+  SELECT user_id, h, hv,
+    last_value(hv IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS)
+      OVER wb AS ph,
+    first_value(hv IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN hv IS NOT NULL THEN h END IGNORE NULLS)
+      OVER wf AS nh
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, h AS hour,
+  round(CASE WHEN hv IS NOT NULL THEN hv
+             ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE)
+                                    / CAST(nh - ph AS DOUBLE)) END, 9)
+    AS value_lerp,
+  hv IS NULL AS is_gap
+FROM anchored"""
+
+
+@query("rel_resample_lerp", oracle=LERP_SQL)
+def rel_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION — the ``interpolate()`` companion
+    to rel_resample_gapfill's locf (TimescaleDB ships both): each missing
+    hour gets pv + (nv - pv) * (h - ph)/(nh - ph) between its nearest
+    observed anchors. Same dense-grid machinery; the anchors come from
+    two per-user windows over GRID rows (backward last-non-null,
+    forward first-non-null — each a single pass over the sorted
+    partition). Every gap sits strictly between observed hours (the
+    span's endpoints are observed), so the anchors are always defined.
+    Cross-engine exactness: anchor values are the DECIMAL-exact hourly
+    sums; the interpolation is one fixed IEEE expression per row."""
+    e = load_events(spark, sf_dir)
+    hourly = (
+        e.select(
+            "user_id",
+            F.expr(f"ts_us DIV {HOUR_US}").alias("h"),
+            F.round(F.col("value"), 6).cast("decimal(28,6)").alias("v"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.sum("v").cast("double").alias("hv"))
+    )
+    from pyspark.sql import Window
+
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("hv").isNotNull(), F.col("h"))
+    anchored = (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            "hv",
+            F.last("hv", ignorenulls=True).over(wb).alias("pv"),
+            F.last(obs_h, ignorenulls=True).over(wb).alias("ph"),
+            F.first("hv", ignorenulls=True).over(wf).alias("nv"),
+            F.first(obs_h, ignorenulls=True).over(wf).alias("nh"),
+        )
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("h") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    )
+    return anchored.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.round(
+            F.when(F.col("hv").isNotNull(), F.col("hv")).otherwise(lerp), 9
+        ).alias("value_lerp"),
+        F.col("hv").isNull().alias("is_gap"),
+    )
+
+
 @query("rel_resample_gapfill", oracle=GAPFILL_SQL)
 def rel_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap-fill — the hypertable-rollup staple
