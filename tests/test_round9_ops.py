@@ -422,6 +422,35 @@ def test_betweenness_matches_networkx_on_random_digraphs(spark):
                 )
 
 
+def test_gapfill_hourly_locf_semantics(spark):
+    """gapfill_hourly on hand data: dense grid per user span, forward
+    fill from the last observed bucket, gaps flagged; users never bleed
+    into each other's spans."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries import (
+        gapfill_hourly,
+    )
+
+    hourly = spark.createDataFrame(
+        [
+            (1, 10, 5.0), (1, 13, 8.0), (1, 14, 2.0),  # gap at 11, 12
+            (2, 100, 7.0),  # single observation: span of one
+        ],
+        "user_id bigint, h bigint, hv double",
+    )
+    got = {
+        (r["user_id"], r["hour"]): (r["value_filled"], r["is_gap"])
+        for r in gapfill_hourly(hourly).collect()
+    }
+    assert got == {
+        (1, 10): (5.0, False),
+        (1, 11): (5.0, True),
+        (1, 12): (5.0, True),
+        (1, 13): (8.0, False),
+        (1, 14): (2.0, False),
+        (2, 100): (7.0, False),
+    }
+
+
 def test_ppr_multi_equals_single_source_runs(spark):
     """Each seed's vector in the batched multi-seed PPR must equal the
     single-source personalized_pagerank run with sources=[s] for the
