@@ -384,7 +384,32 @@ def decode_external(media: DataFrame, codec, formats: tuple[str, ...] = ()):
             "format": fmt,
             **_IMG_NULLS,
         }
-        base.update({k: out[k] for k in base if k in out})
+        # Coerce the codec's values to the schema's types HERE, per row —
+        # a codec returning e.g. width="640" (or garbage) must degrade
+        # only this row, not blow up later inside the typed pd.Series
+        # construction and kill the whole Arrow batch (the documented
+        # poison-row contract).
+        coerce = {
+            "n_bytes": int,
+            "first_byte": int,
+            "byte_mean": float,
+            "format": str,
+            "width": int,
+            "height": int,
+            "channels": int,
+            "bit_depth": int,
+            "pixel_mean": float,
+        }
+        try:
+            base.update(
+                {
+                    k: (None if out[k] is None else coerce[k](out[k]))
+                    for k in base
+                    if k in out
+                }
+            )
+        except Exception:  # wrong-typed codec output: poison row → stub
+            return {**_decode_stub(payload), "format": fmt, **_IMG_NULLS}
         return base
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -520,6 +520,11 @@ def mm_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_ivf_frames",
+    # NOTE: this oracle indexes CHARACTERS (length/ascii/substr) while the
+    # Spark side slices UTF-8 BYTES — equal only because the documents
+    # fixture is pure ASCII, pinned by
+    # tests/test_round10_ops.py::test_documents_fixture_is_ascii_only
+    # (shared with mm_y4m_frames).
     oracle="""SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
        CAST(least(greatest(length(text) - f.f * 16, 0), 16) AS BIGINT)
          AS frame_size,
@@ -564,6 +569,8 @@ def mm_ivf_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_y4m_frames",
+    # Same ASCII-only fixture assumption as mm_ivf_frames — pinned by
+    # tests/test_round10_ops.py::test_documents_fixture_is_ascii_only.
     oracle="""SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
        round((coalesce(CAST(list_sum(list_transform(range(1, least(greatest(length(text) - f.f * 16, 0), 16) + 1),
                   i -> CAST(ascii(substr(text, CAST(f.f * 16 + i AS INT), 1)) AS BIGINT))) AS DOUBLE), 0)

@@ -1579,9 +1579,14 @@ def _logreg_mb_oracle(
             for c in names
         )
         ctes.append(f"g{i} AS (SELECT {gs} FROM feats, w{i - 1} WHERE bkt = {b})")
+        # Guard the empty-bucket case exactly like the Spark trainer does
+        # (operators/mlfit.py `if n_t == 0: continue` — weights unchanged,
+        # L2 shrink skipped too): without it a 0-row bucket yields NULL
+        # gradient sums and an n=0 division here while Spark no-ops.
         up = ", ".join(
+            f"CASE WHEN n = 0 THEN {w} ELSE "
             f"round({w} + round(CAST(g_{c} AS DOUBLE) * {repr(lr)} / n, 12)"
-            f" - round({shrink} * {w}, 12), 12) AS {w}"
+            f" - round({shrink} * {w}, 12), 12) END AS {w}"
             for w, c in zip(("wb", "wl", "ws"), names)
         )
         ctes.append(f"w{i} AS (SELECT {up} FROM g{i}, w{i - 1}, nn{b})")

@@ -565,7 +565,9 @@ def stream_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.select(
             "user_id",
-            F.expr(f"unix_micros(ts) DIV {HOUR_US}").alias("h"),
+            F.expr(  # floor-div like DuckDB's //, exact for pre-epoch ts
+                f"(unix_micros(ts) - pmod(unix_micros(ts), {HOUR_US})) DIV {HOUR_US}"
+            ).alias("h"),
             F.round(F.col("value"), 6).cast("decimal(28,6)").alias("v"),
         )
         .groupBy("user_id", "h")

@@ -181,7 +181,9 @@ def rel_resample_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.select(
             "user_id",
-            F.expr(f"ts_us DIV {HOUR_US}").alias("h"),
+            F.expr(  # floor-div like DuckDB's //, exact for pre-epoch ts
+                f"(ts_us - pmod(ts_us, {HOUR_US})) DIV {HOUR_US}"
+            ).alias("h"),
             F.round(F.col("value"), 6).cast("decimal(28,6)").alias("v"),
         )
         .groupBy("user_id", "h")
@@ -258,7 +260,9 @@ def rel_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         e.select(
             "user_id",
-            F.expr(f"ts_us DIV {HOUR_US}").alias("h"),
+            F.expr(  # floor-div like DuckDB's //, exact for pre-epoch ts
+                f"(ts_us - pmod(ts_us, {HOUR_US})) DIV {HOUR_US}"
+            ).alias("h"),
             F.round(F.col("value"), 6).cast("decimal(28,6)").alias("v"),
         )
         .groupBy("user_id", "h")

@@ -206,12 +206,16 @@ def main() -> int:
         )
         print("measured", name, ms, flush=True)
 
-    # replace a prior section of the same name rather than duplicating
+    # splice out ONLY the prior section of the same name (up to the next
+    # "\n## " heading), keeping any sections other tools appended after it
     with open("/root/repo/RUNTIME.md") as fh:
         doc = fh.read()
     marker = "\n## sf1 graph spot-run"
     if marker in doc:
-        doc = doc[: doc.index(marker)]
+        start = doc.index(marker)
+        nxt = doc.find("\n## ", start + len(marker))
+        tail = doc[nxt:] if nxt != -1 else ""
+        doc = doc[:start] + tail
     with open("/root/repo/RUNTIME.md", "w") as fh:
         fh.write(doc + "\n".join(lines) + "\n")
     print("wrote RUNTIME.md")
