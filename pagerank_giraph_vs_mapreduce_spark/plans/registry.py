@@ -48,113 +48,102 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-9 budget math (r08 recorded exactly 50 rows, all green; after r08 no
-# query's newest driver row predates r04): VERDICT r08 "Next round" #1 is the
-# hard criterion — the 16 round-8 queries that overflowed the r08 gate lead,
-# then queries whose code changed in r09 (re-certify), then the r08
-# code-changed re-certs, then the r04 cohort (43 rows — what the ~50-slot
-# budget can't reach this round leads r10). Everything is additionally
-# re-proven every round by tools/check_oracle.py (stricter: exact stringified
-# values, not hashes).
+# Round-10 budget math (VERDICT r09 "Next round" #1, the hard criterion:
+# after r10 no registered query's newest driver row may predate r05): the
+# 26 queries whose newest row is still r04 lead, then the new r10 queries,
+# then queries whose CODE or ORACLE changed in r10 (re-certify: the r09
+# ADVICE fixes touched the mini-batch-trainer oracle, the three
+# hour-bucketing queries, and annotated the two byte-indexing video
+# oracles), then the 15 oldest r05 rows the remaining budget reaches
+# (26+3+6+15 = 50). The rest of the r05 cohort follows in order and leads
+# the r11 gate. Everything is additionally re-proven every round by
+# tools/check_oracle.py (stricter: exact stringified values, not hashes).
 _PRIORITY = (
-    # --- the 16 round-8 queries that overflowed the r08 gate (VERDICT #1)
-    "pipeline_domain_cap",  # two-phase per-domain top-k cap
-    "source_jsonl_bz2",  # splittable-codec JSONL round-trip
-    "mm_jpeg_progressive_decode",  # real SOF2 progressive decoder
-    "rel_exact_quantiles",  # histogram-cumsum exact quantiles
-    "fn_cms_heavy_hitters",  # count-min sketch heavy hitters (md5 rows)
-    "fn_kmv_distinct",  # KMV distinct sketch (+ r09 small-n guard)
-    "pipeline_k_anonymity",  # quasi-identifier suppression gate
-    "g_betweenness_k3",  # truncated sampled-source Brandes
-    "pipeline_train_quality_lr",  # distributed GD trainer, exact oracle
-    "pipeline_model_gate",  # train + apply as one lazy curation gate
-    "stream_cms_heavy_hitters",  # the CMS as an incremental stream agg
-    "pipeline_train_per_source_lr",  # applyInPandas model fleet, exact oracle
-    "rel_exact_quantiles_grouped",  # per-group percentile_disc, no whale sort
-    "rel_outlier_zscore",  # group-moment broadcast outlier sweep
-    "rel_corr_exact",  # Pearson corr via order-independent moments
-    "mm_y4m_frames",  # YUV4MPEG2 frames (+ r09 chroma-truncation guard)
-    # --- new or code-changed in r09: certify/re-certify
-    # (new r09 queries are appended here as they land)
-    "g_ktruss4_r3",  # re-fixtured to realistic sparsity (VERDICT #3)
-    "g_ktruss4_conv",  # NEW: peel to convergence, 8-round fixpoint oracle
-    "pipeline_train_quality_lr_mb",  # NEW: mini-batch + L2 GD (VERDICT #7)
-    "g_betweenness_k3_norm",  # NEW: NetworkX-rescale normalization (VERDICT #8)
-    "rel_outlier_mad",  # NEW: robust MAD outliers, two-phase exact medians
-    "mm_ivf_frames",  # NEW: IVF/DKIF compressed-video container parse
-    "rel_resample_gapfill",  # NEW: dense-grid hourly rollup + forward fill
-    "fn_kmv_set_ops",  # NEW: theta-sketch union/intersection estimates
-    "text_zipf_fit",  # NEW: rank-frequency OLS fit, corpus-QA stats
-    "stream_resample_gapfill",  # NEW: streaming rollup + query-time gapfill
-    "g_ppr_multi_k3",  # NEW: per-seed batched PPR vectors, sparse state
-    "rel_resample_lerp",  # NEW: linear-interpolation gapfill companion
-    "mm_webp_decode",  # VP8L close-distance-codes (VERDICT #6)
-    "g_clustering_coeff",  # re-certify: closed_triangles_of rewritten (r09)
-    # (g_link_aa_pervertex — r09 explode fix — already leads in the 16)
-    # --- code-changed in r08, newest driver row r07: re-certify
-    "g_pagerank_k3",  # hub-split auto-threshold now derived at build time
-    "g_pagerank_hubsplit_k3",  # same kernel, explicit split path
-    "pipeline_curation",  # planted-dup offsets now scale-safe (1e9)
-    "dedup_incremental",  # same offset change
-    "dedup_semantic",  # same offset change (vec_id planted dups)
-    # --- r04 cohort (newest driver row r04); overflow leads r10
-    "mm_features",
-    "mm_png_decode",
-    "text_tfidf_top_term",
-    "sim_ivfpq_top5",
-    "sim_pq_adc_top5",
-    "sim_quantize_int8",
-    "sim_knn_join_top3",
-    "dedup_recall_planted",
-    "dedup_wcc_canonical",
-    "text_lm_score",
-    "text_pii_scrub",
-    "text_repetition",
-    "text_bigrams_top20",
-    "pipeline_split_leakage_safe",
-    "pipeline_decontaminate",
-    "pipeline_domain_mix",
+    # --- the 26 r04-stale queries (VERDICT r09 What's-missing #1)
+    "g_degree_assortativity",
+    "g_harmonic_k4",
+    "g_multi_bfs_k4",
+    "g_pagerank_weighted_k3",
+    "g_random_walks_k3",
+    "g_scc_of_source_k4",
     "pipeline_class_balance",
     "pipeline_curation_staged",
     "pipeline_curation_staged_funnel",
-    "stream_curation_gate",
-    "stream_enrich_features",
-    "udf_grouped_agg_wmean",
-    "g_random_walks_k3",
-    "g_scc_of_source_k4",
-    "g_multi_bfs_k4",
-    "g_harmonic_k4",
-    "g_degree_assortativity",
-    "rel_upsert_merge",
-    "rel_retention_cohorts",
-    "rel_q7_volume_shipping",
-    "rel_q8_market_share",
+    "pipeline_domain_mix",
     "rel_q10_returned_items",
     "rel_q13_order_distribution",
-    "rel_q19_disjunctive",
-    "rel_q22_idle_customers",
     "rel_q14_promo_revenue",
     "rel_q15_top_supplier",
     "rel_q17_small_quantity",
+    "rel_q19_disjunctive",
+    "rel_q22_idle_customers",
+    "rel_q7_volume_shipping",
+    "rel_q8_market_share",
+    "rel_retention_cohorts",
+    "rel_upsert_merge",
     "source_json_corrupt_records",
-    "g_pagerank_weighted_k3",
     "sql_recursive_bfs_k3",
-    "g_two_hop_count",
-    "sql_exists_correlated",
-    "sql_grouping_sets",
-    "sql_unpivot",
-    "sql_posexplode",
-    "edge_parse_snap",
-    "win_session_30m",
-    "win_sliding_1h_30m",
-    "win_tumbling_15m",
-    "text_lang_id",
-    "text_regexp_tokens",
-    "text_token_stats",
-    "fn_sketch_bounds",
-    "fn_stats_agg",
-    "fn_win_frames",
-    "fn_agg_breadth",
+    "stream_curation_gate",
+    "stream_enrich_features",
+    "udf_grouped_agg_wmean",
+    # --- new in r10
+    "rel_asof_join",
+    "g_louvain_r2",
+    "mm_ivf_external_features",
+    # --- code/oracle changed in r10 (ADVICE fixes): re-certify
+    "pipeline_train_quality_lr_mb",
+    "rel_resample_gapfill",
+    "rel_resample_lerp",
+    "stream_resample_gapfill",
+    "mm_ivf_frames",
+    "mm_y4m_frames",
+    # --- oldest r05 rows: the 15 the remaining budget reaches
+    "dedup_simhash64_near_dups",
+    "g_hits_k2",
+    "mm_frame_sample",
+    "mm_meta",
+    "mm_resize",
+    "mm_thumbnail",
+    "pipeline_pack_sequences",
+    "rel_agg_cube",
+    "rel_agg_rollup",
+    "rel_case_coalesce",
+    "rel_date_funcs",
+    "rel_distinct_agg",
+    "rel_except",
+    "rel_filter_project",
+    "rel_having",
+    # --- rest of the r05 cohort (overflow leads r11)
+    "rel_intersect",
+    "rel_json_extract",
+    "rel_outer_join",
+    "rel_pivot",
+    "rel_salted_skew_join",
+    "rel_scd2_history",
+    "rel_sort_limit",
+    "rel_string_funcs",
+    "rel_union_all",
+    "rel_win_lag",
+    "rel_win_rank",
+    "rel_win_ranking_family",
+    "rel_win_running",
+    "sim_filtered_top5",
+    "sim_ivf_top5",
+    "sim_ivf_top5_nprobe2",
+    "sim_ivf_trained_top5",
+    "sim_pq_encode",
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_schema_evolution",
+    "storage_zorder_buckets",
+    "stream_dedup_counts",
+    "stream_late_data_gate",
+    "stream_session_30m",
+    "stream_stateful_totals",
+    "stream_tumbling_15m",
+    "udf_grouped_zscore",
+    "udf_pandas_normalize",
+    "udf_udtf_tokenize",
 )
 
 
