@@ -80,6 +80,76 @@ def range_join_signup_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("signup_id", "user_id", "error_id")
 
 
+DAY_US = 86_400_000_000
+BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch micros
+
+
+@query(
+    "rel_asof_join",
+    oracle=f"""WITH users AS (SELECT DISTINCT user_id FROM events),
+dim AS (
+  SELECT user_id, {BASE_US} AS vf_us, 'bronze' AS tier FROM users
+  UNION ALL
+  SELECT user_id, {BASE_US} + (7 + user_id % 10) * {DAY_US}, 'silver'
+  FROM users
+  UNION ALL
+  SELECT user_id, {BASE_US} + (17 + user_id % 11) * {DAY_US}, 'gold'
+  FROM users),
+probe AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT p.event_id, p.user_id, p.ts_us,
+       d.tier AS right_tier, d.vf_us AS right_vf_us
+FROM probe p ASOF LEFT JOIN dim d
+  ON p.user_id = d.user_id AND d.vf_us <= p.ts_us""",
+)
+def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join against a VERSIONED DIMENSION (VERDICT r09 item 2): each
+    event picks up the newest dimension version at-or-before its
+    timestamp — the lookup that pairs with rel_scd2_history's versioned
+    rows (there the history is BUILT; here it is PROBED by event time).
+    The dimension is three deterministic tier versions per user (bronze
+    at epoch day 0, silver at day 7+uid%10, gold at day 17+uid%11 — all
+    exact integer micros arithmetic both engines reproduce bit-for-bit),
+    so every event matches and later events see later tiers.
+
+    Scale shape (operators/temporal.py:asof_join): tagged union + one
+    per-key last-non-null window — ONE shuffle on user_id, sort by time
+    within the partition. NO cartesian, NO broadcast-nested-loop, NO
+    per-event subquery; the plan-shape pytest
+    (tests/test_round10_ops.py) pins join-node count at zero. The oracle
+    is DuckDB's NATIVE ``ASOF LEFT JOIN`` — the dedicated engine
+    operator our composition must reproduce exactly."""
+    e = load_events(spark, sf_dir)
+    users = e.select("user_id").distinct()
+
+    def ver(vf, tier: str) -> DataFrame:
+        return users.select(
+            "user_id",
+            vf.cast("long").alias("ts_us"),
+            F.lit(tier).alias("tier"),
+        )
+
+    dim = (
+        ver(F.lit(BASE_US), "bronze")
+        .unionByName(
+            ver(
+                F.lit(BASE_US)
+                + (F.lit(7) + F.col("user_id") % 10) * F.lit(DAY_US),
+                "silver",
+            )
+        )
+        .unionByName(
+            ver(
+                F.lit(BASE_US)
+                + (F.lit(17) + F.col("user_id") % 11) * F.lit(DAY_US),
+                "gold",
+            )
+        )
+        .withColumn("vf_us", F.col("ts_us"))
+    )
+    probe = e.select("event_id", "user_id", "ts_us")
+    return asof_join(probe, dim, "user_id", "ts_us", ["tier", "vf_us"])
+
+
 GAPFILL_SQL = f"""WITH hourly AS (
   SELECT user_id, epoch_us(ts) // {HOUR_US} AS h,
          CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS hv

@@ -9,6 +9,26 @@ import glob
 import duckdb
 
 
+def test_asof_join_plan_has_no_join_nodes(spark, sf_oracle_dir):
+    """rel_asof_join's scale contract (VERDICT r09 item 2): the as-of
+    must compile to tagged-union + per-key window — ZERO join operators
+    of any kind (no CartesianProduct, no BroadcastNestedLoopJoin, no
+    per-event subquery), one hash exchange on the key. Pinned on the
+    EXECUTED plan so AQE can't sneak a strategy in."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    df = QUERIES["rel_asof_join"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" in plan, plan
+
+
 def test_documents_fixture_is_ascii_only():
     """The mm_ivf_frames and mm_y4m_frames oracles index CHARACTERS
     (length/ascii/substr) while the Spark side slices UTF-8 BYTES — the
