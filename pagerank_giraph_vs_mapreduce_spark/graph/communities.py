@@ -56,3 +56,106 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
         )
     sym.unpersist()
     return labels
+
+
+def louvain_one_level(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """``rounds`` synchronous one-level MODULARITY-optimization sweeps
+    (the local-move phase of Louvain/Leiden, determinized): every vertex
+    simultaneously evaluates, for each community among its neighbors
+    plus its own, the modularity gain of joining it,
+
+        score(i -> C) = k_{i,C} - k_i * (Sigma_tot(C) - [c_i = C] k_i) / 2m
+
+    (Blondel et al. 2008 eq. 2 with the constant 1/2m factor dropped —
+    argmax-invariant), and adopts the argmax community, ties broken by
+    the SMALLEST community id. Candidates are RESTRICTED to communities
+    with id <= the vertex's current one ("monotone labels", the same
+    min-id drain discipline as WCC): unrestricted synchronous sweeps
+    oscillate — two singleton neighbors adopt each other's label forever
+    and modularity can drop (the known parallel-Louvain swap problem);
+    the restriction breaks every 2-cycle because only one side of a swap
+    is ever allowed. Synchronous sweeps still carry no universal
+    monotonicity theorem, so the modularity non-decrease property is
+    pinned empirically on seeded fixtures
+    (tests/test_round10_ops.py::test_louvain_modularity_nondecreasing_per_round).
+    Deterministic (no vertex-visit order, no randomness), so a fixed
+    round count unrolls into an exact SQL oracle — the same discipline
+    as label_propagation above. Returns (id, community) over the
+    undirected deduped self-loop-free graph.
+
+    Cross-engine exactness: k, k_in, Sigma_tot and 2m are integers; the
+    score is two exact integer-valued double products plus ONE division
+    and one subtraction — bit-identical IEEE in Spark and DuckDB, so the
+    double argmax (and its tie-break) agrees across engines.
+
+    Scale shape: identical to LPA — the symmetrized edge table shuffles
+    once and is cached; each round moves only V-row community tables and
+    (id, community)-grained neighbor counts (map-side combined), plus a
+    community-count-row Sigma_tot aggregate; 2m rides a broadcast 1-row
+    crossJoin, never the driver; eager localCheckpoint truncates lineage
+    per round."""
+    noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = (
+        noself.unionAll(
+            noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    kdeg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m2 = sym.agg(F.count(F.lit(1)).cast("double").alias("m2"))  # = 2m
+    comm = kdeg.select("id", F.col("id").alias("c"))
+    for _ in range(rounds):
+        ctot = (
+            comm.join(kdeg, "id")
+            .groupBy("c")
+            .agg(F.sum("k").alias("tot"))
+        )
+        nbr = (
+            sym.join(comm.select(F.col("id").alias("dst"), F.col("c").alias("cc")), "dst")
+            .groupBy(F.col("src").alias("id"), "cc")
+            .agg(F.count(F.lit(1)).alias("kin"))
+        )
+        own = comm.select("id", F.col("c").alias("cc"), F.lit(0).alias("kin"))
+        cand = (
+            nbr.unionByName(own)
+            .groupBy("id", "cc")
+            .agg(F.sum("kin").alias("kin"))
+        )
+        scored = (
+            cand.join(kdeg, "id")
+            .join(comm, "id")
+            .filter(F.col("cc") <= F.col("c"))  # monotone labels: no swaps
+            .join(ctot.select(F.col("c").alias("cc"), "tot"), "cc")
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "id",
+                "cc",
+                (
+                    F.col("kin").cast("double")
+                    - F.col("k").cast("double")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("cc") == F.col("c"), F.col("k")).otherwise(
+                            F.lit(0)
+                        )
+                    ).cast("double")
+                    / F.col("m2")
+                ).alias("score"),
+            )
+        )
+        comm = (
+            scored.groupBy("id")
+            .agg(
+                F.max_by(
+                    "cc", F.struct(F.col("score"), (-F.col("cc")).alias("nc"))
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return comm.select("id", F.col("c").alias("community"))

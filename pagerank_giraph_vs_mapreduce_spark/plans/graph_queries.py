@@ -732,6 +732,81 @@ l{i} AS (
     return "".join(parts)
 
 
+LOUVAIN_ROUNDS = 2
+
+
+def _louvain_oracle(rounds: int) -> str:
+    """graph/communities.py:louvain_one_level unrolled: per round,
+    every vertex's candidate communities (neighbors' + own), the
+    gain score kin - k*(tot - [own] k)/2m, the monotone-labels
+    restriction (cc <= current c), and a row_number argmax with the
+    same (score DESC, community ASC) tie-break."""
+    parts = [
+        f"""{GRAPH_CTES},
+sym AS (
+  SELECT src, dst FROM edges WHERE src <> dst
+  UNION
+  SELECT dst AS src, src AS dst FROM edges WHERE src <> dst),
+kdeg AS (SELECT src AS id, count(*) AS k FROM sym GROUP BY src),
+mm AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM sym),
+c0 AS (SELECT id, id AS c FROM kdeg)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f""",
+ct{i} AS (SELECT c, sum(k) AS tot FROM c{p} JOIN kdeg USING (id) GROUP BY c),
+nb{i} AS (
+  SELECT s.src AS id, cm.c AS cc, count(*) AS kin
+  FROM sym s JOIN c{p} cm ON cm.id = s.dst GROUP BY 1, 2),
+cd{i} AS (
+  SELECT id, cc, sum(kin) AS kin FROM (
+    SELECT id, cc, kin FROM nb{i}
+    UNION ALL SELECT id, c AS cc, 0 AS kin FROM c{p})
+  GROUP BY id, cc),
+sc{i} AS (
+  SELECT cd.id, cd.cc,
+    CAST(cd.kin AS DOUBLE)
+      - CAST(kd.k AS DOUBLE)
+        * CAST(ct.tot - CASE WHEN cd.cc = cm.c THEN kd.k ELSE 0 END AS DOUBLE)
+        / mm.m2 AS score
+  FROM cd{i} cd
+  JOIN kdeg kd ON kd.id = cd.id
+  JOIN c{p} cm ON cm.id = cd.id
+  JOIN ct{i} ct ON ct.c = cd.cc, mm
+  WHERE cd.cc <= cm.c),
+c{i} AS (
+  SELECT id, cc AS c FROM (
+    SELECT id, cc,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, cc) AS rn
+    FROM sc{i}) WHERE rn = 1)"""
+        )
+    parts.append(f"\nSELECT id, c AS community FROM c{rounds}")
+    return "".join(parts)
+
+
+@query("g_louvain_r2", oracle=_louvain_oracle(LOUVAIN_ROUNDS))
+def g_louvain_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous one-level MODULARITY-optimization sweeps (the
+    Louvain local-move phase, determinized with min-community-id
+    tie-breaks — VERDICT r09 item 3): community detection by the metric
+    a real graph-curation pipeline actually reports, where LPA
+    (g_lpa_r3) only finds frequency communities. Every vertex scores
+    joining each neighboring community by the Blondel et al. gain
+    (k_in - k_i*Sigma_tot/2m, exact-integer inputs, one IEEE division)
+    and argmaxes among communities with id <= its own (monotone labels —
+    the swap-cycle breaker). Deterministic => unrolled SQL oracle; the modularity
+    non-decrease property is pinned per round on seeded graphs in
+    tests/test_round10_ops.py. Implementation:
+    graph/communities.py:louvain_one_level."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        louvain_one_level,
+    )
+
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    return louvain_one_level(edges, rounds=LOUVAIN_ROUNDS)
+
+
 @query("g_lpa_r3", oracle=_lpa_oracle(LPA_ROUNDS))
 def g_lpa_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three synchronous label-propagation rounds (community detection) on
