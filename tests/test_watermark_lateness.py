@@ -188,3 +188,95 @@ def test_beyond_watermark_dropped_after_eviction(spark, tmp_path):
         if p["stateOperators"]
     )
     assert n_dropped == 1
+
+
+def test_late_rows_bucket_correctly_before_gapfill(spark, tmp_path):
+    """Scrambled-event-time replay for the gapfill twin (VERDICT r09 item
+    8, the stream_late_data_gate discipline applied to
+    stream_resample_gapfill's design): hourly rollup rows arriving HOURS
+    late — newest hours first, the oldest hour last, across micro-batch
+    boundaries — must land in their correct hour buckets (append mode,
+    watermark > worst lateness, sentinel flush), and the query-time
+    dense-grid forward fill over that rollup must equal the batch twin
+    exactly. The fill source for the gap hours IS a late-arriving row,
+    so a mis-bucketed late row would corrupt the filled values, not just
+    the observed ones."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries import (
+        gapfill_hourly,
+    )
+
+    def hr(h: float) -> datetime:
+        return T0 + timedelta(hours=h)
+
+    # user 1: hours 0, 1, 4 observed (gap at 2-3); user 2: hours 0, 2.
+    rows_new = [  # arrive FIRST: the newest event times
+        (1, hr(4.2), 1, "click", 4.0),
+        (2, hr(2.5), 2, "click", 12.5),
+    ]
+    rows_late = [  # arrive SECOND: up to ~4 h late vs the frontier above
+        (3, hr(0.1), 1, "click", 1.5),
+        (4, hr(1.3), 1, "click", 1.0),
+        (5, hr(1.8), 1, "click", 1.25),  # h1 sum 2.25 = the fill source
+        (6, hr(0.7), 2, "click", 10.0),
+    ]
+    sentinel = [(7, datetime(2100, 1, 1), SENTINEL_USER, "click", 0.0)]
+    src = tmp_path / "gapfill_late_src"
+    _write_file(spark, rows_new, src, "f1", 1, tmp_path)
+    _write_file(spark, rows_late, src, "f2", 2, tmp_path)
+    _write_file(spark, sentinel, src, "f3", 3, tmp_path)
+
+    def hourly_rollup(df):
+        return (
+            df.groupBy(
+                F.window("ts", "3600 seconds").alias("w"), "user_id"
+            )
+            .agg(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+                .cast("double")
+                .alias("hv")
+            )
+            .select(
+                "user_id",
+                (F.unix_timestamp("w.start") / 3600).cast("bigint").alias("h"),
+                "hv",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        hourly_rollup(stream.withWatermark("ts", "10 days"))
+        .writeStream.format("memory")
+        .queryName("gapfill_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rollup = (
+        spark.table("gapfill_late")
+        .filter(F.col("user_id") != SENTINEL_USER)
+        .localCheckpoint(eager=True)
+    )
+    got = {
+        (r["user_id"], r["hour"], r["value_filled"], r["is_gap"])
+        for r in gapfill_hourly(rollup).collect()
+    }
+
+    batch = spark.createDataFrame(rows_new + rows_late, _SCHEMA)
+    want = {
+        (r["user_id"], r["hour"], r["value_filled"], r["is_gap"])
+        for r in gapfill_hourly(
+            hourly_rollup(batch).localCheckpoint(eager=True)
+        ).collect()
+    }
+    assert got == want
+    base_h = int(T0.timestamp()) // 3600
+    # the gap hours are filled FROM the late-arriving hour-1 rows
+    assert (1, base_h + 2, 2.25, True) in got
+    assert (1, base_h + 3, 2.25, True) in got
+    assert (2, base_h + 1, 10.0, True) in got
+    assert (1, base_h + 4, 4.0, False) in got
