@@ -80,12 +80,28 @@ def logreg_gd(
     from pyspark.storagelevel import StorageLevel
 
     names = ["bias"] + list(feature_cols)
-    feats = df.select(
+    proj = df.select(
         F.lit(1.0).alias("bias"),
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("_y"),
         *([F.col(batch_col).alias("_bkt")] if batch_col else []),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if batch_col is not None:
+        # Physically cluster the cache by bucket WITHOUT a shuffle:
+        # sortWithinPartitions("_bkt") turns every partition into bucket
+        # runs, so the in-memory columnar cache's per-batch min/max
+        # stats let step t's `_bkt = t % B` filter PRUNE ~(B-1)/B of the
+        # cached batches instead of scanning and filtering all of them —
+        # without this the "1/B of the corpus per step" claim is filter
+        # selectivity, not scan volume (caught by the r10 sf1 spot-run:
+        # the unclustered mini-batch trainer timed SLOWER than full
+        # batch). A repartitionByRange would prune too but pays a full
+        # corpus shuffle + sampling pass at setup — measured strictly
+        # worse at iters=5, B=4; the local sort is one in-memory pass.
+        # Row placement doesn't affect results: gradient sums are
+        # per-row DECIMAL — exact and order-independent.
+        proj = proj.sortWithinPartitions("_bkt")
+    feats = proj.persist(StorageLevel.MEMORY_AND_DISK)
     # One action up front (materializes the cache); training itself is
     # lazy — every GD step re-reads the narrow cached projection instead
     # of rescanning the source.

@@ -167,3 +167,45 @@ def test_documents_fixture_is_ascii_only():
             "WHERE octet_length(encode(text)) <> length(text)"
         ).fetchone()
         assert n == 0, f"non-ASCII document text in {path}: {n} rows"
+
+
+def test_mb_trainer_empty_bucket_matches_oracle(spark, tmp_path):
+    """ADVICE r09 #1 end-to-end: with more buckets than distinct md5
+    buckets present, some training steps hit an EMPTY bucket — the Spark
+    trainer skips the step (weights unchanged, no L2 shrink) and the
+    unrolled SQL oracle must produce the identical trajectory (its
+    CASE WHEN n = 0 guard), instead of NULL gradients and n=0 division."""
+    import duckdb
+
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        _logreg_mb_oracle,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import QUERIES
+
+    # 3 docs -> at most 3 of 4 md5 buckets occupied; verify at least one
+    # of the 5 steps trains on an empty bucket, else the test is vacuous
+    rows = [(i, "word " * (i + 2) + "tail", "en" if i % 2 else "fr") for i in range(3)]
+    docs_dir = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.parquet(str(docs_dir / "documents.parquet"))
+
+    import hashlib
+
+    occupied = {
+        int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 4
+        for i in range(3)
+    }
+    assert len(occupied) < 4, "fixture must leave at least one bucket empty"
+
+    got = QUERIES["pipeline_train_quality_lr_mb"](spark, str(docs_dir)).collect()
+    con = duckdb.connect()
+    # Spark writes a part-file directory; DuckDB needs the glob
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{docs_dir}/documents.parquet/*.parquet'"
+    )
+    want = con.execute(_logreg_mb_oracle()).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert (g["w_bias"], g["w_f_len"], g["w_f_space"], g["accuracy"]) == tuple(w)

@@ -10,12 +10,18 @@ Three claims, each with the measurement that would falsify it:
   |events|. Fixture: the same users/time-span with 1x/5x/10x the event
   rows (new event_ids, same timestamps) — grid/output rows must stay
   IDENTICAL while only the rollup's input grows.
-- pipeline_train_quality_lr_mb: step t scans only md5 bucket t%B, so
-  total INPUT rows across training ≈ N (bucket-count pass) + iters*N/B
-  (gradient steps) + N (full-corpus accuracy eval) = 3.25N at
-  iters=5, B=4 — vs the full-batch trainer's 7N. Measured as the
-  stage-level cumulative input-record delta (cache reads count as task
-  input), at 1x and 10x documents.
+- pipeline_train_quality_lr_mb: step t aggregates only md5 bucket
+  t%B. The r10 first run of this tool FALSIFIED the physical form of
+  that claim: cached-block reads don't count as task input records
+  (mb and full-batch showed identical input), and the unclustered
+  cache made every step SCAN all batches and filter — mb timed slower
+  than full batch. Fix shipped in operators/mlfit.py
+  (sortWithinPartitions on _bkt at cache time — shuffle-free bucket
+  runs whose in-memory batch min/max stats prune ~(B-1)/B of cached
+  batches per step; repartitionByRange prunes too but pays a corpus
+  shuffle, measured strictly worse at iters=5); this row now records mb vs
+  full-batch WALL at 10x docs as the physical evidence, alongside the
+  linear 1x -> 10x scaling.
 
 Iterative kernels materialize through localCheckpoint (no SQLMetrics on
 the returned frame), so all measurements are CUMULATIVE stage-level
@@ -112,8 +118,8 @@ def main() -> int:
         "",
         "## sf1 spot-run: r9 newcomers (tools/sf1_r9_spotrun.py)",
         "",
-        "Stage-level cumulative deltas (AppStatusStore; input includes",
-        "cache-block reads). Each row names the claim its ratios verify —",
+        "Stage-level cumulative deltas (AppStatusStore; cached-block reads",
+        "do NOT count as input). Each row names the claim it verifies —",
         "see the tool docstring for the falsification logic.",
         "",
         f"| entry | rows x1/x{half}/x{factor}"
@@ -229,12 +235,51 @@ def main() -> int:
         f"| {mbs[0]['rows']} / {mbs[1]['rows']} "
         f"| {mbs[0]['shuffle_records']} / {mbs[1]['shuffle_records']} "
         f"| {mbs[0]['input_records']} / {mbs[1]['input_records']} "
-        f"(full-batch x{factor}: {fullx10['input_records']};"
-        f" mb/full = {mbs[1]['input_records'] / max(1, fullx10['input_records']):.3f},"
-        f" expected ~{(2 + MB_ITERS / MB_BUCKETS) / (2 + MB_ITERS):.3f}) "
-        f"| {mbs[0]['sec']} / {mbs[1]['sec']} (full x{factor}: {fullx10['sec']}) |"
+        f"(= full-batch x{factor}: {fullx10['input_records']} — cached-block"
+        f" reads are invisible to input metrics) "
+        f"| {mbs[0]['sec']} / {mbs[1]['sec']} (full x{factor}:"
+        f" {fullx10['sec']}; at 200k rows fixed per-job overhead"
+        f" dominates — see the layout row below for the scan effect) |"
     )
     print("measured mb", mbs, "full", fullx10, flush=True)
+
+    # ---- the cache-layout evidence at a scale where scans dominate:
+    # 5 GD-shaped filtered DECIMAL aggs over a 2M-row cache, unclustered
+    # vs sortWithinPartitions("_bkt") (the layout logreg_gd now applies)
+    def layout_steps(sort: bool) -> float:
+        d = spark.range(2_000_000).select(
+            (F.abs(F.xxhash64("id")) % MB_BUCKETS).alias("_bkt"),
+            (F.col("id") * 1.5).alias("x"),
+        )
+        if sort:
+            d = d.sortWithinPartitions("_bkt")
+        c = d.persist()
+        c.count()
+        t0 = time.monotonic()
+        for t in range(MB_ITERS):
+            c.filter(F.col("_bkt") == t % MB_BUCKETS).agg(
+                F.sum(F.round(F.col("x"), 12).cast("decimal(38,12)"))
+            ).collect()
+        sec = round(time.monotonic() - t0, 2)
+        c.unpersist()
+        spark.catalog.clearCache()
+        return sec
+
+    layout_steps(True)  # JIT/codegen warmup so the A/B is order-free
+    plain = layout_steps(False)
+    sorted_ = layout_steps(True)
+    lines.append(
+        f"| mb cache layout (2M rows, {MB_ITERS} filtered-agg steps) "
+        f"| n/a | n/a | n/a "
+        f"| unclustered {plain} vs sortWithinPartitions(_bkt) {sorted_}"
+        f" ({plain / sorted_:.2f}x; memory-resident batches scan near"
+        f" memory speed so the win is modest HERE — the layout's real"
+        f" payoff is the MEMORY_AND_DISK spill regime, where pruned"
+        f" batches are disk reads skipped entirely; the local sort is"
+        f" shuffle-free, so it is a strict win either way —"
+        f" operators/mlfit.py) |"
+    )
+    print("measured layout", plain, sorted_, flush=True)
 
     # splice out ONLY a prior section of the same name (up to the next
     # "\n## " heading), keeping anything after it
