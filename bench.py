@@ -895,6 +895,8 @@ def main() -> int:
         "rel_asof_join",
         "g_louvain_r2",
         "mm_ivf_external_features",
+        "g_modularity_score",
+        "rel_ohlc_candles",
     ):
         timed(q, run_query_rows(q))
 

@@ -785,6 +785,91 @@ c{i} AS (
     return "".join(parts)
 
 
+def _modularity_oracle(rounds: int) -> str:
+    """Newman modularity of the louvain assignment, as ONE exact integer
+    division: Q = (in_total*2m - sum_C tot_C^2) / (2m)^2 — in_total
+    (half-edges inside communities), tot_C (community degree sums) and
+    2m are integers, so both engines compute the identical numerator and
+    denominator and perform a single IEEE division."""
+    head = _louvain_oracle(rounds)
+    head = head[: head.rindex("\nSELECT ")]  # keep the CTE chain only
+    return (
+        head
+        + f""",
+intot AS (
+  SELECT count(*) AS it FROM sym s
+  JOIN c{rounds} a ON a.id = s.src
+  JOIN c{rounds} b ON b.id = s.dst
+  WHERE a.c = b.c),
+ctots AS (
+  SELECT cm.c, sum(kd.k) AS tot
+  FROM c{rounds} cm JOIN kdeg kd ON kd.id = cm.id GROUP BY cm.c),
+parts AS (
+  SELECT (SELECT count(*) FROM ctots) AS n_communities,
+         (SELECT it FROM intot) AS it,
+         (SELECT sum(tot * tot) FROM ctots) AS st2,
+         (SELECT count(*) FROM sym) AS m2)
+SELECT CAST(n_communities AS BIGINT) AS n_communities,
+       CAST(it * m2 - st2 AS DOUBLE) / CAST(m2 * m2 AS DOUBLE)
+         AS modularity
+FROM parts"""
+    )
+
+
+@query("g_modularity_score", oracle=_modularity_oracle(LOUVAIN_ROUNDS))
+def g_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The community-quality METRIC itself as a query: Newman modularity
+    Q of the g_louvain_r2 assignment — what a graph-curation pipeline
+    actually reports on a dashboard (community count + partition
+    quality). Computed as exact integers until one final division:
+    Q = (in_total*2m - sum_C tot_C^2) / (2m)^2, so no
+    summation-order noise can reach the value hash. Scale shape: two
+    V-row joins of the assignment onto the symmetric edge table and two
+    map-side-combined aggregates; the scalars meet in one broadcast
+    1-row crossJoin chain."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        louvain_one_level,
+    )
+
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    comm = louvain_one_level(edges, rounds=LOUVAIN_ROUNDS)
+    noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = noself.unionAll(
+        noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    kdeg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    intot = (
+        sym.join(comm.select(F.col("id").alias("src"), F.col("community").alias("ca")), "src")
+        .join(comm.select(F.col("id").alias("dst"), F.col("community").alias("cb")), "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    ctots = (
+        comm.join(kdeg, "id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("tot"))
+    )
+    st2 = ctots.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(F.col("tot") * F.col("tot")).alias("st2"),
+    )
+    m2 = sym.agg(F.count(F.lit(1)).alias("m2"))
+    return (
+        st2.crossJoin(F.broadcast(intot))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("n_communities").cast("bigint").alias("n_communities"),
+            (
+                (F.col("it") * F.col("m2") - F.col("st2")).cast("double")
+                / (F.col("m2") * F.col("m2")).cast("double")
+            ).alias("modularity"),
+        )
+    )
+
+
+
 @query("g_louvain_r2", oracle=_louvain_oracle(LOUVAIN_ROUNDS))
 def g_louvain_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two synchronous one-level MODULARITY-optimization sweeps (the

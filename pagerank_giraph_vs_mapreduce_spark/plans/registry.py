@@ -90,6 +90,8 @@ _PRIORITY = (
     "rel_asof_join",
     "g_louvain_r2",
     "mm_ivf_external_features",
+    "g_modularity_score",
+    "rel_ohlc_candles",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

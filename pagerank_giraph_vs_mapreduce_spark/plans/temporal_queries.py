@@ -150,6 +150,66 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(probe, dim, "user_id", "ts_us", ["tier", "vf_us"])
 
 
+@query(
+    "rel_ohlc_candles",
+    oracle=f"""WITH hourly AS (
+  SELECT user_id, epoch_us(ts) // {HOUR_US} AS h,
+         epoch_us(ts) AS ts_us, event_id, value
+  FROM events),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, h
+                       ORDER BY ts_us, event_id) AS rf,
+    row_number() OVER (PARTITION BY user_id, h
+                       ORDER BY ts_us DESC, event_id DESC) AS rl
+  FROM hourly)
+SELECT user_id, h AS hour,
+  max(CASE WHEN rf = 1 THEN value END) AS open,
+  max(value) AS high,
+  min(value) AS low,
+  max(CASE WHEN rl = 1 THEN value END) AS close,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS vol_sum
+FROM ranked GROUP BY 1, 2""",
+)
+def rel_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per user — the financial/hypertable downsample
+    every time-series store ships (TimescaleDB's candlestick_agg, kdb's
+    xbar): open/close are the chronologically first/last values in the
+    bucket (event_id as the total-order tie-break), high/low the
+    extremes, plus trade count and an order-independent DECIMAL volume
+    sum. Spark side is ONE map-side-combined aggregate — open/close via
+    min_by/max_by over a (ts_us, event_id) struct, no window, no second
+    shuffle; the oracle uses the row_number formulation (DuckDB's
+    arg_min/arg_max take one ordering key, so the composite tie-break
+    needs the window form). open/close/high/low are carried verbatim
+    (single-row picks, bit-exact across engines)."""
+    e = load_events(spark, sf_dir)
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        e.select(
+            "user_id",
+            F.expr(
+                f"(ts_us - pmod(ts_us, {HOUR_US})) DIV {HOUR_US}"
+            ).alias("hour"),
+            "ts_us",
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "hour")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("vol_sum"),
+        )
+    )
+
+
 GAPFILL_SQL = f"""WITH hourly AS (
   SELECT user_id, epoch_us(ts) // {HOUR_US} AS h,
          CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS hv

@@ -209,3 +209,27 @@ def test_mb_trainer_empty_bucket_matches_oracle(spark, tmp_path):
     assert len(got) == len(want) == 1
     g, w = got[0], want[0]
     assert (g["w_bias"], g["w_f_len"], g["w_f_space"], g["accuracy"]) == tuple(w)
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_oracle_dir):
+    """rel_ohlc_candles' scale contract: open/close ride min_by/max_by
+    inside ONE map-side-combined aggregate — no Window operator, no
+    second exchange (the oracle needs row_number only because DuckDB's
+    arg_min takes a single ordering key)."""
+    import re
+
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    df = QUERIES["rel_ohlc_candles"](spark, sf_oracle_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AdaptiveSparkPlan.toString repeats the tree under "== Initial
+    # Plan =="; inspect the final section only
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in plan, plan
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges <= 1, plan
