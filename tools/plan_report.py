@@ -173,6 +173,12 @@ HEADLINE = [
     "g_ktruss4_conv",
     "pipeline_train_quality_lr_mb",
     "g_betweenness_k3_norm",
+    # round-10
+    "rel_asof_join",
+    "g_louvain_r2",
+    "g_modularity_score",
+    "rel_ohlc_candles",
+    "mm_ivf_external_features",
 ]
 
 
