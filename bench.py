@@ -897,6 +897,7 @@ def main() -> int:
         "mm_ivf_external_features",
         "g_modularity_score",
         "rel_ohlc_candles",
+        "stream_ohlc_candles",
     ):
         timed(q, run_query_rows(q))
 

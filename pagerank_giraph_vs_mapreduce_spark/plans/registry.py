@@ -50,14 +50,15 @@ _QUERY_MODULES = (
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-10 budget math (VERDICT r09 "Next round" #1, the hard criterion:
 # after r10 no registered query's newest driver row may predate r05): the
-# 26 queries whose newest row is still r04 lead, then the new r10 queries,
-# then queries whose CODE or ORACLE changed in r10 (re-certify: the r09
-# ADVICE fixes touched the mini-batch-trainer oracle, the three
-# hour-bucketing queries, and annotated the two byte-indexing video
-# oracles), then the 15 oldest r05 rows the remaining budget reaches
-# (26+3+6+15 = 50). The rest of the r05 cohort follows in order and leads
-# the r11 gate. Everything is additionally re-proven every round by
-# tools/check_oracle.py (stricter: exact stringified values, not hashes).
+# 26 queries whose newest row is still r04 lead, then the 7 new r10
+# queries, then queries whose CODE or ORACLE changed in r10 (re-certify:
+# the r09 ADVICE fixes touched the mini-batch-trainer oracle and the
+# three hour-bucketing queries; the sorted-cache change re-touches the
+# mb trainer), then the oldest r05 rows the remaining ~11 budget slots
+# reach (26+7+6 = 39). The rest of the r05 cohort follows in order and
+# leads the r11 gate. Everything is additionally re-proven every round
+# by tools/check_oracle.py (stricter: exact stringified values, not
+# hashes).
 _PRIORITY = (
     # --- the 26 r04-stale queries (VERDICT r09 What's-missing #1)
     "g_degree_assortativity",
@@ -92,6 +93,7 @@ _PRIORITY = (
     "mm_ivf_external_features",
     "g_modularity_score",
     "rel_ohlc_candles",
+    "stream_ohlc_candles",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

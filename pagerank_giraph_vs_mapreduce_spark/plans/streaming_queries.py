@@ -581,3 +581,51 @@ def stream_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_hourly(
         _drain(hourly, "complete").localCheckpoint(eager=True)
     )
+
+
+def _ohlc_oracle() -> str:
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import ORACLES
+    from pagerank_giraph_vs_mapreduce_spark.plans import temporal_queries  # noqa: F401
+
+    return ORACLES["rel_ohlc_candles"]
+
+
+@query("stream_ohlc_candles", oracle=_ohlc_oracle())
+def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of rel_ohlc_candles: per-(user, hour) OHLC candles
+    maintained as an incremental streaming aggregate — min_by/max_by
+    over the (ts_us, event_id) struct, min/max extremes, count, DECIMAL
+    volume sum, all associative/commutative merges, so state is bounded
+    by |active (user, hour) pairs| and arrival order is irrelevant (the
+    exact property a market-data rollup needs: a late tick updates its
+    candle's open/close correctly because the struct ordering key is
+    event time, not arrival time). Driven to end-of-input, equals the
+    batch twin's oracle exactly."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries import HOUR_US
+
+    ev = _events_stream(spark, sf_dir)
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    agg = (
+        ev.select(
+            "user_id",
+            F.expr(  # floor-div like DuckDB's //, exact for pre-epoch ts
+                f"(unix_micros(ts) - pmod(unix_micros(ts), {HOUR_US}))"
+                f" DIV {HOUR_US}"
+            ).alias("hour"),
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "value",
+        )
+        .groupBy("user_id", "hour")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("vol_sum"),
+        )
+    )
+    return _drain(agg, "complete")
