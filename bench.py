@@ -898,6 +898,7 @@ def main() -> int:
         "g_modularity_score",
         "rel_ohlc_candles",
         "stream_ohlc_candles",
+        "rel_asof_join_fwd",
     ):
         timed(q, run_query_rows(q))
 

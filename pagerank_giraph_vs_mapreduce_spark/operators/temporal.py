@@ -71,6 +71,55 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with
+    ``right.time_col >= left.time_col`` and equal ``key`` (NULL payload
+    if none) — the time-to-conversion / next-scheduled-event lookup
+    (DuckDB: ``ASOF LEFT JOIN ... ON r.t >= l.t``). Mirror of
+    ``asof_join``: tagged union + first-non-null over the FORWARD frame
+    — one shuffle, no cross product. At equal time the right row
+    qualifies (>=): left rows sort before right rows there, so the
+    forward frame starting at the left row includes it."""
+    lcols = left.columns
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in payload_cols],
+    )
+    r_tag = right.select(
+        *[
+            F.col(c) if c in (key, time_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # left rows sort before right rows at equal time → ">=" semantics
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(time_col).asc(), F.col("_is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *lcols,
+        "_is_left",
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *lcols, *[F.col(f"_r_{c}").alias(f"right_{c}") for c in payload_cols]
+    )
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,

@@ -94,6 +94,7 @@ _PRIORITY = (
     "g_modularity_score",
     "rel_ohlc_candles",
     "stream_ohlc_candles",
+    "rel_asof_join_fwd",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

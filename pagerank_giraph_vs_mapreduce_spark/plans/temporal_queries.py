@@ -151,6 +151,50 @@ def rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_asof_join_fwd",
+    oracle="""WITH signups AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'signup'),
+purch AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+  WHERE event_type = 'purchase')
+SELECT s.event_id, s.user_id, s.ts_us,
+       p.event_id AS right_event_id, p.value AS right_value,
+       p.ts_us - s.ts_us AS us_to_convert
+FROM signups s ASOF LEFT JOIN purch p
+  ON s.user_id = p.user_id AND p.ts_us >= s.ts_us""",
+)
+def rel_asof_join_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of — each signup joined to the user's NEXT purchase
+    at-or-after it, plus the time-to-conversion delta: the funnel-latency
+    lookup backward as-of can't express (asof_click_purchase looks back;
+    this looks ahead). Same scale shape, mirrored
+    (operators/temporal.py:asof_join_forward): one shuffle on user_id,
+    first-non-null over the forward window frame, zero join operators.
+    Oracle: DuckDB's native ASOF LEFT JOIN with the >= comparator."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.temporal import (
+        asof_join_forward,
+    )
+
+    e = load_events(spark, sf_dir)
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    j = asof_join_forward(signups, purch, "user_id", "ts_us", ["event_id", "value", "ts_us"])
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "right_event_id",
+        "right_value",
+        (F.col("right_ts_us") - F.col("ts_us")).alias("us_to_convert"),
+    )
+
+
+@query(
     "rel_ohlc_candles",
     oracle=f"""WITH hourly AS (
   SELECT user_id, epoch_us(ts) // {HOUR_US} AS h,
