@@ -899,6 +899,7 @@ def main() -> int:
         "rel_ohlc_candles",
         "stream_ohlc_candles",
         "rel_asof_join_fwd",
+        "g_louvain_w_r2",
     ):
         timed(q, run_query_rows(q))
 

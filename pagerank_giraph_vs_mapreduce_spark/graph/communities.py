@@ -58,7 +58,9 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels
 
 
-def louvain_one_level(edges: DataFrame, rounds: int = 2) -> DataFrame:
+def louvain_one_level(
+    edges: DataFrame, rounds: int = 2, weight_col: str | None = None
+) -> DataFrame:
     """``rounds`` synchronous one-level MODULARITY-optimization sweeps
     (the local-move phase of Louvain/Leiden, determinized): every vertex
     simultaneously evaluates, for each community among its neighbors
@@ -94,20 +96,45 @@ def louvain_one_level(edges: DataFrame, rounds: int = 2) -> DataFrame:
     community-count-row Sigma_tot aggregate; 2m rides a broadcast 1-row
     crossJoin, never the driver; eager localCheckpoint truncates lineage
     per round."""
-    noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
-    sym = (
-        noself.unionAll(
-            noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if weight_col is None:
+        # unweighted: symmetrize + DEDUP (a reciprocal directed pair is
+        # ONE undirected edge of weight 1 — the certified g_louvain_r2
+        # semantics), then attach w = 1
+        noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+        sym0 = (
+            noself.unionAll(
+                noself.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+            .select("src", "dst", F.lit(1).alias("w"))
         )
-        .distinct()
-        .repartition("src")
+    else:
+        # weighted: symmetrize, MERGING parallel/reverse edges by INTEGER
+        # weight sum — weighted modularity stays exact because every
+        # quantity below (w, k, kin, tot, 2m) remains an integer
+        noself = edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.col(weight_col).cast("bigint").alias("w")
+        )
+        sym0 = (
+            noself.unionAll(
+                noself.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+    sym = (
+        sym0.repartition("src")
         .sortWithinPartitions("src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     kdeg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("k")
+        F.sum("w").alias("k")
     )
-    m2 = sym.agg(F.count(F.lit(1)).cast("double").alias("m2"))  # = 2m
+    m2 = sym.agg(F.sum("w").cast("double").alias("m2"))  # = 2m
     comm = kdeg.select("id", F.col("id").alias("c"))
     for _ in range(rounds):
         ctot = (
@@ -118,7 +145,7 @@ def louvain_one_level(edges: DataFrame, rounds: int = 2) -> DataFrame:
         nbr = (
             sym.join(comm.select(F.col("id").alias("dst"), F.col("c").alias("cc")), "dst")
             .groupBy(F.col("src").alias("id"), "cc")
-            .agg(F.count(F.lit(1)).alias("kin"))
+            .agg(F.sum("w").alias("kin"))
         )
         own = comm.select("id", F.col("c").alias("cc"), F.lit(0).alias("kin"))
         cand = (

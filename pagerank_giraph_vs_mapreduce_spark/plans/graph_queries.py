@@ -735,14 +735,30 @@ l{i} AS (
 LOUVAIN_ROUNDS = 2
 
 
-def _louvain_oracle(rounds: int) -> str:
+def _louvain_oracle(rounds: int, weighted: bool = False) -> str:
     """graph/communities.py:louvain_one_level unrolled: per round,
     every vertex's candidate communities (neighbors' + own), the
     gain score kin - k*(tot - [own] k)/2m, the monotone-labels
     restriction (cc <= current c), and a row_number argmax with the
-    same (score DESC, community ASC) tie-break."""
-    parts = [
-        f"""{GRAPH_CTES},
+    same (score DESC, community ASC) tie-break. ``weighted`` swaps the
+    deduped symmetric edges for integer raw-multiplicity weights
+    (reverse directions merged by sum) and every count for a weight
+    sum — all quantities stay integers, so exactness is unchanged."""
+    if weighted:
+        head = f"""{GRAPH_CTES},
+wraw AS (
+  SELECT src, dst, count(*) AS w FROM raw WHERE src <> dst GROUP BY 1, 2),
+sym AS (
+  SELECT src, dst, sum(w) AS w FROM (
+    SELECT src, dst, w FROM wraw
+    UNION ALL SELECT dst AS src, src AS dst, w FROM wraw)
+  GROUP BY 1, 2),
+kdeg AS (SELECT src AS id, sum(w) AS k FROM sym GROUP BY src),
+mm AS (SELECT CAST(sum(w) AS DOUBLE) AS m2 FROM sym),
+c0 AS (SELECT id, id AS c FROM kdeg)"""
+        kin = "sum(s.w)"
+    else:
+        head = f"""{GRAPH_CTES},
 sym AS (
   SELECT src, dst FROM edges WHERE src <> dst
   UNION
@@ -750,14 +766,15 @@ sym AS (
 kdeg AS (SELECT src AS id, count(*) AS k FROM sym GROUP BY src),
 mm AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM sym),
 c0 AS (SELECT id, id AS c FROM kdeg)"""
-    ]
+        kin = "count(*)"
+    parts = [head]
     for i in range(1, rounds + 1):
         p = i - 1
         parts.append(
             f""",
 ct{i} AS (SELECT c, sum(k) AS tot FROM c{p} JOIN kdeg USING (id) GROUP BY c),
 nb{i} AS (
-  SELECT s.src AS id, cm.c AS cc, count(*) AS kin
+  SELECT s.src AS id, cm.c AS cc, {kin} AS kin
   FROM sym s JOIN c{p} cm ON cm.id = s.dst GROUP BY 1, 2),
 cd{i} AS (
   SELECT id, cc, sum(kin) AS kin FROM (
@@ -868,6 +885,25 @@ def g_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@query("g_louvain_w_r2", oracle=_louvain_oracle(LOUVAIN_ROUNDS, weighted=True))
+def g_louvain_w_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED one-level modularity sweeps: edge strength = raw-edge
+    multiplicity (the information the A2 dedup discards — the same
+    weighting g_pagerank_weighted_k3 uses), reverse directions merged by
+    integer sum. Weighted modularity's k/kin/tot/2m all remain integers,
+    so the score stays two exact products + one IEEE division and the
+    argmax agrees bit-for-bit across engines; uniform weights reduce
+    exactly to g_louvain_r2 (pytest-asserted). Implementation:
+    graph/communities.py:louvain_one_level(weight_col=)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        louvain_one_level,
+    )
+
+    raw = derived_edges(spark, sf_dir)
+    wedges = raw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return louvain_one_level(wedges, rounds=LOUVAIN_ROUNDS, weight_col="w")
 
 
 @query("g_louvain_r2", oracle=_louvain_oracle(LOUVAIN_ROUNDS))

@@ -95,6 +95,7 @@ _PRIORITY = (
     "rel_ohlc_candles",
     "stream_ohlc_candles",
     "rel_asof_join_fwd",
+    "g_louvain_w_r2",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

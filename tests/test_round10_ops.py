@@ -233,3 +233,70 @@ def test_ohlc_is_single_aggregate_no_window(spark, sf_oracle_dir):
     assert "Window" not in plan, plan
     n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_exchanges <= 1, plan
+
+
+def test_weighted_louvain_uniform_weights_reduce_to_unweighted(spark):
+    """louvain_one_level(weight_col=) with ALL-ONES weights must produce
+    the identical assignment to the unweighted kernel (the reduction
+    g_pagerank_weighted pins for its kernel, applied here), and a
+    2x-uniform scaling must be invariant too (modularity gain is scale-
+    free: both kin and k*tot/2m double)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import make_edges
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        louvain_one_level,
+    )
+
+    pairs = (
+        [(a, b) for i, a in enumerate([0, 1, 2, 3]) for b in [0, 1, 2, 3][i + 1 :]]
+        + [(10, 11), (11, 12), (12, 10), (3, 10), (20, 21)]
+    )
+    edges = make_edges(spark, pairs)
+    base = {
+        r["id"]: r["community"]
+        for r in louvain_one_level(edges, rounds=2).collect()
+    }
+    for w in (1, 2):
+        wedges = edges.select("src", "dst", F.lit(w).alias("w"))
+        got = {
+            r["id"]: r["community"]
+            for r in louvain_one_level(wedges, rounds=2, weight_col="w").collect()
+        }
+        assert got == base, (w, got, base)
+
+
+def test_weighted_louvain_weight_changes_partition(spark):
+    """And weights must actually MATTER: strengthening the bridge edge
+    between two triangles until it dominates pulls the bridge endpoints
+    into one community, where the unweighted pass keeps the triangles
+    separate."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import make_edges
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        louvain_one_level,
+    )
+
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    edges = make_edges(spark, tri)
+    unw = {
+        r["id"]: r["community"]
+        for r in louvain_one_level(edges, rounds=3).collect()
+    }
+    assert unw[0] == unw[1] == unw[2] != unw[10], unw
+    # bridge weight 50 vs 1: (2, 10) becomes the strongest tie in the graph
+    wedges = edges.select(
+        "src",
+        "dst",
+        F.when((F.col("src") == 2) & (F.col("dst") == 10), 50)
+        .otherwise(1)
+        .alias("w"),
+    )
+    wgt = {
+        r["id"]: r["community"]
+        for r in louvain_one_level(wedges, rounds=3, weight_col="w").collect()
+    }
+    assert wgt[2] == wgt[10], wgt
