@@ -179,6 +179,9 @@ HEADLINE = [
     "g_modularity_score",
     "rel_ohlc_candles",
     "mm_ivf_external_features",
+    "rel_asof_join_fwd",
+    "stream_ohlc_candles",
+    "g_louvain_w_r2",
 ]
 
 
