@@ -745,7 +745,10 @@ def main() -> int:
     timed("pagerank_large_3iter", run_pagerank_large)
     # rotating guard: odd rounds (the pytest flatness checks still run every round)
     timed_rotating("pagerank_flatness_15iter", run_pagerank_flatness, parity=1)
-    timed("pagerank_incremental", run_pagerank_incremental)
+    # rotating guard: odd rounds — a cold-vs-warm A/B whose answer moves
+    # only with the kernel; the operator itself is still measured every
+    # round by g_pagerank_incremental (sf0.1) and its fixpoint pytest
+    timed_rotating("pagerank_incremental", run_pagerank_incremental, parity=1)
     timed("pagerank_s1scale_15iter", run_pagerank_s1scale)
     timed("pagerank_s2scale_5iter", run_pagerank_s2scale)
     # one shared build, two timing entries (see the pair docstring)
