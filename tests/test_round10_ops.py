@@ -1,6 +1,8 @@
-"""Round-10 operator tests: ASOF join, one-level modularity (Louvain),
-the real-codec seam composition, and the shared ASCII-fixture pin the
-video-container oracles rely on (ADVICE r09)."""
+"""Round-10 operator tests: ASOF joins (backward plan pin), one-level
+modularity (Louvain — unweighted monotonicity + weighted reduction/
+sensitivity), the real-codec seam composition, OHLC plan pin, the
+empty-bucket trainer parity (ADVICE r09 #1), and the shared
+ASCII-fixture pin the video-container oracles rely on (ADVICE r09)."""
 
 from __future__ import annotations
 

@@ -200,7 +200,7 @@ def main() -> int:
             feats, ["f_len", "f_space"], "y", iters=MB_ITERS, lr=MB_LR, l2=MB_L2
         ).count()
 
-    def fmt(name: str, ms: list[dict], ratio_of: str = "shuffle_records"):
+    def fmt(name: str, ms: list[dict]):
         def ratio(a, b):
             return f"{b / a:.2f}x" if a else "n/a"
 
