@@ -218,7 +218,11 @@ def main() -> int:
 
     def _next_round() -> int:
         """The round this bench run will be recorded as: the driver writes
-        BENCH_r{N}.json per round, so N = max committed + 1."""
+        BENCH_r{N}.json per round, so N = max committed + 1. A re-run
+        AFTER the round's own BENCH_r{N}.json lands would flip the guard
+        parity — pin with SPARK_GRAFT_ROUND=N in that case."""
+        if os.environ.get("SPARK_GRAFT_ROUND"):
+            return int(os.environ["SPARK_GRAFT_ROUND"])
         import glob as _glob
         import re as _re
 

@@ -389,15 +389,31 @@ def decode_external(media: DataFrame, codec, formats: tuple[str, ...] = ()):
         # only this row, not blow up later inside the typed pd.Series
         # construction and kill the whole Arrow batch (the documented
         # poison-row contract).
+        def i32(v):
+            # int() alone is not enough: an out-of-int32-range value
+            # survives coercion here and then kills the WHOLE batch in
+            # the typed Int32 pd.Series construction — range-check so an
+            # absurd codec value poisons only its row
+            x = int(v)
+            if not (-(2**31) <= x < 2**31):
+                raise ValueError(f"out of int32 range: {x}")
+            return x
+
+        def i64(v):
+            x = int(v)
+            if not (-(2**63) <= x < 2**63):
+                raise ValueError(f"out of int64 range: {x}")
+            return x
+
         coerce = {
-            "n_bytes": int,
-            "first_byte": int,
+            "n_bytes": i64,
+            "first_byte": i32,
             "byte_mean": float,
             "format": str,
-            "width": int,
-            "height": int,
-            "channels": int,
-            "bit_depth": int,
+            "width": i32,
+            "height": i32,
+            "channels": i32,
+            "bit_depth": i32,
             "pixel_mean": float,
         }
         try:

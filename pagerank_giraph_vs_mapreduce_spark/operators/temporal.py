@@ -33,9 +33,14 @@ def asof_join(
     no such row). Implemented as tagged union + last-non-null window — one
     shuffle, no cross product.
 
-    Right-side ties on (key, time) are broken by the last payload in
-    column order — pass a unique tiebreaker in ``payload_cols`` ordering
-    if exact tie semantics matter.
+    Payload columns travel as ONE nullable struct, so the matched right
+    row is always atomic — per-column fills could splice event_id from
+    one right row with value from another when a payload is NULL.
+    Right-side ties on (key, time) pick ONE consistent row, but WHICH
+    one is partition-order-dependent (same as engines' native ASOF) —
+    cross-engine exactness therefore requires tie-free (key, time) on
+    the right, pinned for the events fixture by
+    tests/test_round10_ops.py::test_events_fixture_asof_preconditions.
     """
     lcols = left.columns
     l_tag = left.select(
@@ -51,7 +56,16 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
     )
-    unioned = l_tag.unionByName(r_tag)
+    unioned = l_tag.unionByName(r_tag).select(
+        *lcols,
+        "_is_left",
+        # NULL for left rows (ignorenulls skips them); non-null for every
+        # right row even if all its payload fields are NULL — atomic
+        F.when(
+            F.col("_is_left") == 0,
+            F.struct(*[F.col(f"_r_{c}").alias(c) for c in payload_cols]),
+        ).alias("_r"),
+    )
     # right rows sort before left rows at equal time → "<=" semantics
     w = (
         Window.partitionBy(key)
@@ -61,13 +75,10 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "_is_left",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in payload_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     return filled.filter(F.col("_is_left") == 1).select(
-        *lcols, *[F.col(f"_r_{c}").alias(f"right_{c}") for c in payload_cols]
+        *lcols, *[F.col(f"_r.{c}").alias(f"right_{c}") for c in payload_cols]
     )
 
 
@@ -100,7 +111,15 @@ def asof_join_forward(
         F.lit(0).alias("_is_left"),
         *[F.col(c).alias(f"_r_{c}") for c in payload_cols],
     )
-    unioned = l_tag.unionByName(r_tag)
+    unioned = l_tag.unionByName(r_tag).select(
+        *lcols,
+        "_is_left",
+        # atomic payload struct, as in asof_join (same tie/NULL contract)
+        F.when(
+            F.col("_is_left") == 0,
+            F.struct(*[F.col(f"_r_{c}").alias(c) for c in payload_cols]),
+        ).alias("_r"),
+    )
     # left rows sort before right rows at equal time → ">=" semantics
     w = (
         Window.partitionBy(key)
@@ -110,13 +129,10 @@ def asof_join_forward(
     filled = unioned.select(
         *lcols,
         "_is_left",
-        *[
-            F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"_r_{c}")
-            for c in payload_cols
-        ],
+        F.first("_r", ignorenulls=True).over(w).alias("_r"),
     )
     return filled.filter(F.col("_is_left") == 1).select(
-        *lcols, *[F.col(f"_r_{c}").alias(f"right_{c}") for c in payload_cols]
+        *lcols, *[F.col(f"_r.{c}").alias(f"right_{c}") for c in payload_cols]
     )
 
 

@@ -851,9 +851,16 @@ def g_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, edges, _, _ = _graph_parts(spark, sf_dir)
     comm = louvain_one_level(edges, rounds=LOUVAIN_ROUNDS)
     noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
-    sym = noself.unionAll(
-        noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # three subtrees below (in_total, ctots, 2m) all read sym — eager
+    # localCheckpoint materializes the union+distinct ONCE instead of 3x
+    # (same lineage discipline as the kernels; ContextCleaner reclaims it)
+    sym = (
+        noself.unionAll(
+            noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     kdeg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("k")
     )

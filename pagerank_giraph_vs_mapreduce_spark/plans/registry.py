@@ -50,12 +50,12 @@ _QUERY_MODULES = (
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-10 budget math (VERDICT r09 "Next round" #1, the hard criterion:
 # after r10 no registered query's newest driver row may predate r05): the
-# 26 queries whose newest row is still r04 lead, then the 7 new r10
+# 26 queries whose newest row is still r04 lead, then the 8 new r10
 # queries, then queries whose CODE or ORACLE changed in r10 (re-certify:
 # the r09 ADVICE fixes touched the mini-batch-trainer oracle and the
 # three hour-bucketing queries; the sorted-cache change re-touches the
-# mb trainer), then the oldest r05 rows the remaining ~11 budget slots
-# reach (26+7+6 = 39). The rest of the r05 cohort follows in order and
+# mb trainer + the as-of family after the atomic-payload fix), then the
+# oldest r05 rows the remaining ~10 budget slots reach (26+8+6 = 40). The rest of the r05 cohort follows in order and
 # leads the r11 gate. Everything is additionally re-proven every round
 # by tools/check_oracle.py (stricter: exact stringified values, not
 # hashes).
@@ -103,6 +103,9 @@ _PRIORITY = (
     "stream_resample_gapfill",
     "mm_ivf_frames",
     "mm_y4m_frames",
+    "asof_click_purchase",  # operator change: atomic payload struct
+    "mm_ivf_external_features",  # codec coercion now range-checks ints
+
     # --- oldest r05 rows: the 15 the remaining budget reaches
     "dedup_simhash64_near_dups",
     "g_hits_k2",

@@ -163,7 +163,9 @@ def test_documents_fixture_is_ascii_only():
     is the shared guard both queries cite: if the driver ever generates
     non-ASCII text, this fails loudly instead of the oracles silently
     diverging."""
-    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+    paths = sorted(glob.glob("/root/testdata/sf*/documents.parquet"))
+    assert paths, "fixture glob matched nothing — the guard would be vacuous"
+    for path in paths:
         (n,) = duckdb.sql(
             f"SELECT count(*) FROM '{path}' "
             "WHERE octet_length(encode(text)) <> length(text)"
@@ -302,3 +304,28 @@ def test_weighted_louvain_weight_changes_partition(spark):
         for r in louvain_one_level(wedges, rounds=3, weight_col="w").collect()
     }
     assert wgt[2] == wgt[10], wgt
+
+
+def test_events_fixture_asof_preconditions():
+    """The three as-of queries (asof_click_purchase, rel_asof_join,
+    rel_asof_join_fwd) hash-match their DuckDB native-ASOF oracles only
+    when the right side has NO (user_id, ts) ties and NO NULLs — both
+    engines pick an arbitrary row on a tie, independently. Pin the
+    precondition for every driver scale, the ASCII-pin discipline
+    applied to time: if the generator ever emits same-microsecond
+    same-user events, this fails loudly instead of the as-of family
+    flaking."""
+    paths = sorted(glob.glob("/root/testdata/sf*/events.parquet"))
+    assert paths, "fixture glob matched nothing — the guard would be vacuous"
+    for path in paths:
+        dup, nulls = duckdb.sql(
+            f"""SELECT
+              (SELECT count(*) FROM (
+                 SELECT user_id, ts FROM '{path}'
+                 GROUP BY 1, 2 HAVING count(*) > 1)),
+              (SELECT count(*) FROM '{path}'
+               WHERE user_id IS NULL OR ts IS NULL
+                  OR event_id IS NULL OR value IS NULL)"""
+        ).fetchone()
+        assert dup == 0, f"(user_id, ts) ties in {path}: {dup}"
+        assert nulls == 0, f"NULLs in as-of columns of {path}: {nulls}"
