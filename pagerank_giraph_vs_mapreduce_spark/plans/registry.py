@@ -104,7 +104,6 @@ _PRIORITY = (
     "mm_ivf_frames",
     "mm_y4m_frames",
     "asof_click_purchase",  # operator change: atomic payload struct
-    "mm_ivf_external_features",  # codec coercion now range-checks ints
 
     # --- oldest r05 rows: the 15 the remaining budget reaches
     "dedup_simhash64_near_dups",
