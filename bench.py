@@ -907,6 +907,7 @@ def main() -> int:
         "stream_ohlc_candles",
         "rel_asof_join_fwd",
         "g_louvain_w_r2",
+        "stream_scd2_enrich",
     ):
         timed(q, run_query_rows(q))
 

@@ -629,3 +629,98 @@ def stream_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "complete")
+
+
+def _scd2_enrich_oracle() -> str:
+    from pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries import (
+        BASE_US,
+        DAY_US,
+    )
+
+    return f"""WITH users AS (SELECT DISTINCT user_id FROM events),
+vers AS (
+  SELECT user_id, {BASE_US} AS vf_us, 'bronze' AS tier FROM users
+  UNION ALL
+  SELECT user_id, {BASE_US} + (7 + user_id % 10) * {DAY_US}, 'silver'
+  FROM users
+  UNION ALL
+  SELECT user_id, {BASE_US} + (17 + user_id % 11) * {DAY_US}, 'gold'
+  FROM users),
+dim AS (
+  SELECT user_id, vf_us, tier,
+         lead(vf_us) OVER (PARTITION BY user_id ORDER BY vf_us) AS vt_us
+  FROM vers)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       d.tier AS right_tier, d.vf_us AS right_vf_us
+FROM events e JOIN dim d
+  ON e.user_id = d.user_id
+ AND d.vf_us <= epoch_us(e.ts)
+ AND (d.vt_us IS NULL OR epoch_us(e.ts) < d.vt_us)"""
+
+
+@query("stream_scd2_enrich", oracle=_scd2_enrich_oracle())
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING dimension enrichment against SCD2 versioned rows — the
+    stream-side dual of rel_asof_join (same deterministic 3-version tier
+    dimension, same per-event answer): a stream cannot run the
+    union+unbounded-window as-of, so the streaming form closes each
+    version into a [valid_from, valid_to) interval batch-side
+    (rel_scd2_history's lead() build) and enriches with a STATELESS
+    stream-static broadcast join + interval predicate — each event
+    matches exactly one version, so append mode emits once per event
+    with zero state store. This is the 100 TB shape: the dim is
+    broadcast (or shuffled-by-key when it outgrows broadcast), the
+    stream never buffers. Oracle: the plain interval join in SQL."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries import (
+        BASE_US,
+        DAY_US,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_events
+    from pyspark.sql import Window
+
+    users = load_events(spark, sf_dir).select("user_id").distinct()
+
+    def ver(vf, tier: str) -> DataFrame:
+        return users.select(
+            "user_id", vf.cast("long").alias("vf_us"), F.lit(tier).alias("tier")
+        )
+
+    vers = (
+        ver(F.lit(BASE_US), "bronze")
+        .unionByName(
+            ver(
+                F.lit(BASE_US)
+                + (F.lit(7) + F.col("user_id") % 10) * F.lit(DAY_US),
+                "silver",
+            )
+        )
+        .unionByName(
+            ver(
+                F.lit(BASE_US)
+                + (F.lit(17) + F.col("user_id") % 11) * F.lit(DAY_US),
+                "gold",
+            )
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("vf_us")
+    dim = vers.select(
+        "user_id", "vf_us", "tier", F.lead("vf_us").over(w).alias("vt_us")
+    )
+    ev = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    joined = (
+        ev.join(F.broadcast(dim), "user_id")
+        .filter(
+            (F.col("vf_us") <= F.col("ts_us"))
+            & (F.col("vt_us").isNull() | (F.col("ts_us") < F.col("vt_us")))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.col("tier").alias("right_tier"),
+            F.col("vf_us").alias("right_vf_us"),
+        )
+    )
+    return _drain(joined, "append")
