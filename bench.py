@@ -908,6 +908,7 @@ def main() -> int:
         "rel_asof_join_fwd",
         "g_louvain_w_r2",
         "stream_scd2_enrich",
+        "g_louvain_l2",
     ):
         timed(q, run_query_rows(q))
 

@@ -186,3 +186,102 @@ def louvain_one_level(
         )
     sym.unpersist()
     return comm.select("id", F.col("c").alias("community"))
+
+
+def louvain_two_level(
+    edges: DataFrame, rounds1: int = 2, rounds2: int = 2
+) -> DataFrame:
+    """The FULL Louvain loop, one aggregation deep: level-1 local-move
+    sweeps (louvain_one_level), then the classic community-aggregation
+    phase — each level-1 community becomes a super-vertex of the
+    condensed weighted multigraph, INCLUDING the self-loop rows that
+    carry its internal half-edge mass (w(C,C) = 2 x internal edges; this
+    is what makes the super-vertex degree k_C = 2*in_C + cut_C correct)
+    — and ``rounds2`` weighted sweeps on the condensed graph. Final
+    assignment maps every original vertex through both levels.
+
+    Level-2 scoring detail: the self-loop mass counts toward k_i and
+    Sigma_tot (it moves WITH the super-vertex) but is EXCLUDED from
+    k_{i,C} even for the own community — a self-loop is not a link to a
+    neighbor, and counting it would bias every super-vertex toward
+    staying put by exactly its internal mass. All quantities remain
+    integers, so cross-engine exactness matches the one-level kernels;
+    the level-2 modularity improvement is pinned on seeded fixtures
+    (two bridged 4-cliques reach the true optimum partition, Q 0.24 ->
+    0.42, where one level leaves the bridge community unmerged).
+
+    Scale shape: the condensed graph has |C1| vertices — typically
+    orders of magnitude smaller than V — so level 2 costs a small
+    fraction of level 1; the aggregation itself is one E-row join to
+    the V-row assignment plus a map-side-combined count."""
+    c1 = louvain_one_level(edges, rounds=rounds1)
+    noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    sym1 = noself.unionAll(
+        noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    cond = (
+        sym1.join(
+            c1.select(F.col("id").alias("src"), F.col("community").alias("cu")),
+            "src",
+        )
+        .join(
+            c1.select(F.col("id").alias("dst"), F.col("community").alias("cv")),
+            "dst",
+        )
+        .groupBy(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)  # reused every level-2 round
+    )
+    kdeg = cond.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+    m2 = cond.agg(F.sum("w").cast("double").alias("m2"))
+    links = cond.filter(F.col("src") != F.col("dst"))  # self mass not a link
+    comm = kdeg.select("id", F.col("id").alias("c"))
+    for _ in range(rounds2):
+        ctot = comm.join(kdeg, "id").groupBy("c").agg(F.sum("k").alias("tot"))
+        nbr = (
+            links.join(
+                comm.select(F.col("id").alias("dst"), F.col("c").alias("cc")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "cc")
+            .agg(F.sum("w").alias("kin"))
+        )
+        own = comm.select("id", F.col("c").alias("cc"), F.lit(0).alias("kin"))
+        cand = (
+            nbr.unionByName(own).groupBy("id", "cc").agg(F.sum("kin").alias("kin"))
+        )
+        scored = (
+            cand.join(kdeg, "id")
+            .join(comm, "id")
+            .filter(F.col("cc") <= F.col("c"))  # monotone labels: no swaps
+            .join(ctot.select(F.col("c").alias("cc"), "tot"), "cc")
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "id",
+                "cc",
+                (
+                    F.col("kin").cast("double")
+                    - F.col("k").cast("double")
+                    * (
+                        F.col("tot")
+                        - F.when(F.col("cc") == F.col("c"), F.col("k")).otherwise(
+                            F.lit(0)
+                        )
+                    ).cast("double")
+                    / F.col("m2")
+                ).alias("score"),
+            )
+        )
+        comm = (
+            scored.groupBy("id")
+            .agg(
+                F.max_by(
+                    "cc", F.struct(F.col("score"), (-F.col("cc")).alias("nc"))
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return c1.join(
+        comm.select(F.col("id").alias("community"), F.col("c").alias("c2")),
+        "community",
+    ).select("id", F.col("c2").alias("community"))

@@ -802,6 +802,87 @@ c{i} AS (
     return "".join(parts)
 
 
+def _louvain2_oracle(r1: int, r2: int) -> str:
+    """louvain_two_level unrolled: the level-1 CTE chain, the community
+    aggregation (condensed symmetric multigraph WITH self rows — the
+    sym join counts both directions, so w(C,C) lands at 2 x internal
+    edges automatically), and r2 weighted sweeps whose kin sums exclude
+    the self rows while kdeg/tot/2m include them."""
+    head = _louvain_oracle(r1)
+    head = head[: head.rindex("\nSELECT ")]  # keep the CTE chain only
+    parts = [
+        head
+        + f""",
+cond AS (
+  SELECT a.c AS src, b.c AS dst, count(*) AS w
+  FROM sym s
+  JOIN c{r1} a ON a.id = s.src
+  JOIN c{r1} b ON b.id = s.dst
+  GROUP BY 1, 2),
+kdeg2 AS (SELECT src AS id, sum(w) AS k FROM cond GROUP BY src),
+mm2 AS (SELECT CAST(sum(w) AS DOUBLE) AS m2 FROM cond),
+d0 AS (SELECT id, id AS c FROM kdeg2)"""
+    ]
+    for i in range(1, r2 + 1):
+        p = i - 1
+        parts.append(
+            f""",
+dt{i} AS (SELECT c, sum(k) AS tot FROM d{p} JOIN kdeg2 USING (id) GROUP BY c),
+dn{i} AS (
+  SELECT s.src AS id, dm.c AS cc, sum(s.w) AS kin
+  FROM cond s JOIN d{p} dm ON dm.id = s.dst
+  WHERE s.src <> s.dst GROUP BY 1, 2),
+dd{i} AS (
+  SELECT id, cc, sum(kin) AS kin FROM (
+    SELECT id, cc, kin FROM dn{i}
+    UNION ALL SELECT id, c AS cc, 0 AS kin FROM d{p})
+  GROUP BY id, cc),
+ds{i} AS (
+  SELECT dd.id, dd.cc,
+    CAST(dd.kin AS DOUBLE)
+      - CAST(kd.k AS DOUBLE)
+        * CAST(dt.tot - CASE WHEN dd.cc = dm.c THEN kd.k ELSE 0 END AS DOUBLE)
+        / mm2.m2 AS score
+  FROM dd{i} dd
+  JOIN kdeg2 kd ON kd.id = dd.id
+  JOIN d{p} dm ON dm.id = dd.id
+  JOIN dt{i} dt ON dt.c = dd.cc, mm2
+  WHERE dd.cc <= dm.c),
+d{i} AS (
+  SELECT id, cc AS c FROM (
+    SELECT id, cc,
+           row_number() OVER (PARTITION BY id ORDER BY score DESC, cc) AS rn
+    FROM ds{i}) WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""
+SELECT l1.id, d{r2}.c AS community
+FROM c{r1} l1 JOIN d{r2} ON d{r2}.id = l1.c"""
+    )
+    return "".join(parts)
+
+
+@query("g_louvain_l2", oracle=_louvain2_oracle(LOUVAIN_ROUNDS, LOUVAIN_ROUNDS))
+def g_louvain_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Louvain loop one aggregation deep: level-1 local moves,
+    community aggregation into a condensed weighted multigraph (self
+    rows carry internal mass so super-vertex degrees stay correct), and
+    two weighted sweeps on the condensed graph — where one-level sweeps
+    plateau (two bridged 4-cliques: one level leaves the bridge
+    community unmerged at Q=0.24; the aggregated pass reaches the true
+    optimum Q=0.42, pytest-pinned with exact Fractions). Deterministic
+    at both levels => the whole two-phase algorithm unrolls into one
+    SQL oracle. Implementation: graph/communities.py:louvain_two_level."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        louvain_two_level,
+    )
+
+    _, edges, _, _ = _graph_parts(spark, sf_dir)
+    return louvain_two_level(
+        edges, rounds1=LOUVAIN_ROUNDS, rounds2=LOUVAIN_ROUNDS
+    )
+
+
 def _modularity_oracle(rounds: int) -> str:
     """Newman modularity of the louvain assignment, as ONE exact integer
     division: Q = (in_total*2m - sum_C tot_C^2) / (2m)^2 — in_total

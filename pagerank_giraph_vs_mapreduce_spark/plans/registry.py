@@ -50,13 +50,13 @@ _QUERY_MODULES = (
 # ~50-query budget per round — so registration order IS hard-signal coverage.
 # Round-10 budget math (VERDICT r09 "Next round" #1, the hard criterion:
 # after r10 no registered query's newest driver row may predate r05): the
-# 26 queries whose newest row is still r04 lead, then the 9 new r10
+# 26 queries whose newest row is still r04 lead, then the 10 new r10
 # queries, then queries whose CODE or ORACLE changed in r10 (re-certify:
 # the r09 ADVICE fixes touched the mini-batch-trainer oracle and the
 # three hour-bucketing queries; the sorted-cache change re-touches the
 # mb trainer + the as-of family after the atomic-payload fix), then the
-# oldest r05 rows the remaining ~8 budget slots reach (26 + 9 new +
-# 7 re-certs = 42). The rest of the r05 cohort follows in order and
+# oldest r05 rows the remaining ~7 budget slots reach (26 + 10 new +
+# 7 re-certs = 43). The rest of the r05 cohort follows in order and
 # leads the r11 gate. Everything is additionally re-proven every round
 # by tools/check_oracle.py (stricter: exact stringified values, not
 # hashes).
@@ -98,6 +98,7 @@ _PRIORITY = (
     "rel_asof_join_fwd",
     "g_louvain_w_r2",
     "stream_scd2_enrich",
+    "g_louvain_l2",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

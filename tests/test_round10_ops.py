@@ -329,3 +329,48 @@ def test_events_fixture_asof_preconditions():
         ).fetchone()
         assert dup == 0, f"(user_id, ts) ties in {path}: {dup}"
         assert nulls == 0, f"NULLs in as-of columns of {path}: {nulls}"
+
+
+def test_louvain_two_level_improves_on_one_level(spark):
+    """The aggregated second phase must (a) never decrease modularity vs
+    the level-1 assignment on the seeded fixtures, and (b) on the
+    two-bridged-4-cliques graph reach the TRUE optimum (the two cliques,
+    bridge absorbed) where one level provably plateaus — exact-Fraction
+    Q, the same discipline as the one-level property test."""
+    from tests.conftest import make_edges
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.communities import (
+        louvain_one_level,
+        louvain_two_level,
+    )
+
+    def clique(ids):
+        return [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+
+    fixtures = {
+        "two_cliques_bridge": clique([0, 1, 2, 3])
+        + clique([10, 11, 12, 13])
+        + [(3, 10)],
+        "ring8": [(i, (i + 1) % 8) for i in range(8)],
+        "four_cliques_chain": clique([0, 1, 2])
+        + clique([10, 11, 12])
+        + clique([20, 21, 22])
+        + clique([30, 31, 32])
+        + [(2, 10), (12, 20), (22, 30)],
+    }
+    for name, pairs in fixtures.items():
+        edges = make_edges(spark, pairs)
+        c1 = {
+            r["id"]: r["community"]
+            for r in louvain_one_level(edges, rounds=2).collect()
+        }
+        c2 = {
+            r["id"]: r["community"]
+            for r in louvain_two_level(edges, rounds1=2, rounds2=2).collect()
+        }
+        q1, q2 = _modularity(pairs, c1), _modularity(pairs, c2)
+        assert q2 >= q1, (name, float(q1), float(q2))
+        if name == "two_cliques_bridge":
+            # the true optimum: the two 4-cliques, bridge inside one side
+            assert len(set(c2.values())) == 2
+            assert float(q2) > 0.42, float(q2)
