@@ -744,6 +744,33 @@ def main() -> int:
 
     timed("adamic_adar_powerlaw_100k", run_adamic_adar_powerlaw)
 
+    def run_square_count_powerlaw() -> None:
+        """4-cycle counting on the same 100k/500k power-law graph as the
+        AA entry (the derived sf0.1 graph's median degree 704 exceeds the
+        256 cap, which would null the induced subgraph). Measures the
+        capped wedge self-join + diagonal aggregate — the operator's
+        whole cost."""
+        from pagerank_giraph_vs_mapreduce_spark.graph.motifs import square_count
+
+        edges = synth_powerlaw(100_000, 500_000, seed=11)
+        row = square_count(edges, hub_cap=256).collect()[0]
+        extras["square_count_powerlaw_n_squares"] = row["n_squares"]
+
+    timed("square_count_powerlaw_100k", run_square_count_powerlaw)
+
+    def run_jaccard_powerlaw() -> None:
+        """Neighbor-Jaccard top-20 on the 100k/500k power-law graph —
+        same wedge core as AA, plus the two degree joins and the one
+        final division."""
+        from pagerank_giraph_vs_mapreduce_spark.graph.motifs import jaccard_topk
+
+        edges = synth_powerlaw(100_000, 500_000, seed=11)
+        extras["jaccard_powerlaw_rows"] = jaccard_topk(
+            edges, hub_cap=256, k=20
+        ).count()
+
+    timed("jaccard_powerlaw_100k", run_jaccard_powerlaw)
+
     timed("pagerank_full", run_pagerank)
     timed("pagerank_skewed_3iter", run_pagerank_skewed)
     timed("pagerank_large_3iter", run_pagerank_large)

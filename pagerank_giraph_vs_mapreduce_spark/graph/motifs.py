@@ -432,3 +432,109 @@ def ktruss_edges(
     return e.select(
         F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
     )
+
+
+def square_count(edges: DataFrame, hub_cap: int = 256) -> DataFrame:
+    """Global 4-cycle (square) count of the subgraph induced on vertices
+    with undirected degree <= ``hub_cap`` — one row
+    ``(n_squares, n_diag_pairs)``.
+
+    Identity: every square a-m1-b-m2-a is seen from exactly its two
+    diagonal pairs {a,b} and {m1,m2}, each contributing C(c,2) mid-pair
+    choices where c = |N(a) ∩ N(b)|, so Σ_{a<b} c·(c-1) = 4·#squares —
+    an integer identity, so the count is cross-engine exact with no
+    float in sight. The wedge self-join fans out Σ_m deg(m)² rows, which
+    one hub makes quadratic (the two_hop_count pathology squared: C4
+    counts on power-law graphs are dominated by star centers that carry
+    no cycle structure); inducing on deg <= hub_cap is the declared
+    semantics, mirrored in the oracle, and keeps per-mid fan-out at
+    cap². ``n_diag_pairs`` = pairs with >= 2 common neighbors (the
+    candidate diagonals), a free byproduct used as a sanity invariant
+    (n_diag_pairs = 0 ⇒ n_squares = 0).
+    """
+    und = undirect_dedup(edges)
+    sym = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.filter(F.col("d") <= hub_cap).select("node")
+    # induced subgraph: BOTH endpoints under the cap (unlike the AA/two-hop
+    # transit cap, which bounds only the mid role — a square needs all four
+    # corners, so the diagonal identity only holds on an induced subgraph)
+    ind = sym.join(keep, "node", "left_semi").join(
+        keep.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
+    )
+    s1 = ind.alias("s1")
+    s2 = ind.alias("s2")
+    per_pair = (
+        s1.join(s2, F.col("s1.node") == F.col("s2.node"))
+        .filter(F.col("s1.nbr") < F.col("s2.nbr"))
+        .groupBy(F.col("s1.nbr").alias("a"), F.col("s2.nbr").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_pair.agg(
+        F.coalesce(
+            (F.sum(F.col("c") * (F.col("c") - F.lit(1))) / F.lit(4)).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_squares"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("n_diag_pairs"),
+    )
+
+
+def jaccard_topk(edges: DataFrame, hub_cap: int = 256, k: int = 20) -> DataFrame:
+    """Neighbor-set Jaccard link prediction: for each non-adjacent
+    undirected pair (a < b) sharing >= 1 common neighbor, score
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| and return the global top-``k``.
+
+    The multiplicative dual of Adamic-Adar (same wedge-join core, same
+    hub-cap discipline): the intersection is counted over transit
+    vertices with degree <= ``hub_cap`` (declared semantics, mirrored in
+    the oracle — a super-hub shared by everyone carries no similarity
+    signal), while the union denominator deg(a)+deg(b)-inter uses FULL
+    degrees, so the score is a conservative lower bound that cannot
+    inflate a hub-adjacent pair. Determinism: inter and both degrees are
+    integers; jaccard is ONE final IEEE bigint/bigint division rounded
+    to 6 dp, ties broken on (a, b) — the g_modularity_score discipline.
+    """
+    und = undirect_dedup(edges)
+    sym = und.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        und.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    transit = (
+        sym.join(deg, "node").filter(F.col("d") <= hub_cap).select("node", "nbr")
+    )
+    s1 = transit.alias("s1")
+    s2 = transit.alias("s2")
+    inter = (
+        s1.join(s2, F.col("s1.node") == F.col("s2.node"))
+        .filter(F.col("s1.nbr") < F.col("s2.nbr"))
+        .groupBy(F.col("s1.nbr").alias("a"), F.col("s2.nbr").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    non_edges = inter.join(
+        und, (inter.a == und.u) & (inter.b == und.v), "left_anti"
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b"))
+    return (
+        non_edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("inter").alias("common_neighbors"),
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("inter")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(k)
+    )

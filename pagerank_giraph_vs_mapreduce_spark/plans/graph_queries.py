@@ -1839,3 +1839,80 @@ def g_betweenness_k3_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hops=3,
         normalized=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle (square) counting and neighbor-Jaccard link prediction (round 10).
+
+SQ_HUB_CAP = 256
+
+_SQ_SQL = f"""{GRAPH_CTES},
+und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst GROUP BY 1, 2),
+sym AS (SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v AS node, u AS nbr FROM und),
+dg AS (SELECT node, count(*) AS d FROM sym GROUP BY node),
+keep AS (SELECT node FROM dg WHERE d <= {SQ_HUB_CAP}),
+ind AS (SELECT s.node, s.nbr FROM sym s
+        JOIN keep k1 ON s.node = k1.node
+        JOIN keep k2 ON s.nbr = k2.node),
+pr AS (SELECT s1.nbr AS a, s2.nbr AS b, count(*) AS c
+       FROM ind s1 JOIN ind s2
+         ON s1.node = s2.node AND s1.nbr < s2.nbr
+       GROUP BY 1, 2)
+SELECT CAST(coalesce(sum(c * (c - 1)) // 4, 0) AS BIGINT) AS n_squares,
+       CAST(coalesce(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_diag_pairs
+FROM pr"""
+
+
+@query("g_square_count", oracle=_SQ_SQL)
+def g_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle count on the hub-capped induced subgraph
+    (graph/motifs.py:square_count). Squares are the smallest even cycle —
+    the bipartite-community / spam-farm motif that triangle counting is
+    blind to. Diagonal identity: Σ_{{a<b}} c·(c-1) = 4·#squares where c =
+    common-neighbor count, so the value is a pure integer — no float
+    crosses the engine boundary. Inducing on degree <= SQ_HUB_CAP is
+    declared semantics (star centers dominate raw C4 mass with no cycle
+    signal) and bounds the wedge self-join fan-out at Σ min(deg,cap)²."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import square_count
+
+    return square_count(derived_edges(spark, sf_dir), hub_cap=SQ_HUB_CAP)
+
+
+JACC_TOP_K = 20
+
+_JACC_SQL = f"""{GRAPH_CTES},
+und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst GROUP BY 1, 2),
+sym AS (SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v AS node, u AS nbr FROM und),
+dg AS (SELECT node, count(*) AS d FROM sym GROUP BY node),
+tr AS (SELECT s.node, s.nbr FROM sym s JOIN dg g USING (node)
+       WHERE g.d <= {AA_HUB_CAP}),
+itc AS (SELECT s1.nbr AS a, s2.nbr AS b, CAST(count(*) AS BIGINT) AS inter
+        FROM tr s1 JOIN tr s2 ON s1.node = s2.node AND s1.nbr < s2.nbr
+        GROUP BY 1, 2),
+ne AS (SELECT * FROM itc
+       WHERE NOT EXISTS (SELECT 1 FROM und
+                         WHERE und.u = itc.a AND und.v = itc.b))
+SELECT ne.a, ne.b, ne.inter AS common_neighbors,
+       ga.d AS deg_a, gb.d AS deg_b,
+       round(ne.inter / (ga.d + gb.d - ne.inter), 6) AS jaccard
+FROM ne JOIN dg ga ON ga.node = ne.a JOIN dg gb ON gb.node = ne.b
+ORDER BY jaccard DESC, ne.a, ne.b LIMIT {JACC_TOP_K}"""
+
+
+@query("g_link_jaccard", oracle=_JACC_SQL)
+def g_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-adjacent pairs by neighbor-set Jaccard similarity
+    (graph/motifs.py:jaccard_topk) — the normalized common-neighbor
+    score, Adamic-Adar's multiplicative dual over the SAME hub-capped
+    wedge core. Intersection counts capped transit only (declared,
+    mirrored here); the union denominator uses FULL degrees, so scores
+    are conservative lower bounds. jaccard = ONE bigint/bigint IEEE
+    division rounded to 6 dp; ties on (a, b)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import jaccard_topk
+
+    return jaccard_topk(derived_edges(spark, sf_dir), hub_cap=AA_HUB_CAP, k=JACC_TOP_K)

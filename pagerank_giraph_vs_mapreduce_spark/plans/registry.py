@@ -99,6 +99,8 @@ _PRIORITY = (
     "g_louvain_w_r2",
     "stream_scd2_enrich",
     "g_louvain_l2",
+    "g_square_count",
+    "g_link_jaccard",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

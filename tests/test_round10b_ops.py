@@ -1,0 +1,107 @@
+"""Round-10 second-wave operators: 4-cycle counting, neighbor-Jaccard
+link prediction, and the other additions of this session — unit-level
+pins on hand graphs/data where the declared semantics are checkable by
+brute force."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from tests.conftest import make_edges
+
+from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+    jaccard_topk,
+    square_count,
+)
+
+
+def _brute_squares(pairs):
+    """Count 4-cycles by enumerating unordered diagonal pairs: each
+    square is two diagonal pairs, each contributing C(common, 2)."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    total = 0
+    for a, b in combinations(sorted(adj), 2):
+        c = len(adj[a] & adj[b])
+        total += c * (c - 1) // 2
+    assert total % 2 == 0
+    return total // 2
+
+
+def test_square_count_known_graphs(spark):
+    """C4 has 1 square, K4 has 3, K23 has 3, a star has 0, two disjoint
+    C4s have 2 — and each matches the brute-force diagonal count."""
+    fixtures = {
+        "c4": [(0, 1), (1, 2), (2, 3), (3, 0)],
+        "k4": [(a, b) for a, b in combinations(range(4), 2)],
+        "k23": [(a, b) for a in (0, 1) for b in (10, 11, 12)],
+        "star": [(0, i) for i in range(1, 8)],
+        "two_c4": [(0, 1), (1, 2), (2, 3), (3, 0),
+                   (10, 11), (11, 12), (12, 13), (13, 10)],
+    }
+    expected = {"c4": 1, "k4": 3, "k23": 3, "star": 0, "two_c4": 2}
+    for name, pairs in fixtures.items():
+        assert _brute_squares(pairs) == expected[name], name
+        row = square_count(make_edges(spark, pairs), hub_cap=64).collect()[0]
+        assert row["n_squares"] == expected[name], name
+        if expected[name] == 0:
+            assert row["n_diag_pairs"] == 0, name
+
+
+def test_square_count_hub_cap_induces_subgraph(spark):
+    """A square whose corner exceeds the cap must vanish: C4 on
+    {0,1,2,3} plus a fan making vertex 0 a hub. cap=64 keeps it (1
+    square), cap=3 drops every square touching the hub."""
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0)] + [(0, i) for i in range(20, 30)]
+    assert square_count(make_edges(spark, pairs), hub_cap=64).collect()[0][
+        "n_squares"
+    ] == 1
+    assert square_count(make_edges(spark, pairs), hub_cap=3).collect()[0][
+        "n_squares"
+    ] == 0
+
+
+def test_square_count_empty_pair_set_is_zero_row(spark):
+    """No wedge pairs at all (a single edge) still yields the one
+    summary row with zeros, not an empty frame."""
+    rows = square_count(make_edges(spark, [(1, 2)]), hub_cap=64).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_squares"] == 0 and rows[0]["n_diag_pairs"] == 0
+
+
+def test_jaccard_topk_matches_bruteforce(spark):
+    """On a small graph under the cap, every returned score equals
+    |N(a)&N(b)| / |N(a)|N(b)| for the non-adjacent pair, descending."""
+    pairs = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 4), (2, 5),
+        (3, 4), (4, 5), (5, 6), (6, 0), (6, 3),
+    ]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = jaccard_topk(make_edges(spark, pairs), hub_cap=64, k=100).collect()
+    assert got, "expected non-adjacent pairs with common neighbors"
+    scores = [r["jaccard"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    for r in got:
+        a, b = r["a"], r["b"]
+        assert b not in adj[a], (a, b)
+        inter = len(adj[a] & adj[b])
+        union = len(adj[a] | adj[b])
+        assert r["common_neighbors"] == inter
+        assert r["deg_a"] == len(adj[a]) and r["deg_b"] == len(adj[b])
+        assert abs(r["jaccard"] - inter / union) < 1e-9, (a, b)
+
+
+def test_jaccard_hub_cap_is_conservative(spark):
+    """With a shared super-hub as the only common neighbor and the cap
+    below its degree, the pair must not appear at all (intersection
+    counted over capped transit only)."""
+    pairs = [(0, i) for i in range(1, 30)]  # hub 0, deg 29
+    got = jaccard_topk(make_edges(spark, pairs), hub_cap=8, k=100).collect()
+    assert got == []
