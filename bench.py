@@ -936,6 +936,7 @@ def main() -> int:
         "g_louvain_w_r2",
         "stream_scd2_enrich",
         "g_louvain_l2",
+        "rel_profile_columns",
     ):
         timed(q, run_query_rows(q))
 

@@ -101,6 +101,7 @@ _PRIORITY = (
     "g_louvain_l2",
     "g_square_count",
     "g_link_jaccard",
+    "rel_profile_columns",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

@@ -2111,3 +2111,122 @@ def rel_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("corr_qty_price"),
     )
+
+
+# ------------------------------------------------------------- profiling
+
+# Column profiling (round 10): the data-engineering staple a 100 TB
+# ingest runs before anything else — per-column null counts, exact
+# distinct cardinality, and min/max — in ONE scan. Numeric and string
+# ranges travel in TYPED columns (min_num/max_num DOUBLE, min_str/
+# max_str VARCHAR) so no float ever crosses the engine boundary as a
+# rendered string (double->string formatting differs between engines;
+# raw doubles hash exactly). Timestamps profile as epoch MICROSECONDS
+# (the temporal_queries discipline). The multi-column count(DISTINCT)
+# compiles to one EXPAND pass (row multiplier = #profiled columns) with
+# map-side partial aggregation — one job, no per-column rescans; at
+# cluster scale the expand factor is the declared cost of exact
+# cardinalities (the approximate path is fn_hll_union_rollup).
+_PROFILE_NUM = (
+    ("l_orderkey", "l_orderkey"),
+    ("l_quantity", "l_quantity"),
+    ("l_extendedprice", "l_extendedprice"),
+    ("l_shipdate_us", "epoch_us(l_shipdate)"),
+)
+_PROFILE_STR = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    aggs = ["count(*) AS n_rows"]
+    rows = []
+    for c, duck_expr in _PROFILE_NUM:
+        aggs += [
+            f"count({duck_expr}) AS cnt_{c}",
+            f"count(DISTINCT {duck_expr}) AS nd_{c}",
+            f"CAST(min({duck_expr}) AS DOUBLE) AS mn_{c}",
+            f"CAST(max({duck_expr}) AS DOUBLE) AS mx_{c}",
+        ]
+        rows.append(
+            f"""SELECT '{c}' AS col_name, n_rows,
+       n_rows - cnt_{c} AS n_null, nd_{c} AS n_distinct,
+       mn_{c} AS min_num, mx_{c} AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM a"""
+        )
+    for c in _PROFILE_STR:
+        aggs += [
+            f"count({c}) AS cnt_{c}",
+            f"count(DISTINCT {c}) AS nd_{c}",
+            f"min({c}) AS mn_{c}",
+            f"max({c}) AS mx_{c}",
+        ]
+        rows.append(
+            f"""SELECT '{c}' AS col_name, n_rows,
+       n_rows - cnt_{c} AS n_null, nd_{c} AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       mn_{c} AS min_str, mx_{c} AS max_str
+FROM a"""
+        )
+    return (
+        "WITH a AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("rel_profile_columns", oracle=_profile_oracle())
+def rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profiler over lineitem: per column its null count,
+    exact distinct count, and typed min/max — long format, one row per
+    profiled column. See the module-level note above _PROFILE_NUM for the
+    EXPAND cost model and the typed-range hash discipline."""
+    # l_shipdate arrives TIMESTAMP_NTZ; with the session tz pinned UTC the
+    # NTZ->LTZ cast is an epoch identity (sources/tables.py:load_events).
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate_us", F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, _ in _PROFILE_NUM:
+        aggs += [
+            F.count(F.col(c)).alias(f"cnt_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("double").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"mx_{c}"),
+        ]
+    for c in _PROFILE_STR:
+        aggs += [
+            F.count(F.col(c)).alias(f"cnt_{c}"),
+            F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).alias(f"mn_{c}"),
+            F.max(F.col(c)).alias(f"mx_{c}"),
+        ]
+    a = li.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_num"),
+            F.col(f"mx_{c}").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        )
+        for c, _ in _PROFILE_NUM
+    ] + [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"cnt_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col(f"mn_{c}").alias("min_str"),
+            F.col(f"mx_{c}").alias("max_str"),
+        )
+        for c in _PROFILE_STR
+    ]
+    return a.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

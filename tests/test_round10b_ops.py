@@ -105,3 +105,64 @@ def test_jaccard_hub_cap_is_conservative(spark):
     pairs = [(0, i) for i in range(1, 30)]  # hub 0, deg 29
     got = jaccard_topk(make_edges(spark, pairs), hub_cap=8, k=100).collect()
     assert got == []
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark, tmp_path):
+    """rel_profile_columns on a hand-built lineitem with NULLs in every
+    profiled column type: null counts, exact distinct counts, and typed
+    min/max must match DuckDB running the registered oracle on the SAME
+    file — including the all-NULL column edge (distinct 0, min/max NULL)."""
+    import datetime
+
+    import duckdb
+
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        ORACLES,
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    ts = datetime.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, 1, 1, 1, 5.0, 100.0, 0.1, 0.02, "A", "F", ts),
+        (2, 2, 2, 1, None, 200.0, 0.1, 0.02, None, "O", None),
+        (3, 3, 3, 1, 5.0, None, 0.1, 0.02, "R", None, ts),
+        (None, 4, 4, 1, 7.5, 100.0, 0.1, 0.02, "A", "O", None),
+    ]
+    schema = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz"
+    )
+    d = tmp_path / "prof"
+    spark.createDataFrame(rows, schema).write.parquet(
+        str(d / "lineitem.parquet")
+    )
+    got = {
+        r["col_name"]: r
+        for r in QUERIES["rel_profile_columns"](spark, str(d)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{d}/lineitem.parquet/*.parquet'"
+    )
+    want_rows = con.execute(ORACLES["rel_profile_columns"]).fetchall()
+    cols = [dsc[0] for dsc in con.description]
+    want = {r[cols.index("col_name")]: dict(zip(cols, r)) for r in want_rows}
+    assert set(got) == set(want) == {
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate_us",
+        "l_returnflag", "l_linestatus",
+    }
+    for c in got:
+        for f in ("n_rows", "n_null", "n_distinct", "min_num", "max_num",
+                  "min_str", "max_str"):
+            assert got[c][f] == want[c][f], (c, f, got[c][f], want[c][f])
+    # hand-checked spots
+    assert got["l_orderkey"]["n_null"] == 1
+    assert got["l_quantity"]["n_distinct"] == 2
+    assert got["l_returnflag"]["min_str"] == "A"
+    assert got["l_returnflag"]["max_str"] == "R"
+    assert got["l_shipdate_us"]["n_null"] == 2
