@@ -937,6 +937,7 @@ def main() -> int:
         "stream_scd2_enrich",
         "g_louvain_l2",
         "rel_profile_columns",
+        "pipeline_url_dedup",
     ):
         timed(q, run_query_rows(q))
 

@@ -416,3 +416,33 @@ def curation_funnel(
         .crossJoin(F.broadcast(n_exact))
         .crossJoin(F.broadcast(n_final))
     )
+
+
+def url_canonicalize(url):
+    """Canonical form of a URL column — the dedup key a crawl pipeline
+    groups on before content hashing (trackers, mirrors and case noise
+    otherwise multiply every page): strip the fragment, lowercase
+    scheme+authority (never the path — paths are case-significant),
+    drop explicit default ports (http:80, https:443), remove
+    utm_*/fbclid tracking params with separator repair, and strip one
+    trailing slash. Pure string/regexp expressions — whole-stage
+    codegen, no UDF, no shuffle.
+
+    Cross-engine note for the oracle twin: Spark regexp_replace replaces
+    ALL matches and backrefs are ``$1``; DuckDB replaces FIRST match
+    unless passed the ``'g'`` flag and backrefs are ``\\1`` — the oracle
+    in plans/pipeline_queries.py mirrors each step with the 'g' flag.
+    """
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    pre = F.regexp_extract(no_frag, "^([^/?#]*://[^/?#]*)", 1)
+    rest = no_frag.substr(F.length(pre) + F.lit(1), F.length(no_frag))
+    pre = F.lower(pre)
+    pre = F.regexp_replace(pre, "^http://(.*):80$", "http://$1")
+    pre = F.regexp_replace(pre, "^https://(.*):443$", "https://$1")
+    rest = F.regexp_replace(rest, "(utm_[a-z]+|fbclid)=[^&#]*", "")
+    rest = F.regexp_replace(rest, "&&+", "&")
+    rest = F.regexp_replace(rest, "\\?&", "?")
+    rest = F.regexp_replace(rest, "[?&]+$", "")
+    rest = F.regexp_replace(rest, "/\\?", "?")
+    rest = F.regexp_replace(rest, "/$", "")
+    return F.concat(pre, rest)

@@ -1796,3 +1796,113 @@ def pipeline_train_per_source_lr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
     )
     return logreg_gd_grouped(feats, "source", ["f_len", "f_space"], "y")
+
+
+# ----------------------------------------------------------- URL dedup
+
+# Deterministic raw-URL fixture: every doc gets a crawl-shaped URL whose
+# page identity is (source, doc_id % 10, ref) but whose SURFACE form is
+# scrambled by md5(doc_id) hex digits — scheme/host case, an explicit
+# :443 default port, a trailing slash, utm tracking params, a fragment.
+# Docs 20 apart share source AND page, so canonical groups exist at
+# every driver scale. md5 is the engine-parity primitive (the
+# fn_hash_sample discipline): both engines derive the identical surface.
+_URL_RAW_SQL = """SELECT doc_id,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+       THEN 'https' ELSE 'HTTPS' END
+  || '://'
+  || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 2, 1) < '8'
+          THEN source || '.example.com'
+          ELSE upper(source || '.example.com') END
+  || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 3, 1) < '4'
+          THEN ':443' ELSE '' END
+  || '/p/' || CAST(doc_id % 10 AS VARCHAR)
+  || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 4, 1) < '8'
+          THEN '/' ELSE '' END
+  || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 5, 1) < '4'
+          THEN '?utm_source=' || substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 5, 1) < '8'
+          THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=c'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 5, 1) < 'c'
+          THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR)
+       ELSE '' END
+  || CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 7, 1) < '8'
+          THEN '#sec' ELSE '' END AS url
+FROM documents"""
+
+_URL_DEDUP_SQL = f"""WITH raw AS ({_URL_RAW_SQL}),
+nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+sp AS (SELECT doc_id, u,
+              regexp_extract(u, '^([^/?#]*://[^/?#]*)', 1) AS pre0 FROM nf),
+cn AS (SELECT doc_id,
+  regexp_replace(
+    regexp_replace(lower(pre0), '^http://(.*):80$', 'http://\\1', 'g'),
+    '^https://(.*):443$', 'https://\\1', 'g')
+  ||
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(
+      regexp_replace(substr(u, length(pre0) + 1),
+                     '(utm_[a-z]+|fbclid)=[^&#]*', '', 'g'),
+      '&&+', '&', 'g'),
+    '\\?&', '?', 'g'), '[?&]+$', '', 'g'), '/\\?', '?', 'g'),
+    '/$', '', 'g') AS canonical_url
+  FROM sp)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS keep_doc_id
+FROM cn GROUP BY canonical_url"""
+
+
+@query("pipeline_url_dedup", oracle=_URL_DEDUP_SQL)
+def pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonical dedup (operators/curation.py:url_canonicalize): group
+    crawl records by canonical URL — fragment/tracking-param/case/default-
+    port/trailing-slash noise collapsed — keeping the min doc_id per page.
+    The step a crawl pipeline runs BEFORE content dedup: it needs no text
+    reads at all, so at 100 TB it prunes re-crawl duplicates for the cost
+    of one string-expression scan + one map-side-combined hash agg on the
+    canonical key. Every transform is a built-in regexp/string expression
+    (whole-stage codegen; the oracle mirrors each step with DuckDB's 'g'
+    flag — see url_canonicalize's cross-engine note)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+        url_canonicalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    hx = lambda i: F.substring(h, i, 1)  # noqa: E731
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(hx(1) < "8", F.lit("https")).otherwise(F.lit("HTTPS")),
+            F.lit("://"),
+            F.when(hx(2) < "8", host).otherwise(F.upper(host)),
+            F.when(hx(3) < "4", F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.when(hx(4) < "8", F.lit("/")).otherwise(F.lit("")),
+            F.when(hx(5) < "4", F.concat(F.lit("?utm_source="), hx(6)))
+            .when(
+                hx(5) < "8",
+                F.concat(
+                    F.lit("?ref="),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit("&utm_campaign=c"),
+                ),
+            )
+            .when(
+                hx(5) < "c",
+                F.concat(F.lit("?ref="), (F.col("doc_id") % 3).cast("string")),
+            )
+            .otherwise(F.lit("")),
+            F.when(hx(7) < "8", F.lit("#sec")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", url_canonicalize(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

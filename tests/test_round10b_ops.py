@@ -9,6 +9,8 @@ from itertools import combinations
 
 from tests.conftest import make_edges
 
+from pyspark.sql import functions as F
+
 from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
     jaccard_topk,
     square_count,
@@ -166,3 +168,40 @@ def test_profile_columns_counts_nulls_and_distincts(spark, tmp_path):
     assert got["l_returnflag"]["min_str"] == "A"
     assert got["l_returnflag"]["max_str"] == "R"
     assert got["l_shipdate_us"]["n_null"] == 2
+
+
+def test_url_canonicalize_cases(spark):
+    """Each canonicalization rule on a hand case, plus the no-op and the
+    combined worst case."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
+        url_canonicalize,
+    )
+
+    cases = {
+        # fragment
+        "https://a.com/p#frag": "https://a.com/p",
+        # scheme+host case, path case preserved
+        "HTTPS://WWW.A.com/Path/Q": "https://www.a.com/Path/Q",
+        # default ports
+        "http://a.com:80/x": "http://a.com/x",
+        "https://a.com:443/x": "https://a.com/x",
+        # NON-default port survives
+        "https://a.com:8443/x": "https://a.com:8443/x",
+        # tracking params, separators repaired
+        "https://a.com/x?utm_source=t": "https://a.com/x",
+        "https://a.com/x?utm_source=t&id=3": "https://a.com/x?id=3",
+        "https://a.com/x?id=3&utm_campaign=c&fbclid=z": "https://a.com/x?id=3",
+        # trailing slash (also before the query)
+        "https://a.com/x/": "https://a.com/x",
+        "https://a.com/x/?id=3": "https://a.com/x?id=3",
+        # everything at once
+        "HTTP://B.Com:80/P/?utm_a=1&ref=2&utm_b=3#z": "http://b.com/P?ref=2",
+        # already canonical
+        "https://a.com/x?id=3": "https://a.com/x?id=3",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string").select(
+        "url", url_canonicalize(F.col("url")).alias("canon")
+    )
+    got = {r["url"]: r["canon"] for r in df.collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
