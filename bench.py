@@ -938,6 +938,7 @@ def main() -> int:
         "g_louvain_l2",
         "rel_profile_columns",
         "pipeline_url_dedup",
+        "mm_wav_decimate",
     ):
         timed(q, run_query_rows(q))
 

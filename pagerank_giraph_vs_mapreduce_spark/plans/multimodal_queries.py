@@ -667,3 +667,39 @@ def mm_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         "height",
     )
+
+
+@query(
+    "mm_wav_decimate",
+    oracle="""WITH clips AS (
+  SELECT doc_id, 100 + doc_id % 50 AS n
+  FROM documents),
+samples AS (
+  SELECT doc_id, r.k,
+         ((doc_id * 31 + r.k * 17) % 65536) - 32768 AS v
+  FROM clips, LATERAL unnest(range(0, n)) AS r(k)),
+dec AS (SELECT doc_id, v FROM samples WHERE k % 4 = 0)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(2000 AS INT) AS sample_rate,
+       CAST(max(abs(v)) AS INT) AS peak,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms
+FROM dec GROUP BY doc_id""",
+)
+def mm_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample end-to-end through REAL codecs: encode deterministic
+    PCM to genuine WAV files, decimate by 4 with re-encode at 2 kHz
+    (operators/multimodal.py:wav_decimate), then parse the resampled
+    files back and emit per-clip stats. THREE codec passes (encode ->
+    decimate/re-encode -> decode) land in the value hash — header
+    layout, frame packing and the index arithmetic all checked; the
+    oracle regenerates the sample function in SQL and keeps k % 4 = 0.
+    All passes are row-local mapInPandas: zero shuffle at any scale."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        audio_stats,
+        synth_wav,
+        wav_decimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_stats(wav_decimate(synth_wav(docs), factor=4))

@@ -103,6 +103,7 @@ _PRIORITY = (
     "g_link_jaccard",
     "rel_profile_columns",
     "pipeline_url_dedup",
+    "mm_wav_decimate",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

@@ -205,3 +205,42 @@ def test_url_canonicalize_cases(spark):
     got = {r["url"]: r["canon"] for r in df.collect()}
     for u, want in cases.items():
         assert got[u] == want, (u, got[u], want)
+
+
+def test_wav_decimate_identity_and_factor4(spark):
+    """factor=1 is a byte-exact identity on the samples (n, peak, rms all
+    unchanged); factor=4 keeps exactly indices 0,4,8,... of the original
+    clip — checked against the sample function directly."""
+    import math
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        _synth_samples,
+        audio_stats,
+        synth_wav,
+        wav_decimate,
+    )
+
+    docs = spark.createDataFrame([(7,), (12,)], "doc_id bigint")
+    wavs = synth_wav(docs)
+    base = {r["doc_id"]: r for r in audio_stats(wavs).collect()}
+    ident = {
+        r["doc_id"]: r
+        for r in audio_stats(wav_decimate(wavs, factor=1)).collect()
+    }
+    for d in (7, 12):
+        assert ident[d]["n_samples"] == base[d]["n_samples"]
+        assert ident[d]["peak"] == base[d]["peak"]
+        assert ident[d]["rms"] == base[d]["rms"]
+        assert ident[d]["sample_rate"] == 8000
+
+    dec = {
+        r["doc_id"]: r
+        for r in audio_stats(wav_decimate(wavs, factor=4)).collect()
+    }
+    for d in (7, 12):
+        kept = _synth_samples(d)[::4]
+        assert dec[d]["n_samples"] == len(kept)
+        assert dec[d]["sample_rate"] == 2000
+        assert dec[d]["peak"] == max(abs(s) for s in kept)
+        want_rms = round(math.sqrt(sum(s * s for s in kept) / len(kept)), 6)
+        assert dec[d]["rms"] == want_rms
