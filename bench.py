@@ -939,6 +939,7 @@ def main() -> int:
         "rel_profile_columns",
         "pipeline_url_dedup",
         "mm_wav_decimate",
+        "rel_win_ewma8",
     ):
         timed(q, run_query_rows(q))
 

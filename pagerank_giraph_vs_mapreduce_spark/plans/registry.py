@@ -104,6 +104,7 @@ _PRIORITY = (
     "rel_profile_columns",
     "pipeline_url_dedup",
     "mm_wav_decimate",
+    "rel_win_ewma8",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

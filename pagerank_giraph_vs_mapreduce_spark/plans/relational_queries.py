@@ -2230,3 +2230,71 @@ def rel_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_STR
     ]
     return a.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+# ------------------------------------------------------------ EWMA(8)
+
+# Truncated exponential moving average: newest-first halving weights
+# 128,64,...,1 over an 8-row frame. The infinite-memory recursive EWMA
+# is not cross-engine hashable (state accumulates rounding differently
+# per engine); truncating at 8 taps makes it a FIXED expression tree —
+# eight lag() terms combined left-to-right, so both engines execute the
+# identical IEEE operation sequence and the raw doubles match bit for
+# bit (the rel_win_running discipline, plus rounding for safety). At
+# 2^-8 the dropped tail is below the 6-dp rounding grain whenever
+# values are within ~3 orders of magnitude of each other.
+_EWMA_TAPS = 8
+
+
+def _ewma_weights() -> list[int]:
+    return [1 << (_EWMA_TAPS - 1 - k) for k in range(_EWMA_TAPS)]
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n       ".join(
+        f"lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS l{k}"
+        for k in range(_EWMA_TAPS)
+    )
+    ws = _ewma_weights()
+    num = " + ".join(f"coalesce(l{k}, 0) * {ws[k]}" for k in range(_EWMA_TAPS))
+    den = " + ".join(
+        f"CASE WHEN l{k} IS NULL THEN 0 ELSE {ws[k]} END"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"""WITH lagged AS (
+  SELECT event_id, user_id,
+       {lags}
+  FROM events)
+SELECT event_id, user_id,
+       CAST({den} AS BIGINT) AS weight_sum,
+       CASE WHEN ({den}) = 0 THEN NULL
+            ELSE round(({num}) / ({den}), 6) END AS ewma8
+FROM lagged"""
+
+
+@query("rel_win_ewma8", oracle=_ewma_oracle())
+def rel_win_ewma8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user truncated EWMA over the event stream — the smoothing a
+    monitoring/feature pipeline applies before thresholding. Eight lag()
+    taps over ONE window (a single per-user sort serves all eight — no
+    extra shuffle per tap), weighted 128..1 newest-first, partial heads
+    renormalized by the present-tap weight sum. See the module note
+    above _EWMA_TAPS for why truncation is what makes the recursive
+    form exactly oracle-checkable."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = _ewma_weights()
+    taps = [F.lag("value", k).over(w) for k in range(_EWMA_TAPS)]
+    num = F.coalesce(taps[0], F.lit(0.0)) * F.lit(ws[0])
+    den = F.when(taps[0].isNull(), 0).otherwise(ws[0])
+    for k in range(1, _EWMA_TAPS):
+        num = num + F.coalesce(taps[k], F.lit(0.0)) * F.lit(ws[k])
+        den = den + F.when(taps[k].isNull(), 0).otherwise(ws[k])
+    return e.select(
+        "event_id",
+        "user_id",
+        den.cast("bigint").alias("weight_sum"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / den, 6))
+        .alias("ewma8"),
+    )

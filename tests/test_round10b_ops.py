@@ -244,3 +244,46 @@ def test_wav_decimate_identity_and_factor4(spark):
         assert dec[d]["peak"] == max(abs(s) for s in kept)
         want_rms = round(math.sqrt(sum(s * s for s in kept) / len(kept)), 6)
         assert dec[d]["rms"] == want_rms
+
+
+def test_ewma8_hand_sequence(spark, tmp_path):
+    """EWMA on a hand series: head rows renormalize over present taps
+    (first row = its own value), a full window applies 128..1 weights,
+    and a second user is isolated."""
+    import datetime
+
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    vals_u1 = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0]
+    for i, v in enumerate(vals_u1):
+        rows.append((i, t0 + datetime.timedelta(hours=i), 1, "click", v, "{}"))
+    rows.append((100, t0, 2, "click", 7.0, "{}"))
+    d = tmp_path / "ev"
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
+        "event_type string, value double, props string",
+    ).write.parquet(str(d / "events.parquet"))
+    got = {
+        r["event_id"]: r for r in QUERIES["rel_win_ewma8"](spark, str(d)).collect()
+    }
+    ws = [128, 64, 32, 16, 8, 4, 2, 1]
+
+    def want(i):
+        taps = [vals_u1[i - k] for k in range(min(i + 1, 8))]
+        num = sum(t * w for t, w in zip(taps, ws))
+        den = sum(ws[: len(taps)])
+        return den, round(num / den, 6)
+
+    for i in range(9):
+        den, e = want(i)
+        assert got[i]["weight_sum"] == den, i
+        assert abs(got[i]["ewma8"] - e) < 1e-9, (i, got[i]["ewma8"], e)
+    assert got[0]["ewma8"] == 10.0  # first row is its own value
+    assert got[100]["weight_sum"] == 128 and got[100]["ewma8"] == 7.0
