@@ -182,6 +182,12 @@ HEADLINE = [
     "rel_asof_join_fwd",
     "stream_ohlc_candles",
     "g_louvain_w_r2",
+    "g_square_count",
+    "g_link_jaccard",
+    "rel_profile_columns",
+    "pipeline_url_dedup",
+    "mm_wav_decimate",
+    "rel_win_ewma8",
 ]
 
 
