@@ -940,6 +940,7 @@ def main() -> int:
         "pipeline_url_dedup",
         "mm_wav_decimate",
         "rel_win_ewma8",
+        "g_diameter_lb_k4",
     ):
         timed(q, run_query_rows(q))
 

@@ -1916,3 +1916,40 @@ def g_link_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import jaccard_topk
 
     return jaccard_topk(derived_edges(spark, sf_dir), hub_cap=AA_HUB_CAP, k=JACC_TOP_K)
+
+
+_DIAM_SQL = (
+    _MBFS_SQL.replace(
+        "SELECT id, source, min(dist) AS dist FROM mbfs GROUP BY id, source",
+        """, per AS (SELECT id, source, min(dist) AS dist
+       FROM mbfs GROUP BY id, source)
+SELECT source, max(dist) AS ecc_lb,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       (SELECT max(dist) FROM per) AS diameter_lb
+FROM per GROUP BY source""",
+    )
+)
+assert _DIAM_SQL != _MBFS_SQL
+
+
+@query("g_diameter_lb_k4", oracle=_DIAM_SQL)
+def g_diameter_lb_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diameter/eccentricity lower bounds from the SAME shared multi-seed
+    traversal as g_multi_bfs_k4 (graph/paths.py:multi_bfs): per seed the
+    max hop distance reached within the bound (reaching a vertex at
+    dist d proves ecc >= d, so truncation preserves the bound's
+    validity), plus the global max as diameter_lb — the standard
+    sampled-BFS diameter estimator (iFUB's seeding step). Zero cost
+    beyond the BFS itself: one aggregate over the (vertex, source)
+    distance pairs and one broadcast of the 3-row per-seed maxima."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.paths import multi_bfs
+
+    res = multi_bfs(
+        derived_edges(spark, sf_dir), list(MULTI_SOURCES), max_hops=BFS_HOPS
+    )
+    per = res.distances.groupBy("source").agg(
+        F.max("dist").alias("ecc_lb"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
+    glob = per.agg(F.max("ecc_lb").alias("diameter_lb"))
+    return per.crossJoin(F.broadcast(glob))
