@@ -941,6 +941,7 @@ def main() -> int:
         "mm_wav_decimate",
         "rel_win_ewma8",
         "g_diameter_lb_k4",
+        "mm_scene_cuts",
     ):
         timed(q, run_query_rows(q))
 

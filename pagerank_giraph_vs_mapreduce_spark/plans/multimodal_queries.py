@@ -8,7 +8,7 @@ in SQL, so even the UDF path keeps an exact oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
@@ -632,17 +632,19 @@ def mm_ivf_external_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "mm_y4m_frames",
-    # Same ASCII-only fixture assumption as mm_ivf_frames — pinned by
-    # tests/test_round10_ops.py::test_documents_fixture_is_ascii_only.
-    oracle="""SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
+# Per-frame luma means over the text-byte Y4M fixture — shared by
+# mm_y4m_frames and mm_scene_cuts. Same ASCII-only fixture assumption as
+# mm_ivf_frames — pinned by
+# tests/test_round10_ops.py::test_documents_fixture_is_ascii_only.
+_Y4M_LUMA_SQL = """SELECT doc_id, CAST(f.f AS INT) AS frame_idx,
        round((coalesce(CAST(list_sum(list_transform(range(1, least(greatest(length(text) - f.f * 16, 0), 16) + 1),
                   i -> CAST(ascii(substr(text, CAST(f.f * 16 + i AS INT), 1)) AS BIGINT))) AS DOUBLE), 0)
               + 32 * (16 - least(greatest(length(text) - f.f * 16, 0), 16))) / 16.0, 9) AS luma_mean,
        4 AS n_frames, 8 AS width, 2 AS height
-FROM documents, LATERAL unnest(range(0, 4)) AS f(f)""",
-)
+FROM documents, LATERAL unnest(range(0, 4)) AS f(f)"""
+
+
+@query("mm_y4m_frames", oracle=_Y4M_LUMA_SQL)
 def mm_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video-container parsing through the multimodal seam: each doc
     becomes a genuine 4-frame YUV4MPEG2 stream (operators/y4m.py — the
@@ -703,3 +705,59 @@ def mm_wav_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return audio_stats(wav_decimate(synth_wav(docs), factor=4))
+
+
+SCENE_CUT_THRESHOLD = 8.0
+
+_SCENE_SQL = f"""WITH fr AS ({_Y4M_LUMA_SQL}),
+lg AS (SELECT doc_id, frame_idx, luma_mean,
+              lag(luma_mean) OVER (PARTITION BY doc_id
+                                   ORDER BY frame_idx) AS prev_mean
+       FROM fr)
+SELECT doc_id, frame_idx, luma_mean, prev_mean,
+       round(abs(luma_mean - prev_mean), 9) AS luma_diff,
+       CAST(CASE WHEN abs(luma_mean - prev_mean) > {SCENE_CUT_THRESHOLD}
+                 THEN 1 ELSE 0 END AS INT) AS is_cut
+FROM lg WHERE frame_idx >= 1"""
+
+
+@query("mm_scene_cuts", oracle=_SCENE_SQL)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection over the REAL Y4M streams: parse each
+    container (operators/y4m.py — the same pass as mm_y4m_frames), then
+    flag frame transitions whose luma-mean jump exceeds
+    SCENE_CUT_THRESHOLD — the shot-boundary heuristic a video curation
+    pipeline runs to pick keyframes before featurizing. Composition
+    shape: row-local container parse (mapInPandas, zero shuffle) -> ONE
+    per-video window (partitions are 4-frame groups — state is tiny and
+    perfectly balanced) -> codegen filter. The diff is computed on the
+    9-dp-rounded means BOTH engines already agree on, so no new float
+    surface crosses the boundary."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        y4m_frame_stats,
+        y4m_payload,
+    )
+
+    media = y4m_payload(load_table(spark, sf_dir, "documents"))
+    fr = y4m_frame_stats(media).select(
+        "doc_id", "frame_idx", F.round("luma_mean", 9).alias("luma_mean")
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    lg = fr.withColumn("prev_mean", F.lag("luma_mean").over(w))
+    return lg.filter(F.col("frame_idx") >= 1).select(
+        "doc_id",
+        "frame_idx",
+        "luma_mean",
+        "prev_mean",
+        F.round(F.abs(F.col("luma_mean") - F.col("prev_mean")), 9).alias(
+            "luma_diff"
+        ),
+        F.when(
+            F.abs(F.col("luma_mean") - F.col("prev_mean"))
+            > SCENE_CUT_THRESHOLD,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_cut"),
+    )

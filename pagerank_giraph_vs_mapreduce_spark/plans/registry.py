@@ -106,6 +106,7 @@ _PRIORITY = (
     "mm_wav_decimate",
     "rel_win_ewma8",
     "g_diameter_lb_k4",
+    "mm_scene_cuts",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",
