@@ -942,6 +942,7 @@ def main() -> int:
         "rel_win_ewma8",
         "g_diameter_lb_k4",
         "mm_scene_cuts",
+        "text_readability",
     ):
         timed(q, run_query_rows(q))
 

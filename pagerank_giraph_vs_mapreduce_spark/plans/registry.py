@@ -107,6 +107,7 @@ _PRIORITY = (
     "rel_win_ewma8",
     "g_diameter_lb_k4",
     "mm_scene_cuts",
+    "text_readability",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

@@ -1093,3 +1093,57 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_entropy(docs, "doc_id", "text")
+
+
+_READABILITY_SQL = """SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words,
+  CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+    AS n_sentences,
+  CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+    AS n_syllables,
+  round(206.835
+        - 1.015 * (CAST(length(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+                   / greatest(length(regexp_extract_all(text, '[.!?]+')), 1))
+        - 84.6 * (CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                  / greatest(length(regexp_extract_all(text, '\\S+')), 1)),
+        6) AS flesch
+FROM documents"""
+
+
+@query("text_readability", oracle=_READABILITY_SQL)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three regexp counters —
+    words (non-space runs), sentences ([.!?]+ boundary runs, floored at
+    1 so unpunctuated corpora like this fixture score as one long
+    sentence; the boundary path itself is pinned on punctuated hand text
+    in tests/test_round10b_ops.py), and the standard vowel-group
+    syllable proxy. The readability gate a curation pipeline runs next
+    to text_quality: all three counts are integers, the score is one
+    fixed arithmetic tree over their ratios (identical IEEE sequence
+    both engines, 6 dp). Pure per-row regexp_count — codegen, zero
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.regexp_count("text", F.lit(r"\S+")).cast("bigint")
+    n_sent = F.greatest(
+        F.regexp_count("text", F.lit("[.!?]+")), F.lit(1)
+    ).cast("bigint")
+    n_syl = F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")).cast(
+        "bigint"
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (n_words.cast("double") / F.greatest(n_sent, F.lit(1).cast("bigint")))
+            - F.lit(84.6)
+            * (
+                n_syl.cast("double")
+                / F.greatest(n_words, F.lit(1).cast("bigint"))
+            ),
+            6,
+        ).alias("flesch"),
+    )

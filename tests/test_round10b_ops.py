@@ -287,3 +287,39 @@ def test_ewma8_hand_sequence(spark, tmp_path):
         assert abs(got[i]["ewma8"] - e) < 1e-9, (i, got[i]["ewma8"], e)
     assert got[0]["ewma8"] == 10.0  # first row is its own value
     assert got[100]["weight_sum"] == 128 and got[100]["ewma8"] == 7.0
+
+
+def test_readability_punctuated_hand_text(spark, tmp_path):
+    """The sentence-boundary path the unpunctuated fixture can't reach:
+    '[.!?]+' runs count once each, the floor only kicks in when there is
+    no punctuation, and the Flesch value matches a hand computation."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    rows = [
+        (1, "The cat sat. The dog ran!! Did it run?", "en", "s", 1),
+        (2, "no punctuation here at all", "en", "s", 1),
+        (3, "Ouch!", "en", "s", 1),
+    ]
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(d / "documents.parquet"))
+    got = {
+        r["doc_id"]: r for r in QUERIES["text_readability"](spark, str(d)).collect()
+    }
+    # doc 1: 9 words; '.', '!!', '?' -> 3 sentence runs; syllable groups:
+    # e,a,a,e,o,a,i,i,u -> 9
+    assert got[1]["n_words"] == 9
+    assert got[1]["n_sentences"] == 3
+    assert got[1]["n_syllables"] == 9
+    want = round(206.835 - 1.015 * (9 / 3) - 84.6 * (9 / 9), 6)
+    assert abs(got[1]["flesch"] - want) < 1e-9
+    # doc 2: floor to one sentence
+    assert got[2]["n_sentences"] == 1 and got[2]["n_words"] == 5
+    # doc 3: single word+single boundary
+    assert got[3]["n_words"] == 1 and got[3]["n_sentences"] == 1
+    assert got[3]["n_syllables"] == 1  # 'ou'... 'Ouch' -> one vowel group
