@@ -943,6 +943,7 @@ def main() -> int:
         "g_diameter_lb_k4",
         "mm_scene_cuts",
         "text_readability",
+        "source_xml_roundtrip",
     ):
         timed(q, run_query_rows(q))
 

@@ -108,6 +108,7 @@ _PRIORITY = (
     "g_diameter_lb_k4",
     "mm_scene_cuts",
     "text_readability",
+    "source_xml_roundtrip",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

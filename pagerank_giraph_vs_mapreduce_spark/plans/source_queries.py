@@ -691,3 +691,29 @@ def storage_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_n_chars"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+@query("source_xml_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> XML (Spark 4 native XML source, rowTag framing) ->
+    read back (explicit schema) -> the shared per-lang aggregate. XML is
+    the remaining text interchange format enterprise feeds still emit
+    (and the one where entity escaping — &amp;, &lt;, quotes inside
+    attributes — silently corrupts sloppy readers); the text column
+    carries arbitrary punctuation, so a wrong escape/unescape pair in
+    either direction breaks min/max_text against the same oracle as the
+    JSON/CSV/ORC trips. Scale shape: identical to the other roundtrips —
+    the write and read are both partition-parallel (one XML fragment per
+    row, rowTag framing is splittable at the row level)."""
+    out = _staging_dir("src_xml_", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs.write.mode("overwrite").format("xml").option("rowTag", "doc").save(out)
+    back = (
+        spark.read.schema(_DOC_SCHEMA)
+        .format("xml")
+        .option("rowTag", "doc")
+        .load(out)
+    )
+    return _roundtrip_agg(back)
