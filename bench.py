@@ -944,6 +944,7 @@ def main() -> int:
         "mm_scene_cuts",
         "text_readability",
         "source_xml_roundtrip",
+        "pipeline_model_auc",
     ):
         timed(q, run_query_rows(q))
 

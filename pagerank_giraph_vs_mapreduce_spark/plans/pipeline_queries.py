@@ -21,7 +21,7 @@ the same trap bench.py's semantic_k64 entry documents for vec_ids.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.operators.curation import (
@@ -1905,4 +1905,95 @@ def pipeline_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_variants"),
             F.min("doc_id").alias("keep_doc_id"),
         )
+    )
+
+
+def _model_auc_oracle(iters: int = 3) -> str:
+    """Train (the _logreg_oracle CTEs with doc_id carried) then rank-sum
+    AUC over the scored corpus: rank by (12-dp score, doc_id) — the
+    declared deterministic tie-break — and apply the Mann-Whitney
+    identity with ONE final double division."""
+    base = _logreg_oracle(iters)
+    head, _tail = base.rsplit("\nSELECT ", 1)
+    head = head.replace("SELECT 1.0 AS bias,", "SELECT doc_id, 1.0 AS bias,", 1)
+    z = "(wb*bias + wl*f_len + ws*f_space)"
+    p = f"(0.5 + {z}/(2*(1+abs({z}))))"
+    return (
+        head
+        + f""",
+scored AS (SELECT doc_id, y, round({p}, 12) AS p FROM feats, w{iters}),
+rk AS (SELECT y, row_number() OVER (ORDER BY p, doc_id) AS r FROM scored),
+agg AS (SELECT
+  CAST(sum(CASE WHEN y >= 0.5 THEN r ELSE 0 END) AS BIGINT) AS rank_sum_pos,
+  CAST(count(CASE WHEN y >= 0.5 THEN 1 END) AS BIGINT) AS n_pos,
+  CAST(count(CASE WHEN y < 0.5 THEN 1 END) AS BIGINT) AS n_neg
+  FROM rk)
+SELECT n_pos, n_neg, rank_sum_pos,
+       round((rank_sum_pos - n_pos * (n_pos + 1) / 2.0)
+             / (n_pos * n_neg), 9) AS auc
+FROM agg"""
+    )
+
+
+@query("pipeline_model_auc", oracle=_model_auc_oracle(3))
+def pipeline_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation closing the trainer family's loop: train the
+    quality model (pipeline_train_quality_lr's exact 3-step trajectory),
+    score the corpus, and compute AUC by the Mann-Whitney rank-sum
+    identity — (Σ ranks of positives − n_pos(n_pos+1)/2) / (n_pos·n_neg),
+    integers until ONE final division. Ranking ties break on (12-dp
+    score, doc_id), declared and mirrored in the oracle, so the value is
+    reproducible across engines. Scale note: the global rank is a true
+    total order — Spark executes it as a single-partition window, which
+    is the DECLARED cost of exact AUC and is bounded by the EVAL set,
+    not the corpus (at 100 TB you evaluate on a sample that fits one
+    node; the training pass stays fully distributed)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import (
+        logreg_gd,
+        squash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        (F.length("text").cast("double") / F.lit(1000.0)).alias("f_len"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("double")
+            / F.length("text").cast("double")
+        ).alias("f_space"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = logreg_gd(
+        feats.select("f_len", "f_space", "y"), ["f_len", "f_space"], "y"
+    ).select("w_bias", "w_f_len", "w_f_space")
+    z = (
+        F.col("w_bias") * F.lit(1.0)
+        + F.col("w_f_len") * F.col("f_len")
+        + F.col("w_f_space") * F.col("f_space")
+    )
+    scored = feats.crossJoin(F.broadcast(w)).select(
+        "doc_id", "y", F.round(squash(z), 12).alias("p")
+    )
+    win = Window.orderBy("p", "doc_id")
+    rk = scored.select("y", F.row_number().over(win).alias("r"))
+    agg = rk.agg(
+        F.sum(F.when(F.col("y") >= 0.5, F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("rank_sum_pos"),
+        F.count(F.when(F.col("y") >= 0.5, 1)).cast("bigint").alias("n_pos"),
+        F.count(F.when(F.col("y") < 0.5, 1)).cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "rank_sum_pos",
+        F.round(
+            (
+                F.col("rank_sum_pos")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+            )
+            / (F.col("n_pos") * F.col("n_neg")),
+            9,
+        ).alias("auc"),
     )

@@ -109,6 +109,7 @@ _PRIORITY = (
     "mm_scene_cuts",
     "text_readability",
     "source_xml_roundtrip",
+    "pipeline_model_auc",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

