@@ -731,3 +731,120 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.log2(F.col("_n")) - ssum.cast("double") / F.col("_n"), 6
         ).alias("entropy_bits"),
     )
+
+
+SPAN_SENTINEL = "<extra_id_{n}>"
+
+
+def span_corrupt(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_hex: str = "3",
+) -> DataFrame:
+    """T5/UL2-style span corruption: deterministically mask ~rate of the
+    whitespace tokens (first md5(doc_id:pos) hex digit < ``rate_hex``,
+    so '3' ≈ 3/16 ≈ 19%), collapse each RUN of masked tokens to one
+    numbered sentinel in the input, and emit the denoising target
+    (sentinel → original span, in order) — the data-prep step that turns
+    a curated corpus into denoising training pairs.
+
+    Returns (id, input_masked, target, n_spans, n_masked_tokens); docs
+    with no masked token keep their original text and an empty target.
+
+    Determinism/scale shape: the mask is a pure md5 expression (the
+    fn_hash_sample parity primitive — the oracle reproduces it
+    bit-for-bit); runs are found with the gaps-and-islands trick (pos −
+    row_number over masked rows), and every reassembly is
+    array_sort(collect_list(struct(pos, …))) → array_join, i.e. ordered
+    WITHIN each doc's own rows — three narrow shuffles keyed by doc_id
+    (explode → window → re-agg), never a global sort. At 100 TB this is
+    embarrassingly parallel per document.
+    """
+    from pyspark.sql import Window
+
+    win_tok = F.split(F.col(text_col), " ")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(win_tok).alias("pos", "tok"),
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.col("id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+            )
+        ),
+        1,
+        1,
+    )
+    t = toks.withColumn("m", h < rate_hex)
+    wm = Window.partitionBy("id", "m").orderBy("pos")
+    t = t.withColumn("grp", F.col("pos") - F.row_number().over(wm))
+
+    masked = t.filter(F.col("m"))
+    spans = masked.groupBy("id", "grp").agg(
+        F.min("pos").alias("first_pos"),
+        F.count(F.lit(1)).alias("span_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("span_text"),
+    )
+    ws = Window.partitionBy("id").orderBy("first_pos")
+    spans = spans.withColumn("span_id", F.row_number().over(ws) - 1)
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("span_id").cast("string"), F.lit(">")
+    )
+
+    pieces = (
+        t.filter(~F.col("m")).select("id", "pos", "tok")
+        .unionAll(
+            spans.select(
+                "id", F.col("first_pos").alias("pos"), sentinel.alias("tok")
+            )
+        )
+    )
+    inp = pieces.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("input_masked")
+    )
+    tgt = spans.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "span_id",
+                            F.concat(sentinel, F.lit(" "), F.col("span_text")).alias(
+                                "piece"
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["piece"],
+            ),
+            " ",
+        ).alias("target"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_len").cast("bigint").alias("n_masked_tokens"),
+    )
+    return (
+        inp.join(tgt, "id", "left")
+        .select(
+            "id",
+            "input_masked",
+            F.coalesce(F.col("target"), F.lit("")).alias("target"),
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("bigint")).alias("n_spans"),
+            F.coalesce(
+                F.col("n_masked_tokens"), F.lit(0).cast("bigint")
+            ).alias("n_masked_tokens"),
+        )
+    )

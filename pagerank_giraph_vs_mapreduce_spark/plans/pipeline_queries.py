@@ -1997,3 +1997,64 @@ def pipeline_model_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("auc"),
     )
+
+
+_SPAN_CORRUPT_SQL = """WITH toks AS (
+  SELECT doc_id AS id, r.k AS pos, string_split(text, ' ')[r.k + 1] AS tok
+  FROM documents,
+       LATERAL unnest(range(0, len(string_split(text, ' ')))) AS r(k)),
+t AS (
+  SELECT id, pos, tok,
+         substr(md5(CAST(id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)),
+                1, 1) < '3' AS m
+  FROM toks),
+ti AS (
+  SELECT id, pos, tok, m,
+         pos - row_number() OVER (PARTITION BY id, m ORDER BY pos) AS grp
+  FROM t),
+spans AS (
+  SELECT id, grp, min(pos) AS first_pos, count(*) AS span_len,
+         string_agg(tok, ' ' ORDER BY pos) AS span_text
+  FROM ti WHERE m GROUP BY id, grp),
+sp AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY id ORDER BY first_pos) - 1
+                 AS BIGINT) AS span_id
+  FROM spans),
+pieces AS (
+  SELECT id, pos, tok FROM ti WHERE NOT m
+  UNION ALL
+  SELECT id, first_pos AS pos,
+         '<extra_id_' || CAST(span_id AS VARCHAR) || '>' AS tok
+  FROM sp),
+inp AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY pos) AS input_masked
+  FROM pieces GROUP BY id),
+tgt AS (
+  SELECT id,
+         string_agg('<extra_id_' || CAST(span_id AS VARCHAR) || '> '
+                    || span_text, ' ' ORDER BY span_id) AS target,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_len) AS BIGINT) AS n_masked_tokens
+  FROM sp GROUP BY id)
+SELECT i.id, i.input_masked,
+       coalesce(g.target, '') AS target,
+       coalesce(g.n_spans, 0) AS n_spans,
+       coalesce(g.n_masked_tokens, 0) AS n_masked_tokens
+FROM inp i LEFT JOIN tgt g USING (id)"""
+
+
+@query("pipeline_span_corrupt", oracle=_SPAN_CORRUPT_SQL)
+def pipeline_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2 denoising data prep (operators/text.py:span_corrupt): mask
+    ~19% of whitespace tokens by a pure md5(doc:pos) gate, collapse each
+    masked RUN to one numbered sentinel, and emit (input_masked, target)
+    training pairs — the corruption step between curation and packing in
+    an LLM pretraining pipeline. Runs are found with gaps-and-islands
+    (pos − row_number over the masked rows) and every reassembly sorts
+    only WITHIN a doc (array_sort(collect_list(struct(pos, …)))) — three
+    doc_id-keyed shuffles, no global order anywhere, so the plan is
+    per-document parallel at any corpus size. The oracle replays the
+    identical mask, islands, and string assembly in SQL."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import span_corrupt
+
+    return span_corrupt(load_table(spark, sf_dir, "documents"))

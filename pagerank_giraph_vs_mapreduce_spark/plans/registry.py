@@ -110,6 +110,8 @@ _PRIORITY = (
     "text_readability",
     "source_xml_roundtrip",
     "pipeline_model_auc",
+    "pipeline_span_corrupt",
+    "stream_model_gate",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

@@ -724,3 +724,98 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(joined, "append")
+
+
+def _stream_model_gate_oracle() -> str:
+    from pagerank_giraph_vs_mapreduce_spark.plans.pipeline_queries import (
+        _model_gate_oracle,
+    )
+
+    return _model_gate_oracle(3)
+
+
+@query("stream_model_gate", oracle=_stream_model_gate_oracle())
+def stream_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ML inference — the deployment half of the model-in-the-
+    loop gate: the quality classifier trains BATCH-side (the exact
+    pipeline_train_quality_lr trajectory, one tiny weight row + the
+    corpus-mean threshold collected as four driver scalars — the model
+    IS bytes at serving time), then the document stream is scored and
+    gated by a pure codegen expression with those scalars inlined:
+    stateless append mode, zero state store, no stream-side aggregate.
+    This is how a trained gate runs on arriving crawl shards at 100 TB —
+    training cost is one-off batch, serving cost is a per-row
+    expression. Oracle: identical to pipeline_model_gate (end-of-input
+    streaming equals batch semantics)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import (
+        logreg_gd,
+        squash,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import load_table
+
+    docs_b = load_table(spark, sf_dir, "documents")
+
+    def feats_of(df: DataFrame) -> DataFrame:
+        return df.filter(F.length("text") > 0).select(
+            "doc_id",
+            (F.length("text").cast("double") / F.lit(1000.0)).alias("f_len"),
+            (
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                ).cast("double")
+                / F.length("text").cast("double")
+            ).alias("f_space"),
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        )
+
+    fb = feats_of(docs_b)
+    w = logreg_gd(
+        fb.select("f_len", "f_space", "y"), ["f_len", "f_space"], "y"
+    ).select("w_bias", "w_f_len", "w_f_space")
+    zb = (
+        F.col("w_bias") * F.lit(1.0)
+        + F.col("w_f_len") * F.col("f_len")
+        + F.col("w_f_space") * F.col("f_space")
+    )
+    thr_row = (
+        fb.crossJoin(F.broadcast(w))
+        .select(squash(zb).alias("p"))
+        .agg(
+            F.round(
+                F.sum(F.round("p", 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                12,
+            ).alias("mean_p")
+        )
+        .crossJoin(w)
+        .collect()[0]
+    )  # four bounded driver scalars: the serialized model
+    wb, wl, wsp = (
+        float(thr_row["w_bias"]),
+        float(thr_row["w_f_len"]),
+        float(thr_row["w_f_space"]),
+    )
+    mean_p = float(thr_row["mean_p"])
+
+    docs_s = (
+        spark.readStream.schema(
+            spark.read.option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    fs = feats_of(docs_s)
+    zs = (
+        F.lit(wb) * F.lit(1.0)
+        + F.lit(wl) * F.col("f_len")
+        + F.lit(wsp) * F.col("f_space")
+    )
+    gated = fs.select("doc_id", squash(zs).alias("p")).filter(
+        F.round("p", 12) >= F.lit(mean_p)
+    )
+    return _drain(
+        gated.select("doc_id", F.round("p", 9).alias("score")), "append"
+    )

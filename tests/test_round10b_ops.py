@@ -353,3 +353,55 @@ def test_model_auc_hand_ranking(spark, tmp_path):
     assert abs(row["auc"] - round(auc_from_ranks, 9)) < 1e-12
     assert 0.0 <= row["auc"] <= 1.0
     assert row["auc"] > 0.5, "longer-en fixture must rank positives higher"
+
+
+def test_span_corrupt_hand_check(spark):
+    """Replay the md5 mask in Python on hand docs and check the sentinel
+    collapse, numbering, target assembly, and the no-mask passthrough."""
+    import hashlib
+
+    from pagerank_giraph_vs_mapreduce_spark.operators.text import span_corrupt
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "one two",
+        3: "solo",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
+    )
+    got = {r["id"]: r for r in span_corrupt(docs).collect()}
+
+    for d, text in texts.items():
+        toks = text.split(" ")
+        m = [
+            hashlib.md5(f"{d}:{i}".encode()).hexdigest()[0] < "3"
+            for i in range(len(toks))
+        ]
+        # expected via the same run-collapse semantics
+        inp, tgt, spans, masked_n = [], [], 0, 0
+        i = 0
+        while i < len(toks):
+            if not m[i]:
+                inp.append(toks[i])
+                i += 1
+            else:
+                j = i
+                while j < len(toks) and m[j]:
+                    j += 1
+                inp.append(f"<extra_id_{spans}>")
+                tgt.append(f"<extra_id_{spans}> " + " ".join(toks[i:j]))
+                masked_n += j - i
+                spans += 1
+                i = j
+        r = got[d]
+        assert r["input_masked"] == " ".join(inp), (d, r["input_masked"])
+        assert r["target"] == " ".join(tgt), (d, r["target"])
+        assert r["n_spans"] == spans and r["n_masked_tokens"] == masked_n
+    # make the test non-vacuous: at least one doc must actually mask
+    assert any(got[d]["n_spans"] > 0 for d in texts)
+    # and at least one must pass through untouched if its mask is empty
+    for d, text in texts.items():
+        if got[d]["n_spans"] == 0:
+            assert got[d]["input_masked"] == text
+            assert got[d]["target"] == ""
