@@ -826,7 +826,7 @@ def main() -> int:
 
     timed("pagerank_full", run_pagerank)
     timed("pagerank_skewed_3iter", run_pagerank_skewed)
-    timed("pagerank_large_3iter", run_pagerank_large)
+    timed_query("pagerank_large_3iter", run_pagerank_large)
     # rotating guard: odd rounds (the pytest flatness checks still run every round)
     timed_rotating("pagerank_flatness_15iter", run_pagerank_flatness, parity=1)
     # rotating guard: odd rounds — a cold-vs-warm A/B whose answer moves
@@ -1131,7 +1131,7 @@ def main() -> int:
             emb.unionAll(dups), cents, threshold=0.99
         ).count()
 
-    timed("dedup_semantic_k64", run_semantic_k64)
+    timed_query("dedup_semantic_k64", run_semantic_k64)
 
     def run_bpe_k64() -> None:
         # 64 merge rounds = 64 vocabulary-sized driver rounds (one

@@ -473,8 +473,10 @@ def square_count(edges: DataFrame, hub_cap: int = 256) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return per_pair.agg(
+        # DIV, not `/`: float division of the bigint sum would round past
+        # 2^53 — the identity is exact integer arithmetic end to end
         F.coalesce(
-            (F.sum(F.col("c") * (F.col("c") - F.lit(1))) / F.lit(4)).cast("bigint"),
+            F.expr("sum(c * (c - 1)) DIV 4").cast("bigint"),
             F.lit(0).cast("bigint"),
         ).alias("n_squares"),
         F.coalesce(

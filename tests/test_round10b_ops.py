@@ -362,10 +362,14 @@ def test_span_corrupt_hand_check(spark):
 
     from pagerank_giraph_vs_mapreduce_spark.operators.text import span_corrupt
 
+    # ids chosen so the md5 gate provably fires: doc 3 masks positions
+    # {1, 4, 5, 7} (a 2-run in the middle), doc 9 masks {4, 5} (a single
+    # collapsed run); doc 1's short text may or may not mask — both
+    # branches of the final checks stay reachable.
     texts = {
-        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
-        2: "one two",
-        3: "solo",
+        3: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        9: "one two three four five six seven eight nine ten",
+        1: "solo",
     }
     docs = spark.createDataFrame(
         [(k, v) for k, v in texts.items()], "doc_id bigint, text string"
