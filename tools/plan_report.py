@@ -188,6 +188,13 @@ HEADLINE = [
     "pipeline_url_dedup",
     "mm_wav_decimate",
     "rel_win_ewma8",
+    "g_diameter_lb_k4",
+    "mm_scene_cuts",
+    "text_readability",
+    "source_xml_roundtrip",
+    "pipeline_model_auc",
+    "pipeline_span_corrupt",
+    "stream_model_gate",
 ]
 
 
