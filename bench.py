@@ -1000,6 +1000,7 @@ def main() -> int:
         "pipeline_model_auc",
         "pipeline_span_corrupt",
         "stream_model_gate",
+        "rel_asof_join_tol",
     ):
         timed_query(q, run_query_rows(q))
 

@@ -178,3 +178,37 @@ def binned_range_join(
         )
         .drop("_bin")
     )
+
+
+def asof_join_tolerance(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    payload_cols: list[str],
+    tolerance: int,
+) -> DataFrame:
+    """``asof_join`` with a staleness bound (pandas merge_asof's
+    ``tolerance`` / kdb wj within-window): a backward match older than
+    ``tolerance`` (same units as ``time_col``) is REJECTED — every
+    right_* column nulls together, plus ``right_match_t`` carries the
+    accepted match's time (NULL when rejected/unmatched).
+
+    Pure composition: the unbounded as-of runs first (same one-shuffle
+    union+window plan), then one codegen projection applies the bound.
+    Atomicity is inherited: the gate reads only the matched row's own
+    time, so all right columns share one verdict — no spliced rows.
+    """
+    r2 = right.withColumn("_asof_t", F.col(time_col))
+    res = asof_join(left, r2, key, time_col, list(payload_cols) + ["_asof_t"])
+    ok = F.col("right__asof_t").isNotNull() & (
+        (F.col(time_col) - F.col("right__asof_t")) <= F.lit(tolerance)
+    )
+    return res.select(
+        *left.columns,
+        *[
+            F.when(ok, F.col(f"right_{c}")).alias(f"right_{c}")
+            for c in payload_cols
+        ],
+        F.when(ok, F.col("right__asof_t")).alias("right_match_t"),
+    )

@@ -112,6 +112,7 @@ _PRIORITY = (
     "pipeline_model_auc",
     "pipeline_span_corrupt",
     "stream_model_gate",
+    "rel_asof_join_tol",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

@@ -443,3 +443,78 @@ def rel_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("v").cast("double").alias("hv"))
     )
     return gapfill_hourly(hourly)
+
+
+ASOF_TOL_DAYS = 5
+
+
+@query(
+    "rel_asof_join_tol",
+    oracle=f"""WITH users AS (SELECT DISTINCT user_id FROM events),
+dim AS (
+  SELECT user_id, {BASE_US} AS vf_us, 'bronze' AS tier FROM users
+  UNION ALL
+  SELECT user_id, {BASE_US} + (7 + user_id % 10) * {DAY_US}, 'silver'
+  FROM users
+  UNION ALL
+  SELECT user_id, {BASE_US} + (17 + user_id % 11) * {DAY_US}, 'gold'
+  FROM users),
+probe AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+SELECT p.event_id, p.user_id, p.ts_us,
+       CASE WHEN p.ts_us - d.vf_us <= {ASOF_TOL_DAYS * DAY_US}
+            THEN d.tier END AS right_tier,
+       CASE WHEN p.ts_us - d.vf_us <= {ASOF_TOL_DAYS * DAY_US}
+            THEN d.vf_us END AS right_vf_us,
+       CASE WHEN p.ts_us - d.vf_us <= {ASOF_TOL_DAYS * DAY_US}
+            THEN d.vf_us END AS right_match_t
+FROM probe p ASOF LEFT JOIN dim d
+  ON p.user_id = d.user_id AND d.vf_us <= p.ts_us""",
+)
+def rel_asof_join_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel_asof_join with a 5-day staleness bound (operators/temporal.py:
+    asof_join_tolerance — pandas merge_asof ``tolerance``): an event more
+    than 5 days past its user's newest dimension version gets NULLs, not
+    a stale tier — the freshness contract a feature-serving pipeline
+    enforces. Same one-shuffle union+window plan plus one codegen
+    projection; the dim fixture (versions at day 0 / 7+u%10 / 17+u%11
+    against events spanning 30 days) guarantees both accepted and
+    rejected matches at every driver scale. Oracle: native ASOF LEFT
+    JOIN with the bound applied as a post-CASE (DuckDB's ASOF has no
+    tolerance clause — the composition IS the point)."""
+    e = load_events(spark, sf_dir)
+    users = e.select("user_id").distinct()
+
+    def ver(vf, tier: str) -> DataFrame:
+        return users.select(
+            "user_id",
+            vf.cast("long").alias("ts_us"),
+            F.lit(tier).alias("tier"),
+        )
+
+    dim = (
+        ver(F.lit(BASE_US), "bronze")
+        .unionByName(
+            ver(
+                F.lit(BASE_US)
+                + (F.lit(7) + F.col("user_id") % 10) * F.lit(DAY_US),
+                "silver",
+            )
+        )
+        .unionByName(
+            ver(
+                F.lit(BASE_US)
+                + (F.lit(17) + F.col("user_id") % 11) * F.lit(DAY_US),
+                "gold",
+            )
+        )
+        .withColumn("vf_us", F.col("ts_us"))
+    )
+    probe = e.select("event_id", "user_id", "ts_us")
+    from pagerank_giraph_vs_mapreduce_spark.operators.temporal import (
+        asof_join_tolerance,
+    )
+
+    return asof_join_tolerance(
+        probe, dim, "user_id", "ts_us", ["tier", "vf_us"],
+        tolerance=ASOF_TOL_DAYS * DAY_US,
+    )

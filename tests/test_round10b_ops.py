@@ -409,3 +409,37 @@ def test_span_corrupt_hand_check(spark):
         if got[d]["n_spans"] == 0:
             assert got[d]["input_masked"] == text
             assert got[d]["target"] == ""
+
+
+def test_asof_tolerance_plan_and_atomicity(spark, sf_oracle_dir):
+    """The tolerance variant keeps the as-of scale contract (zero join
+    nodes — it is the same union+window plan plus one projection), and
+    rejection is ATOMIC: right_tier, right_vf_us, right_match_t are all
+    NULL or all set, with every accepted lag within the bound."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.plans.temporal_queries import (
+        ASOF_TOL_DAYS,
+        DAY_US,
+    )
+
+    load_all_queries()
+    df = QUERIES["rel_asof_join_tol"](spark, sf_oracle_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    tol = ASOF_TOL_DAYS * DAY_US
+    n_rej = n_acc = 0
+    for r in rows:
+        nulls = (r["right_tier"] is None, r["right_vf_us"] is None,
+                 r["right_match_t"] is None)
+        assert len(set(nulls)) == 1, r  # all-or-nothing
+        if nulls[0]:
+            n_rej += 1
+        else:
+            n_acc += 1
+            assert 0 <= r["ts_us"] - r["right_match_t"] <= tol, r
+    assert n_rej > 0 and n_acc > 0, (n_rej, n_acc)
