@@ -1001,6 +1001,7 @@ def main() -> int:
         "pipeline_span_corrupt",
         "stream_model_gate",
         "rel_asof_join_tol",
+        "rel_er_fuzzy_join",
     ):
         timed_query(q, run_query_rows(q))
 

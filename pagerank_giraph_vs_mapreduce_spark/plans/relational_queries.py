@@ -2298,3 +2298,63 @@ def rel_win_ewma8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(num / den, 6))
         .alias("ewma8"),
     )
+
+
+# ------------------------------------------------------- entity resolution
+
+ER_LEV_MAX = 2
+
+_ER_SQL = f"""WITH src AS (
+  SELECT c_custkey, c_name, CAST(10 + c_custkey % 9 AS INT) AS p
+  FROM customer),
+dirty AS (
+  SELECT c_custkey AS dirty_id,
+         substr(c_name, 1, p - 1) || substr(c_name, p + 1) AS dname
+  FROM src),
+blk AS (SELECT dirty_id, dname,
+               substr(dname, length(dname) - 1, 2) AS bk FROM dirty),
+cb AS (SELECT c_custkey, c_name,
+              substr(c_name, length(c_name) - 1, 2) AS bk FROM customer)
+SELECT cb.c_custkey, blk.dirty_id,
+       CAST(levenshtein(cb.c_name, blk.dname) AS BIGINT) AS lev
+FROM cb JOIN blk ON cb.bk = blk.bk
+WHERE levenshtein(cb.c_name, blk.dname) <= {ER_LEV_MAX}"""
+
+
+@query("rel_er_fuzzy_join", oracle=_ER_SQL)
+def rel_er_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: a dirty copy of the
+    customer names (one digit deleted at a key-derived position) is
+    matched back by Levenshtein distance <= ER_LEV_MAX INSIDE equal
+    blocking-key groups (last two name characters) — the standard
+    block-then-verify ER shape. The blocking join is an equi-join on the
+    block key (shuffle-partitioned, Σ per-block² comparisons, NEVER the
+    |L|x|R| cross product); missed matches whose deletion changed the
+    block key are the DECLARED recall cost of blocking, mirrored in the
+    oracle. Distance is an integer; no float anywhere. Near-key names
+    (…001 vs …002) legitimately match within 2 edits — the ambiguity a
+    real ER verify stage scores, kept in the output as lev."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = cust.select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, (10 + c_custkey % 9) - 1)"),
+            F.expr("substr(c_name, (10 + c_custkey % 9) + 1)"),
+        ).alias("dname"),
+    )
+    blk = dirty.withColumn(
+        "bk", F.expr("substr(dname, length(dname) - 1, 2)")
+    )
+    cb = cust.withColumn(
+        "bk", F.expr("substr(c_name, length(c_name) - 1, 2)")
+    )
+    lev = F.levenshtein(F.col("c_name"), F.col("dname"))
+    return (
+        cb.join(blk, "bk")
+        .filter(lev <= ER_LEV_MAX)
+        .select(
+            "c_custkey",
+            "dirty_id",
+            lev.cast("bigint").alias("lev"),
+        )
+    )

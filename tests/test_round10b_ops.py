@@ -443,3 +443,44 @@ def test_asof_tolerance_plan_and_atomicity(spark, sf_oracle_dir):
             n_acc += 1
             assert 0 <= r["ts_us"] - r["right_match_t"] <= tol, r
     assert n_rej > 0 and n_acc > 0, (n_rej, n_acc)
+
+
+def test_er_fuzzy_join_semantics(spark, sf_oracle_dir):
+    """Every dirty name whose deletion left the block key intact must
+    match its own source at lev == 1; the plan must be an equi-join on
+    the block key (no cartesian, no BNLJ); every emitted pair is within
+    the declared distance."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.plans.relational_queries import (
+        ER_LEV_MAX,
+    )
+
+    load_all_queries()
+    df = QUERIES["rel_er_fuzzy_join"](spark, sf_oracle_dir)
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert rows, "fuzzy join must produce matches"
+    assert all(0 <= r["lev"] <= ER_LEV_MAX for r in rows)
+    # self-matches: deletion position 10 + key % 9 touches digits 2..10 of
+    # the 9-digit suffix, never the last two chars -> block key survives
+    # whenever the deleted digit is not among the last two; count those
+    self_pairs = {(r["c_custkey"], r["dirty_id"]) for r in rows}
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sf_oracle_dir}/customer.parquet')"
+    ).fetchone()[0]
+    kept = sum(
+        1
+        for k in range(n)
+        # 1-based delete pos within the 18-char name; last two chars are
+        # positions 17, 18
+        if (10 + k % 9) < 17
+    )
+    got_self = sum(1 for k in range(n) if (k, k) in self_pairs)
+    assert got_self >= kept, (got_self, kept)
