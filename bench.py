@@ -1002,6 +1002,7 @@ def main() -> int:
         "stream_model_gate",
         "rel_asof_join_tol",
         "rel_er_fuzzy_join",
+        "fn_quantile_sketch",
     ):
         timed_query(q, run_query_rows(q))
 

@@ -621,3 +621,110 @@ def fn_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- binned quantile sketch
+
+# Fixed-grid histogram quantile sketch — the quantile member of the
+# sketch family (HLL distinct / CMS frequency / KMV-theta set ops):
+# 128 uniform bins over the DECLARED domain [0, 512) (events.value is
+# bounded by construction; out-of-range values clip into the end bins,
+# which only widens the error bound, never drops mass). Per-bin counts
+# are a map-side-combined hash agg — mergeable across shards/streams by
+# plain addition, fixed 128-counter memory, the same deployment shape
+# as the other sketches. Estimates interpolate linearly inside the
+# target bin, so the error is bounded by one bin width (4.0) — unlike
+# rel_exact_quantiles' two-phase exact medians, this never moves more
+# than 128 counters after the scan.
+QSK_BINS = 128
+QSK_LO, QSK_HI = 0.0, 512.0
+QSK_W = (QSK_HI - QSK_LO) / QSK_BINS
+QSK_QS = (0.5, 0.95, 0.99)
+
+
+def _qsketch_oracle() -> str:
+    qs_rows = ", ".join(f"({q})" for q in QSK_QS)
+    return f"""WITH b AS (
+  SELECT CAST(least(greatest(floor((value - {QSK_LO}) / {QSK_W}), 0),
+              {QSK_BINS - 1}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM events GROUP BY 1),
+cum AS (
+  SELECT bin, c,
+         sum(c) OVER (ORDER BY bin) AS cum,
+         coalesce(sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cum_before,
+         (SELECT sum(c) FROM b) AS n
+  FROM b),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {qs_rows}) t(q)),
+hit AS (
+  SELECT q, bin, c, cum_before, n,
+         row_number() OVER (PARTITION BY q ORDER BY bin) AS rk
+  FROM qs JOIN cum ON cum.cum >= ceil(q * cum.n))
+SELECT q, CAST(n AS BIGINT) AS n,
+       round({QSK_LO} + (bin + (ceil(q * n) - cum_before) / c) * {QSK_W}, 6)
+         AS est
+FROM hit WHERE rk = 1"""
+
+
+@query("fn_quantile_sketch", oracle=_qsketch_oracle())
+def fn_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of events.value from the 128-bin histogram sketch (see
+    the module note above QSK_BINS): one map-side-combined scan into 128
+    counters, a 128-row cumulative window, linear interpolation inside
+    the hit bin — error bounded by one bin width, memory fixed, counts
+    mergeable by addition. Interpolation inputs are integers (cum
+    counts, ceil(q·n)); each estimate is one division and one
+    multiply-add, rounded to 6 dp — identical IEEE sequence both
+    engines."""
+    e = load_table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - QSK_LO) / QSK_W), F.lit(0)
+                ),
+                F.lit(QSK_BINS - 1),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_bef = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    n_df = b.agg(F.sum("c").alias("n"))
+    cum = b.select(
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.coalesce(F.sum("c").over(w_bef), F.lit(0)).alias("cum_before"),
+    ).crossJoin(F.broadcast(n_df))
+    qs = spark.createDataFrame([(q,) for q in QSK_QS], "q double")
+    hit = (
+        qs.join(cum, cum.cum >= F.ceil(F.col("q") * F.col("n")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q").orderBy("bin")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return hit.select(
+        "q",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            QSK_LO
+            + (
+                F.col("bin")
+                + (F.ceil(F.col("q") * F.col("n")) - F.col("cum_before"))
+                / F.col("c")
+            )
+            * QSK_W,
+            6,
+        ).alias("est"),
+    )

@@ -484,3 +484,48 @@ def test_er_fuzzy_join_semantics(spark, sf_oracle_dir):
     )
     got_self = sum(1 for k in range(n) if (k, k) in self_pairs)
     assert got_self >= kept, (got_self, kept)
+
+
+def test_quantile_sketch_error_bound(spark, sf_oracle_dir):
+    """The sketch's whole claim: every estimate within one bin width of
+    the EXACT quantile (computed directly in DuckDB), and the sketch is
+    mergeable — binning two halves separately and adding counters gives
+    the identical estimate table."""
+    import duckdb
+
+    from pagerank_giraph_vs_mapreduce_spark.plans.function_queries import (
+        QSK_QS,
+        QSK_W,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    got = {r["q"]: r["est"] for r in
+           QUERIES["fn_quantile_sketch"](spark, sf_oracle_dir).collect()}
+    con = duckdb.connect()
+    for q in QSK_QS:
+        exact = con.execute(
+            "SELECT quantile_disc(value, ?) FROM "
+            f"read_parquet('{sf_oracle_dir}/events.parquet')",
+            [q],
+        ).fetchone()[0]
+        assert abs(got[q] - exact) <= QSK_W + 1e-9, (q, got[q], exact)
+
+    # mergeability: counters from two disjoint halves add to the whole
+    rows = con.execute(
+        f"""WITH b AS (
+  SELECT CAST(least(greatest(floor(value / {QSK_W}), 0), 127) AS BIGINT) AS bin,
+         CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+         count(*) AS c
+  FROM read_parquet('{sf_oracle_dir}/events.parquet') GROUP BY 1, 2)
+SELECT bin, sum(c) FROM b GROUP BY bin ORDER BY bin"""
+    ).fetchall()
+    whole = con.execute(
+        f"""SELECT CAST(least(greatest(floor(value / {QSK_W}), 0), 127) AS BIGINT) AS bin,
+       count(*) FROM read_parquet('{sf_oracle_dir}/events.parquet')
+GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert rows == whole
