@@ -1003,6 +1003,7 @@ def main() -> int:
         "rel_asof_join_tol",
         "rel_er_fuzzy_join",
         "fn_quantile_sketch",
+        "stream_quantile_sketch",
     ):
         timed_query(q, run_query_rows(q))
 

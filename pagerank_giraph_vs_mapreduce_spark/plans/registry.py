@@ -115,6 +115,7 @@ _PRIORITY = (
     "rel_asof_join_tol",
     "rel_er_fuzzy_join",
     "fn_quantile_sketch",
+    "stream_quantile_sketch",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

@@ -819,3 +819,81 @@ def stream_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(
         gated.select("doc_id", F.round("p", 9).alias("score")), "append"
     )
+
+
+def _stream_qsketch_oracle() -> str:
+    from pagerank_giraph_vs_mapreduce_spark.plans.function_queries import (
+        _qsketch_oracle,
+    )
+
+    return _qsketch_oracle()
+
+
+@query("stream_quantile_sketch", oracle=_stream_qsketch_oracle())
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn_quantile_sketch's 128 histogram counters maintained
+    INCREMENTALLY by Structured Streaming — counters are associative
+    sums, so the sketch IS a streaming aggregate with 128 state rows
+    forever (the stream_cms_heavy_hitters argument applied to
+    quantiles); the p50/p95/p99 interpolation runs query-time on the
+    drained snapshot (the continuous-aggregate split:
+    incremental-maintain cheap state, compute the final answer at read
+    time). Driven to end-of-input the counters equal the batch sketch's,
+    so the batch oracle holds verbatim."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.function_queries import (
+        QSK_BINS,
+        QSK_LO,
+        QSK_QS,
+        QSK_W,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    cells = (
+        ev.select(
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - QSK_LO) / QSK_W), F.lit(0)
+                ),
+                F.lit(QSK_BINS - 1),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = _drain(cells, "complete")
+
+    from pyspark.sql import Window
+
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_bef = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    n_df = b.agg(F.sum("c").alias("n"))
+    cum = b.select(
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.coalesce(F.sum("c").over(w_bef), F.lit(0)).alias("cum_before"),
+    ).crossJoin(F.broadcast(n_df))
+    qs = spark.createDataFrame([(q,) for q in QSK_QS], "q double")
+    hit = (
+        qs.join(cum, cum.cum >= F.ceil(F.col("q") * F.col("n")))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("q").orderBy("bin"))
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return hit.select(
+        "q",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            QSK_LO
+            + (
+                F.col("bin")
+                + (F.ceil(F.col("q") * F.col("n")) - F.col("cum_before"))
+                / F.col("c")
+            )
+            * QSK_W,
+            6,
+        ).alias("est"),
+    )
