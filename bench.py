@@ -1004,6 +1004,8 @@ def main() -> int:
         "rel_er_fuzzy_join",
         "fn_quantile_sketch",
         "stream_quantile_sketch",
+        "source_fixed_width",
+        "rel_skyline_2d",
     ):
         timed_query(q, run_query_rows(q))
 

@@ -116,6 +116,8 @@ _PRIORITY = (
     "rel_er_fuzzy_join",
     "fn_quantile_sketch",
     "stream_quantile_sketch",
+    "source_fixed_width",
+    "rel_skyline_2d",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

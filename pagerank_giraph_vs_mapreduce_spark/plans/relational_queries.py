@@ -2358,3 +2358,51 @@ def rel_er_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("bigint").alias("lev"),
         )
     )
+
+
+# --------------------------------------------------------------- skyline
+
+_SKYLINE_SQL = """WITH per_size AS (
+  SELECT p_size, max(p_retailprice) AS mx
+  FROM part GROUP BY p_size),
+fr AS (
+  SELECT p_size, mx,
+         max(mx) OVER (ORDER BY p_size DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS m1
+  FROM per_size)
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p JOIN fr ON fr.p_size = p.p_size
+WHERE p.p_retailprice = fr.mx
+  AND (fr.m1 IS NULL OR fr.m1 < p.p_retailprice)"""
+
+
+@query("rel_skyline_2d", oracle=_SKYLINE_SQL)
+def rel_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of parts (maximize size AND retail price): a
+    part survives iff nothing is >= on both axes and > on one — the
+    multi-criteria shortlist operator (BNL/D&C in the skyline papers).
+    The 2-D case needs no pairwise work at all: reduce to the per-size
+    price maxima (ONE map-side-combined agg to ~|distinct sizes| rows),
+    take the running max over strictly larger sizes on that TINY table
+    (window over 50 rows — distinct sizes, so a 1-PRECEDING row frame IS
+    the strict-dominance frame), and broadcast the verdict back as a
+    per-row filter. Dominance within a size = price < its size's max;
+    dominance from larger sizes = price <= the running max. Scan-sized
+    work, 50-row window, zero pairwise comparisons at any scale."""
+    part = load_table(spark, sf_dir, "part")
+    per_size = part.groupBy("p_size").agg(
+        F.max("p_retailprice").alias("mx")
+    )
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fr = per_size.withColumn("m1", F.max("mx").over(w))
+    return (
+        part.join(F.broadcast(fr), "p_size")
+        .filter(
+            (F.col("p_retailprice") == F.col("mx"))
+            & (F.col("m1").isNull() | (F.col("m1") < F.col("p_retailprice")))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )

@@ -717,3 +717,59 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(out)
     )
     return _roundtrip_agg(back)
+
+
+# Fixed-width layout for the flat-file trip: doc_id right-padded to 12,
+# lang to 8, n_chars zero-padded to 10 — the COBOL copybook shape.
+_FW_ID_W, _FW_LANG_W, _FW_N_W = 12, 8, 10
+
+
+@query(
+    "source_fixed_width",
+    oracle=f"""SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents GROUP BY lang""",
+)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width flat-file ingest — the mainframe/copybook format that
+    predates every delimiter: each record is doc_id(12, right-padded) ·
+    lang(8) · n_chars(10, zero-padded) with NO separators. Written as a
+    text file, read back as raw lines, and sliced by substring positions
+    into typed columns (try_cast after trim — ANSI-safe). There is no
+    built-in fixed-width source; the point is that the SLICING is plain
+    codegen expressions over a text scan, splittable by line like any
+    text format. The per-lang aggregate over the round-tripped columns
+    must equal the oracle computed on the original table — a wrong
+    offset, width, or padding rule shifts every downstream field and
+    breaks the hash."""
+    out = _staging_dir("src_fw_", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    line = F.concat(
+        F.rpad(F.col("doc_id").cast("string"), _FW_ID_W, " "),
+        F.rpad(F.col("lang"), _FW_LANG_W, " "),
+        F.lpad(F.col("n_chars").cast("string"), _FW_N_W, "0"),
+    )
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    p_id, p_lang = 1, 1 + _FW_ID_W
+    p_n = p_lang + _FW_LANG_W
+    back = raw.select(
+        F.trim(F.substring("value", p_id, _FW_ID_W))
+        .try_cast("bigint")
+        .alias("doc_id"),
+        F.trim(F.substring("value", p_lang, _FW_LANG_W)).alias("lang"),
+        F.trim(F.substring("value", p_n, _FW_N_W))
+        .try_cast("bigint")
+        .alias("n_chars"),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_n_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )

@@ -529,3 +529,43 @@ SELECT bin, sum(c) FROM b GROUP BY bin ORDER BY bin"""
 GROUP BY 1 ORDER BY 1"""
     ).fetchall()
     assert rows == whole
+
+
+def test_skyline_matches_bruteforce(spark, tmp_path):
+    """Skyline on hand points vs O(n²) dominance brute force, including
+    ties on both axes (both kept) and a strictly dominated duplicate."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    pts = [
+        (1, "a", "b", "t", 10, 100.0),
+        (2, "a", "b", "t", 10, 100.0),   # tie on both axes with 1: both kept
+        (3, "a", "b", "t", 10, 90.0),    # dominated within size
+        (4, "a", "b", "t", 20, 80.0),
+        (5, "a", "b", "t", 30, 80.0),    # dominates 4 (same price, bigger)
+        (6, "a", "b", "t", 5, 120.0),
+        (7, "a", "b", "t", 4, 119.0),    # dominated by 6
+    ]
+    d = tmp_path / "sky"
+    spark.createDataFrame(
+        pts,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(str(d / "part.parquet"))
+    got = {r["p_partkey"] for r in QUERIES["rel_skyline_2d"](spark, str(d)).collect()}
+
+    def dominated(p, q):
+        return (
+            q[4] >= p[4] and q[5] >= p[5] and (q[4] > p[4] or q[5] > p[5])
+        )
+
+    want = {
+        p[0]
+        for p in pts
+        if not any(dominated(p, q) for q in pts if q[0] != p[0])
+    }
+    assert want == {1, 2, 5, 6}
+    assert got == want
