@@ -1006,6 +1006,8 @@ def main() -> int:
         "stream_quantile_sketch",
         "source_fixed_width",
         "rel_skyline_2d",
+        "text_pmi_bigrams",
+        "g_degree_gini",
     ):
         timed_query(q, run_query_rows(q))
 

@@ -1953,3 +1953,49 @@ def g_diameter_lb_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = per.agg(F.max("ecc_lb").alias("diameter_lb"))
     return per.crossJoin(F.broadcast(glob))
+
+
+_GINI_SQL = f"""{GRAPH_CTES},
+rk AS (
+  SELECT outdeg AS d,
+         row_number() OVER (ORDER BY outdeg, id) AS r
+  FROM deg)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(d) AS BIGINT) AS sum_deg,
+       round((2.0 * sum(r * d) - (count(*) + 1) * sum(d))
+             / (count(*) * sum(d)), 9) AS gini
+FROM rk"""
+
+
+@query("g_degree_gini", oracle=_GINI_SQL)
+def g_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the out-degree distribution — the single
+    number that says HOW skewed the graph is (0 = regular, ->1 = one
+    hub owns everything): the statistic behind every hub-cap/salting
+    decision this engine makes (two_hop/AA/square caps, the pagerank
+    hub split). Sorted-rank identity: G = (2·Σ r·d − (n+1)·Σd)/(n·Σd)
+    with r the (degree, id) rank — integer sums into ONE final division.
+    Scale note: the rank is a global row_number over the DEGREE TABLE
+    (V rows, not E) — a single-partition window by declared design,
+    like exact AUC; the distributed alternative (histogram Gini over
+    binned degrees) trades exactness for a partitioned plan and belongs
+    next to fn_quantile_sketch if V itself outgrows a node."""
+    _, _, _, deg = _graph_parts(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    rk = deg.select(
+        F.col("outdeg").alias("d"),
+        F.row_number().over(W.orderBy("outdeg", "id")).alias("r"),
+    )
+    return rk.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum("d").cast("bigint").alias("sum_deg"),
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("r") * F.col("d"))
+                - (F.count(F.lit(1)) + F.lit(1)) * F.sum("d")
+            )
+            / (F.count(F.lit(1)) * F.sum("d")),
+            9,
+        ).alias("gini"),
+    )

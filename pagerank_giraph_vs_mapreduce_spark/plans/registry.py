@@ -118,6 +118,8 @@ _PRIORITY = (
     "stream_quantile_sketch",
     "source_fixed_width",
     "rel_skyline_2d",
+    "text_pmi_bigrams",
+    "g_degree_gini",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

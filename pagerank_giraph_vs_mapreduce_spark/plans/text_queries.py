@@ -1147,3 +1147,96 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+_PMI_SQL = f"""WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t != '') AS l
+  FROM documents),
+uni AS (
+  SELECT t.tok, count(*) AS cu
+  FROM toks, LATERAL unnest(l) AS t(tok) GROUP BY t.tok),
+nn AS (SELECT sum(cu) AS n FROM uni),
+bg AS (
+  SELECT t.bg, count(*) AS cb FROM toks, LATERAL unnest(
+    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+  ) AS t(bg) GROUP BY t.bg HAVING count(*) >= {PMI_MIN_COUNT}),
+mm AS (SELECT sum(cb) AS m FROM (
+  SELECT t.bg, count(*) AS cb FROM toks, LATERAL unnest(
+    list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])
+  ) AS t(bg) GROUP BY t.bg))
+SELECT b.bg AS bigram, b.cb, ux.cu AS cx, uy.cu AS cy,
+       round(ln(b.cb) + ln(n) + ln(n) - ln(m) - ln(ux.cu) - ln(uy.cu), 6)
+         AS pmi
+FROM bg b
+JOIN uni ux ON ux.tok = string_split(b.bg, ' ')[1]
+JOIN uni uy ON uy.tok = string_split(b.bg, ' ')[2],
+     nn, mm
+ORDER BY pmi DESC, bigram LIMIT {PMI_TOP_K}"""
+
+
+@query("text_pmi_bigrams", oracle=_PMI_SQL)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information —
+    ln(P(xy) / (P(x)P(y))) — the statistic that separates real
+    collocations from frequent-word coincidence (what
+    text_bigrams_top20's raw counts cannot do). Counts are integers;
+    PMI is computed as a SUM OF LOGS of exact-integer doubles in one
+    fixed order (ln cb + 2 ln N − ln M − ln cx − ln cy, rounded 6 dp) so
+    no bigint product can overflow at corpus scale. min-count {mc}
+    floors the variance. Plan: the bigram/unigram aggregates are the
+    corpus-scan shapes of the count queries; the two unigram joins key
+    on the vocabulary (bounded), never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda t: t != ""
+    )
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    nn = uni.agg(F.sum("cu").alias("n"))
+    bg_all = (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    mm = bg_all.agg(F.sum("cb").alias("m"))
+    bg = bg_all.filter(F.col("cb") >= PMI_MIN_COUNT)
+    ux = uni.select(F.col("tok").alias("_x"), F.col("cu").alias("cx"))
+    uy = uni.select(F.col("tok").alias("_y"), F.col("cu").alias("cy"))
+    return (
+        bg.withColumn("_x", F.split(F.col("bg"), " ")[0])
+        .withColumn("_y", F.split(F.col("bg"), " ")[1])
+        .join(ux, "_x")
+        .join(uy, "_y")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.col("bg").alias("bigram"),
+            "cb",
+            "cx",
+            "cy",
+            F.round(
+                F.log(F.col("cb"))
+                + F.log(F.col("n"))
+                + F.log(F.col("n"))
+                - F.log(F.col("m"))
+                - F.log(F.col("cx"))
+                - F.log(F.col("cy")),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(PMI_TOP_K)
+    )

