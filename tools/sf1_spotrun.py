@@ -32,6 +32,10 @@ HEADLINERS = [
     "dedup_simhash64_near_dups",
     "dedup_cdc_chunks",
     "text_tfidf_top_term",
+    # round-10 documents-table additions
+    "pipeline_span_corrupt",
+    "pipeline_url_dedup",
+    "text_pmi_bigrams",
 ]
 
 BASE = "/root/testdata/sf0.1"
@@ -82,11 +86,18 @@ def main() -> int:
         )
         print("measured", name, "base", base, "sf1", big)
 
+    # splice out ONLY the prior section of the same name (up to the next
+    # "\n## " heading) — truncating at the marker would delete every
+    # section other tools appended after it (the ADVICE r09 #2 defect,
+    # fixed in sf1_graph_spotrun and now here)
     with open("/root/repo/RUNTIME.md") as fh:
         doc = fh.read()
     marker = "\n## sf1 spot-run"
     if marker in doc:
-        doc = doc[: doc.index(marker)]
+        start = doc.index(marker)
+        nxt = doc.find("\n## ", start + len(marker))
+        tail = doc[nxt:] if nxt != -1 else ""
+        doc = doc[:start] + tail
     with open("/root/repo/RUNTIME.md", "w") as fh:
         fh.write(doc.rstrip("\n") + "\n" + "\n".join(lines) + "\n")
     print("appended sf1 section to RUNTIME.md")
