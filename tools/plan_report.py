@@ -195,6 +195,14 @@ HEADLINE = [
     "pipeline_model_auc",
     "pipeline_span_corrupt",
     "stream_model_gate",
+    "rel_asof_join_tol",
+    "rel_er_fuzzy_join",
+    "fn_quantile_sketch",
+    "stream_quantile_sketch",
+    "source_fixed_width",
+    "rel_skyline_2d",
+    "text_pmi_bigrams",
+    "g_degree_gini",
 ]
 
 
