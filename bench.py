@@ -1008,6 +1008,7 @@ def main() -> int:
         "rel_skyline_2d",
         "text_pmi_bigrams",
         "g_degree_gini",
+        "rel_assoc_rules",
     ):
         timed_query(q, run_query_rows(q))
 

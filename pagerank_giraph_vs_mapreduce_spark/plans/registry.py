@@ -120,6 +120,7 @@ _PRIORITY = (
     "rel_skyline_2d",
     "text_pmi_bigrams",
     "g_degree_gini",
+    "rel_assoc_rules",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

@@ -2406,3 +2406,81 @@ def rel_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_size", "p_retailprice")
     )
+
+
+# ------------------------------------------------------ association rules
+
+AR_MIN_SUP = 50  # min co-occurrence count for a pair to be reported
+AR_TOP_K = 20
+
+_ASSOC_SQL = f"""WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+  FROM lineitem JOIN part ON p_partkey = l_partkey),
+item_sup AS (
+  SELECT item, count(*) AS sx FROM baskets GROUP BY item),
+nb AS (SELECT count(DISTINCT ok) AS n FROM baskets),
+pair_sup AS (
+  SELECT a.item AS x, b.item AS y, count(*) AS sxy
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY 1, 2 HAVING count(*) >= {AR_MIN_SUP})
+SELECT p.x, p.y, p.sxy, ix.sx AS sup_x, iy.sx AS sup_y,
+       round(p.sxy / ix.sx, 6) AS conf_x_to_y,
+       round((p.sxy * n) / (ix.sx * iy.sx), 6) AS lift
+FROM pair_sup p
+JOIN item_sup ix ON ix.item = p.x
+JOIN item_sup iy ON iy.item = p.y, nb
+ORDER BY lift DESC, p.x, p.y LIMIT {AR_TOP_K}"""
+
+
+@query("rel_assoc_rules", oracle=_ASSOC_SQL)
+def rel_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (items =
+    part BRANDS via a broadcast dim join — part-level pairs never reach
+    support at any driver scale; brand is the category grain real rule
+    mining reports): top-20 pairs by LIFT (observed co-occurrence over independence), with
+    support counts and X→Y confidence — the Apriori/FP-growth output
+    shape for pair itemsets. The pair generator self-joins the DISTINCT
+    (order, item) baskets on the order key, so fan-out is Σ per-basket
+    |items|² — bounded by the basket size the source caps (TPC-H orders
+    carry ≤ 7 lines; a retail pipeline would cap or sample whale
+    baskets, the two_hop discipline). All supports are integers;
+    confidence and lift are single divisions of integer products rounded
+    to 6 dp (basket counts bound the products far under 2^63)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    item_sup = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("sx"))
+    nb = baskets.agg(F.countDistinct("ok").alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair_sup = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count(F.lit(1)).alias("sxy"))
+        .filter(F.col("sxy") >= AR_MIN_SUP)
+    )
+    ix = item_sup.select(F.col("item").alias("x"), F.col("sx").alias("sup_x"))
+    iy = item_sup.select(F.col("item").alias("y"), F.col("sx").alias("sup_y"))
+    return (
+        pair_sup.join(ix, "x")
+        .join(iy, "y")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "x",
+            "y",
+            "sxy",
+            "sup_x",
+            "sup_y",
+            F.round(F.col("sxy") / F.col("sup_x"), 6).alias("conf_x_to_y"),
+            F.round(
+                (F.col("sxy") * F.col("n")) / (F.col("sup_x") * F.col("sup_y")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "x", "y")
+        .limit(AR_TOP_K)
+    )

@@ -617,3 +617,52 @@ def test_degree_gini_known_distributions(spark, tmp_path):
         degs = {1: 3, 2: 1}
         assert (n, s) == (2, 4)
         assert abs(g - gini_of(list(degs.values()))) < 1e-9
+
+
+def test_assoc_rules_hand_baskets(spark, tmp_path):
+    """Support/confidence/lift on hand baskets where the answer is
+    computable by hand: brands A,B co-occur in every basket (lift 1.0
+    at full support), C appears alone half the time."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+    import pagerank_giraph_vs_mapreduce_spark.plans.relational_queries as rq
+
+    load_all_queries()
+    # baskets: 60x {A,B,C}, 60x {A,B} -> sup A=B=120, C=60; AB=120, AC=BC=60
+    li_rows, part_rows = [], []
+    pk = {"A": 1, "B": 2, "C": 3}
+    for brand, k in pk.items():
+        part_rows.append((k, f"part{k}", brand, "t", 1, 1.0))
+    ln = 0
+    for ok in range(120):
+        items = ["A", "B"] + (["C"] if ok < 60 else [])
+        for it in items:
+            ln += 1
+            li_rows.append((ok, pk[it], 1, ln, 1.0, 1.0, 0.0, 0.0, "N", "O",
+                            None))
+    d = tmp_path / "ar"
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp_ntz",
+    ).write.parquet(str(d / "lineitem.parquet"))
+    spark.createDataFrame(
+        part_rows,
+        "p_partkey bigint, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(str(d / "part.parquet"))
+    got = {(r["x"], r["y"]): r for r in
+           QUERIES["rel_assoc_rules"](spark, str(d)).collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert ab["sxy"] == 120 and ab["sup_x"] == 120 and ab["sup_y"] == 120
+    assert ab["conf_x_to_y"] == 1.0
+    assert ab["lift"] == 1.0  # 120*120/(120*120)
+    ac = got[("A", "C")]
+    assert ac["sxy"] == 60 and ac["sup_y"] == 60
+    assert ac["conf_x_to_y"] == 0.5
+    assert ac["lift"] == 1.0  # 60*120/(120*60) — C independent of A
