@@ -1009,6 +1009,7 @@ def main() -> int:
         "text_pmi_bigrams",
         "g_degree_gini",
         "rel_assoc_rules",
+        "g_matching_r3",
     ):
         timed_query(q, run_query_rows(q))
 

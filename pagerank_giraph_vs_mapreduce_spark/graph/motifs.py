@@ -540,3 +540,60 @@ def jaccard_topk(edges: DataFrame, hub_cap: int = 256, k: int = 20) -> DataFrame
         .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
         .limit(k)
     )
+
+
+def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Deterministic distributed matching by mutual-minimum proposals —
+    the coarsening primitive under multilevel partitioners (METIS-style)
+    and Louvain-type aggregation: per round every live vertex proposes
+    to its MINIMUM-id live neighbor, an edge matches iff the proposals
+    are mutual, and matched vertices leave the graph. Min-id proposals
+    make every round a pure function of the edge set, so a fixed-round
+    run unrolls into a SQL oracle (the k-core discipline); each round is
+    one aggregate (min neighbor per vertex) + one self-join of the
+    V-sized proposal table — never an edge-table self-join. Matched
+    pairs accumulate; ``rounds`` is a declared knob (mutual-min
+    matching halves the live graph's matchable fraction per round in
+    expectation; 3 rounds capture the bulk, exactness-to-maximality is
+    the convergence variant's job).
+
+    Returns (u, v, round) with u < v, disjoint across rows.
+    """
+    sym = undirect_dedup(edges)
+    live = sym.select(F.col("u").alias("node")).union(
+        sym.select(F.col("v").alias("node"))
+    ).distinct()
+    adj = sym.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
+        sym.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    matched_parts = []
+    for r in range(1, rounds + 1):
+        alive_adj = adj.join(live, "node", "left_semi").join(
+            live.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
+        )
+        prop = alive_adj.groupBy("node").agg(F.min("nbr").alias("prop"))
+        p1 = prop.alias("p1")
+        p2 = prop.alias("p2")
+        pairs = (
+            p1.join(
+                p2,
+                (F.col("p1.prop") == F.col("p2.node"))
+                & (F.col("p2.prop") == F.col("p1.node"))
+                & (F.col("p1.node") < F.col("p2.node")),
+            )
+            .select(
+                F.col("p1.node").alias("u"),
+                F.col("p2.node").alias("v"),
+                F.lit(r).cast("int").alias("round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        matched_parts.append(pairs)
+        gone = pairs.select(F.col("u").alias("node")).union(
+            pairs.select(F.col("v").alias("node"))
+        )
+        live = live.join(gone, "node", "left_anti").localCheckpoint(eager=True)
+    out = matched_parts[0]
+    for p in matched_parts[1:]:
+        out = out.unionByName(p)
+    return out

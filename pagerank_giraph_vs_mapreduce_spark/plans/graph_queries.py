@@ -1999,3 +1999,54 @@ def g_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+MATCHING_ROUNDS = 3
+
+
+def _matching_oracle(rounds: int) -> str:
+    parts = [
+        f"""{GRAPH_CTES},
+und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst GROUP BY 1, 2),
+sym AS (SELECT u AS node, v AS nbr FROM und
+        UNION ALL SELECT v AS node, u AS nbr FROM und),
+live0 AS (SELECT DISTINCT node FROM sym)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+aa{r} AS (SELECT s.node, s.nbr FROM sym s
+          JOIN live{r - 1} a ON s.node = a.node
+          JOIN live{r - 1} b ON s.nbr = b.node),
+pr{r} AS (SELECT node, min(nbr) AS prop FROM aa{r} GROUP BY node),
+m{r} AS (SELECT p1.node AS u, p2.node AS v
+         FROM pr{r} p1 JOIN pr{r} p2
+           ON p1.prop = p2.node AND p2.prop = p1.node
+          AND p1.node < p2.node),
+live{r} AS (SELECT node FROM live{r - 1} l
+            WHERE NOT EXISTS (SELECT 1 FROM m{r}
+                              WHERE m{r}.u = l.node OR m{r}.v = l.node))"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT u, v, CAST({r} AS INT) AS round FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + finals
+
+
+@query("g_matching_r3", oracle=_matching_oracle(MATCHING_ROUNDS))
+def g_matching_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rounds of deterministic mutual-minimum matching
+    (graph/motifs.py:greedy_matching) — the coarsening primitive under
+    multilevel partitioners and community aggregation: every live vertex
+    proposes to its min-id live neighbor, mutual proposals match and
+    leave. Min-id proposals make each round a pure function of the edge
+    set, so the whole run unrolls into SQL (the k-core discipline);
+    per-round cost is one V-sized min-aggregate plus a self-join of the
+    PROPOSAL table (V rows), never of the edges. Disjointness is
+    structural (matched vertices leave the live set) and pinned by
+    pytest."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import greedy_matching
+
+    return greedy_matching(derived_edges(spark, sf_dir), rounds=MATCHING_ROUNDS)

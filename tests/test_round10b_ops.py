@@ -666,3 +666,50 @@ def test_assoc_rules_hand_baskets(spark, tmp_path):
     assert ac["sxy"] == 60 and ac["sup_y"] == 60
     assert ac["conf_x_to_y"] == 0.5
     assert ac["lift"] == 1.0  # 60*120/(120*60) — C independent of A
+
+
+def test_greedy_matching_properties(spark):
+    """Mutual-min matching on hand graphs: a path matches greedily from
+    the low ids and completes in two rounds; a star matches exactly
+    (center, min leaf); the output is ALWAYS a valid matching (vertex-
+    disjoint pairs that are real edges); and enough rounds reach
+    maximality on small random graphs (no live edge remains)."""
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import greedy_matching
+
+    # path 1-2-3-4: round 1 -> (1,2); round 2 -> (3,4)
+    got = {
+        (r["u"], r["v"]): r["round"]
+        for r in greedy_matching(
+            make_edges(spark, [(1, 2), (2, 3), (3, 4)]), rounds=3
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (3, 4): 2}
+
+    # star: only (center, min leaf) can ever match
+    got = greedy_matching(
+        make_edges(spark, [(0, i) for i in range(1, 9)]), rounds=3
+    ).collect()
+    assert [(r["u"], r["v"]) for r in got] == [(0, 1)]
+
+    rng = random.Random(17)
+    for trial in range(3):
+        pairs = sorted(
+            {
+                (a, b)
+                for a in range(14)
+                for b in range(a + 1, 14)
+                if rng.random() < 0.25
+            }
+        )
+        rows = greedy_matching(make_edges(spark, pairs), rounds=8).collect()
+        eset = set(pairs)
+        used = []
+        for r in rows:
+            assert (r["u"], r["v"]) in eset, (trial, r)
+            used += [r["u"], r["v"]]
+        assert len(used) == len(set(used)), "matching must be vertex-disjoint"
+        # maximality after 8 rounds: no remaining edge with both ends free
+        free = {x for p in pairs for x in p} - set(used)
+        assert not any(a in free and b in free for a, b in pairs), trial
