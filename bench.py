@@ -1010,6 +1010,7 @@ def main() -> int:
         "g_degree_gini",
         "rel_assoc_rules",
         "g_matching_r3",
+        "g_coarsen_r3",
     ):
         timed_query(q, run_query_rows(q))
 

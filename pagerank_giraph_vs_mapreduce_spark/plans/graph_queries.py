@@ -2050,3 +2050,73 @@ def g_matching_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import greedy_matching
 
     return greedy_matching(derived_edges(spark, sf_dir), rounds=MATCHING_ROUNDS)
+
+
+_MATCHED_UNION = "\nUNION ALL\n".join(
+    f"SELECT u, v FROM m{r}" for r in range(1, MATCHING_ROUNDS + 1)
+)
+
+_COARSEN_SQL = (
+    _matching_oracle(MATCHING_ROUNDS).split("\nSELECT u, v", 1)[0]
+    + f""",
+matched AS ({_MATCHED_UNION}),
+mapping AS (
+  SELECT node, node AS super FROM live0
+  WHERE NOT EXISTS (SELECT 1 FROM matched
+                    WHERE matched.u = node OR matched.v = node)
+  UNION ALL SELECT u AS node, u AS super FROM matched
+  UNION ALL SELECT v AS node, u AS super FROM matched),
+ce AS (
+  SELECT least(mu.super, mv.super) AS cu,
+         greatest(mu.super, mv.super) AS cv,
+         count(*) AS weight
+  FROM und JOIN mapping mu ON mu.node = und.u
+           JOIN mapping mv ON mv.node = und.v
+  WHERE mu.super <> mv.super
+  GROUP BY 1, 2)
+SELECT cu, cv, CAST(weight AS BIGINT) AS weight FROM ce"""
+)
+
+
+@query("g_coarsen_r3", oracle=_COARSEN_SQL)
+def g_coarsen_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel graph coarsening — the step AFTER g_matching_r3 in a
+    METIS-style partitioner: contract every matched pair into a
+    super-vertex (named by the pair's min id; unmatched vertices map to
+    themselves), drop the intra-pair edges, and aggregate parallel edges
+    into integer weights — the same condensation shape as
+    g_louvain_l2's aggregation phase, driven by the matching instead of
+    communities. One V-row mapping join per endpoint + one
+    map-side-combined weight aggregate; the condensed graph is the
+    recursion input of the multilevel scheme. All-integer output."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        greedy_matching,
+        undirect_dedup,
+    )
+
+    und = undirect_dedup(derived_edges(spark, sf_dir))
+    m = greedy_matching(derived_edges(spark, sf_dir), rounds=MATCHING_ROUNDS)
+    verts = und.select(F.col("u").alias("node")).union(
+        und.select(F.col("v").alias("node"))
+    ).distinct()
+    gone = m.select(F.col("u").alias("node")).union(
+        m.select(F.col("v").alias("node"))
+    )
+    mapping = (
+        verts.join(gone, "node", "left_anti")
+        .select("node", F.col("node").alias("super"))
+        .unionByName(m.select(F.col("u").alias("node"), F.col("u").alias("super")))
+        .unionByName(m.select(F.col("v").alias("node"), F.col("u").alias("super")))
+    )
+    mu = mapping.select(F.col("node").alias("u"), F.col("super").alias("su"))
+    mv = mapping.select(F.col("node").alias("v"), F.col("super").alias("sv"))
+    return (
+        und.join(mu, "u")
+        .join(mv, "v")
+        .filter(F.col("su") != F.col("sv"))
+        .groupBy(
+            F.least("su", "sv").alias("cu"),
+            F.greatest("su", "sv").alias("cv"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
+    )

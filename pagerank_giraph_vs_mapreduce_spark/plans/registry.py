@@ -122,6 +122,7 @@ _PRIORITY = (
     "g_degree_gini",
     "rel_assoc_rules",
     "g_matching_r3",
+    "g_coarsen_r3",
     # --- code/oracle changed in r10 (ADVICE fixes): re-certify
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",

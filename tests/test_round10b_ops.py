@@ -713,3 +713,40 @@ def test_greedy_matching_properties(spark):
         # maximality after 8 rounds: no remaining edge with both ends free
         free = {x for p in pairs for x in p} - set(used)
         assert not any(a in free and b in free for a, b in pairs), trial
+
+
+def test_coarsen_preserves_edge_mass(spark, sf_oracle_dir):
+    """Contraction invariants: Σ condensed weights + intra-pair edges =
+    |und|; every super-vertex id is a real vertex; no self rows; and the
+    condensed vertex count is |V| - |matched pairs|."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        greedy_matching,
+        undirect_dedup,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.plans.graph_queries import (
+        MATCHING_ROUNDS,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.plans.registry import (
+        QUERIES,
+        load_all_queries,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import derived_edges
+
+    load_all_queries()
+    ce = QUERIES["g_coarsen_r3"](spark, sf_oracle_dir).collect()
+    und = undirect_dedup(derived_edges(spark, sf_oracle_dir)).collect()
+    m = greedy_matching(
+        derived_edges(spark, sf_oracle_dir), rounds=MATCHING_ROUNDS
+    ).collect()
+    sup = {}
+    for r in m:
+        sup[r["u"]] = r["u"]
+        sup[r["v"]] = r["u"]
+    verts = {x for e in und for x in (e["u"], e["v"])}
+    for v in verts:
+        sup.setdefault(v, v)
+    n_intra = sum(1 for e in und if sup[e["u"]] == sup[e["v"]])
+    assert sum(r["weight"] for r in ce) == len(und) - n_intra
+    assert all(r["cu"] < r["cv"] for r in ce)
+    supers = {r["cu"] for r in ce} | {r["cv"] for r in ce}
+    assert supers <= set(sup.values())
