@@ -73,6 +73,24 @@ DEFAULT = [
     "fn_kmv_set_ops",
     "mm_ivf_frames",
     "pipeline_train_quality_lr_mb",
+    # round-10
+    "g_square_count",
+    "g_link_jaccard",
+    "rel_profile_columns",
+    "pipeline_url_dedup",
+    "rel_win_ewma8",
+    "mm_scene_cuts",
+    "pipeline_model_auc",
+    "pipeline_span_corrupt",
+    "rel_asof_join_tol",
+    "rel_er_fuzzy_join",
+    "fn_quantile_sketch",
+    "rel_skyline_2d",
+    "text_pmi_bigrams",
+    "g_degree_gini",
+    "rel_assoc_rules",
+    "g_matching_r3",
+    "g_coarsen_r3",
 ]
 
 
@@ -157,13 +175,16 @@ def main() -> int:
             f"{m['shuffle_records']} | {m['shuffle_mb']} | {m['scan_rows']} |"
         )
         print("measured", name, m)
-    # Preserve the sf1 spot-run section (tools/sf1_spotrun.py appends it;
-    # its measurements are an independent, expensive artifact).
+    # Preserve EVERY appended "## " section (the spot-run tools own them;
+    # their measurements are independent, expensive artifacts). Keying on
+    # one section's name dropped whichever sections happened to precede it
+    # in the file — "\n## sf1 spot-run" even prefix-matched a DIFFERENT
+    # section's longer title — so preserve from the first heading onward.
     tail = ""
     try:
         with open("/root/repo/RUNTIME.md") as fh:
             doc = fh.read()
-        marker = "\n## sf1 spot-run"
+        marker = "\n## "
         if marker in doc:
             tail = doc[doc.index(marker) :]
     except OSError:
