@@ -439,7 +439,11 @@ def url_canonicalize(url):
     pre = F.lower(pre)
     pre = F.regexp_replace(pre, "^http://(.*):80$", "http://$1")
     pre = F.regexp_replace(pre, "^https://(.*):443$", "https://$1")
-    rest = F.regexp_replace(rest, "(utm_[a-z]+|fbclid)=[^&#]*", "")
+    # Anchored to the ?/& separator (kept via backref) so longer param
+    # names that merely END in a tracker name (?xfbclid=, ?myutm_foo=)
+    # are never substring-mangled; the repair steps below then collapse
+    # the doubled separators the removal leaves behind.
+    rest = F.regexp_replace(rest, "([?&])(utm_[a-z]+|fbclid)=[^&#]*", "$1")
     rest = F.regexp_replace(rest, "&&+", "&")
     rest = F.regexp_replace(rest, "\\?&", "?")
     rest = F.regexp_replace(rest, "[?&]+$", "")

@@ -1420,7 +1420,19 @@ def wav_decimate(media: DataFrame, factor: int = 4) -> DataFrame:
                 with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                     n = w.getnframes()
                     rate = w.getframerate()
+                    nch = w.getnchannels()
+                    width = w.getsampwidth()
                     raw = w.readframes(n)
+                # The '<{n}h' unpack and the re-encode below assume
+                # mono/16-bit; anything else would mis-interleave or
+                # raise an opaque struct.error mid-batch — fail loudly
+                # with the clip identified instead.
+                if nch != 1 or width != 2:
+                    raise ValueError(
+                        f"wav_decimate supports mono 16-bit PCM only; "
+                        f"doc_id={int(doc_id)} has nchannels={nch}, "
+                        f"sampwidth={width}"
+                    )
                 samples = struct.unpack(f"<{n}h", raw)[::factor]
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:

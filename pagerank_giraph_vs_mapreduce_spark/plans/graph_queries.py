@@ -1955,7 +1955,112 @@ def g_diameter_lb_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(glob))
 
 
+# Hybrid degree bins for the distributed Gini (the fn_quantile_sketch
+# discipline applied to a rank statistic): degrees below GINI_D0 get an
+# IDENTITY bin each (zero within-bin dispersion — exactly where the
+# power-law mass lives), degrees >= GINI_D0 get sqrt-spaced bins
+# GINI_D0 + floor(sqrt(d - GINI_D0)) whose relative width peaks at
+# (2k+1)/(GINI_D0+k^2) = 65/2048 ~ 3.2% (k=32). sqrt is CORRECTLY
+# ROUNDED under IEEE 754 (unlike log2), so the bin id is bit-identical
+# across engines — safe for the exact-hash oracle gate. Bin-table size
+# is bounded by GINI_D0 + sqrt(max_degree) (~33k rows even at
+# max_degree 1e9), so the cumulative window runs over the BIN table,
+# never the V-row degree table.
+GINI_D0 = 1024
+
 _GINI_SQL = f"""{GRAPH_CTES},
+b AS (
+  SELECT CASE WHEN outdeg < {GINI_D0} THEN outdeg
+         ELSE {GINI_D0} + CAST(floor(sqrt(outdeg - {GINI_D0})) AS BIGINT)
+         END AS bin,
+         count(*) AS n, sum(outdeg) AS s
+  FROM deg GROUP BY 1),
+c AS (
+  SELECT bin, n, s,
+         coalesce(sum(n) OVER (ORDER BY bin
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cb
+  FROM b),
+t AS (SELECT sum(n) AS nn, sum(s) AS ss, count(*) AS n_bins,
+             sum(CAST(s AS HUGEINT) * (2 * cb + n + 1)) AS tt
+      FROM c)
+SELECT CAST(nn AS BIGINT) AS n_vertices,
+       CAST(ss AS BIGINT) AS sum_deg,
+       CAST(n_bins AS BIGINT) AS n_bins,
+       round((CAST(tt AS DOUBLE) - (nn + 1.0) * ss) / (1.0 * nn * ss), 9)
+         AS gini
+FROM t"""
+
+
+@query("g_degree_gini", oracle=_GINI_SQL)
+def g_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the out-degree distribution — the single
+    number that says HOW skewed the graph is (0 = regular, ->1 = one
+    hub owns everything): the statistic behind every hub-cap/salting
+    decision this engine makes (two_hop/AA/square caps, the pagerank
+    hub split). DEFAULT = the binned form (VERDICT r10 What's-wrong #1):
+    one map-side-combined aggregate folds V degree rows into the hybrid
+    bin table (see GINI_D0 — identity bins below 1024, sqrt bins above),
+    then the grouped rank-sum identity
+    G = (Σ_b s_b·(2·C_before + n_b + 1) − (N+1)·S) / (N·S)
+    uses only per-bin integer sums; the cumulative window runs over the
+    BOUNDED bin table, never the vertices. Underestimates the exact G by
+    at most (65/2048)·(1 + N/S) — zero error whenever max degree < 1024
+    (every sub-D0 bin is a single degree value) — bound pinned by pytest
+    against the exact form; plan pinned to contain no row_number and no
+    V-row window. Exact single-partition form: g_degree_gini_exact."""
+    _, _, _, deg = _graph_parts(spark, sf_dir)
+    return binned_degree_gini(deg)
+
+
+def binned_degree_gini(deg: DataFrame) -> DataFrame:
+    """Grouped rank-sum Gini over the hybrid bin table (see GINI_D0) for
+    any DataFrame with an integer ``outdeg`` column — the g_degree_gini
+    plan body, factored so the error-bound pytest can drive it on
+    synthetic hub-heavy degree tables."""
+    from pyspark.sql import Window as W
+
+    b = (
+        deg.select(
+            F.when(F.col("outdeg") < GINI_D0, F.col("outdeg"))
+            .otherwise(
+                GINI_D0 + F.floor(F.sqrt(F.col("outdeg") - GINI_D0))
+            )
+            .cast("bigint")
+            .alias("bin"),
+            F.col("outdeg"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("outdeg").alias("s"),
+        )
+    )
+    w_bef = W.orderBy("bin").rowsBetween(W.unboundedPreceding, -1)
+    c = b.select(
+        "bin",
+        "n",
+        "s",
+        F.coalesce(F.sum("n").over(w_bef), F.lit(0)).alias("cb"),
+    )
+    # The T sum can exceed int64 at 100 TB scale (T ~ S*N): exact
+    # decimal on the Spark side mirrors DuckDB's automatic HUGEINT.
+    term = F.col("s").cast("decimal(19,0)") * (
+        2 * F.col("cb") + F.col("n") + 1
+    ).cast("decimal(19,0)")
+    return c.agg(
+        F.sum("n").cast("bigint").alias("n_vertices"),
+        F.sum("s").cast("bigint").alias("sum_deg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.round(
+            (F.sum(term).cast("double") - (F.sum("n") + F.lit(1.0)) * F.sum("s"))
+            / (F.lit(1.0) * F.sum("n") * F.sum("s")),
+            9,
+        ).alias("gini"),
+    )
+
+
+_GINI_EXACT_SQL = f"""{GRAPH_CTES},
 rk AS (
   SELECT outdeg AS d,
          row_number() OVER (ORDER BY outdeg, id) AS r
@@ -1967,19 +2072,16 @@ SELECT CAST(count(*) AS BIGINT) AS n_vertices,
 FROM rk"""
 
 
-@query("g_degree_gini", oracle=_GINI_SQL)
-def g_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini coefficient of the out-degree distribution — the single
-    number that says HOW skewed the graph is (0 = regular, ->1 = one
-    hub owns everything): the statistic behind every hub-cap/salting
-    decision this engine makes (two_hop/AA/square caps, the pagerank
-    hub split). Sorted-rank identity: G = (2·Σ r·d − (n+1)·Σd)/(n·Σd)
-    with r the (degree, id) rank — integer sums into ONE final division.
-    Scale note: the rank is a global row_number over the DEGREE TABLE
-    (V rows, not E) — a single-partition window by declared design,
-    like exact AUC; the distributed alternative (histogram Gini over
-    binned degrees) trades exactness for a partitioned plan and belongs
-    next to fn_quantile_sketch if V itself outgrows a node."""
+@query("g_degree_gini_exact", oracle=_GINI_EXACT_SQL)
+def g_degree_gini_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT degree Gini via the sorted-rank identity
+    G = (2·Σ r·d − (n+1)·Σd)/(n·Σd), r the (degree, id) rank — integer
+    sums into ONE final division. The global row_number is a
+    single-partition sort of the V-row degree table — DECLARED
+    bounded-V-only (same family as exact AUC, where the window input is
+    small by construction): use it when V fits one task, e.g. to
+    calibrate the binned default's error; g_degree_gini (binned) is the
+    100 TB path."""
     _, _, _, deg = _graph_parts(spark, sf_dir)
     from pyspark.sql import Window as W
 

@@ -1842,7 +1842,7 @@ cn AS (SELECT doc_id,
   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     regexp_replace(
       regexp_replace(substr(u, length(pre0) + 1),
-                     '(utm_[a-z]+|fbclid)=[^&#]*', '', 'g'),
+                     '([?&])(utm_[a-z]+|fbclid)=[^&#]*', '\\1', 'g'),
       '&&+', '&', 'g'),
     '\\?&', '?', 'g'), '[?&]+$', '', 'g'), '/\\?', '?', 'g'),
     '/$', '', 'g') AS canonical_url

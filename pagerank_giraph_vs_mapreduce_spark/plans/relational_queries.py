@@ -2312,9 +2312,9 @@ dirty AS (
          substr(c_name, 1, p - 1) || substr(c_name, p + 1) AS dname
   FROM src),
 blk AS (SELECT dirty_id, dname,
-               substr(dname, length(dname) - 1, 2) AS bk FROM dirty),
+               right(dname, 2) AS bk FROM dirty),
 cb AS (SELECT c_custkey, c_name,
-              substr(c_name, length(c_name) - 1, 2) AS bk FROM customer)
+              right(c_name, 2) AS bk FROM customer)
 SELECT cb.c_custkey, blk.dirty_id,
        CAST(levenshtein(cb.c_name, blk.dname) AS BIGINT) AS lev
 FROM cb JOIN blk ON cb.bk = blk.bk
@@ -2342,12 +2342,12 @@ def rel_er_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_name, (10 + c_custkey % 9) + 1)"),
         ).alias("dname"),
     )
-    blk = dirty.withColumn(
-        "bk", F.expr("substr(dname, length(dname) - 1, 2)")
-    )
-    cb = cust.withColumn(
-        "bk", F.expr("substr(c_name, length(c_name) - 1, 2)")
-    )
+    # right(s, 2) is engine-agnostic for strings shorter than 2 chars
+    # (both engines return the whole string); the substr(length-1, 2)
+    # form diverged there — Spark clamps start 0 to 1, DuckDB clamps the
+    # width (r10 ADVICE).
+    blk = dirty.withColumn("bk", F.expr("right(dname, 2)"))
+    cb = cust.withColumn("bk", F.expr("right(c_name, 2)"))
     # threshold form: the JVM bails out of the DP as soon as the running
     # distance exceeds ER_LEV_MAX (returns -1) — each in-block comparison
     # is O(len * k) instead of O(len^2), the classic banded-Levenshtein

@@ -749,10 +749,36 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    line = F.concat(
-        F.rpad(F.col("doc_id").cast("string"), _FW_ID_W, " "),
-        F.rpad(F.col("lang"), _FW_LANG_W, " "),
-        F.lpad(F.col("n_chars").cast("string"), _FW_N_W, "0"),
+    # rpad/lpad silently TRUNCATE over-width values — an encode-time data
+    # corruption that would only surface later as an opaque oracle hash
+    # mismatch. Guard the declared widths loudly: an over-width row fails
+    # the write with the offending record named (raise_error sits inside
+    # a CaseWhen branch, so it fires only on bad rows and cannot be
+    # pruned out of the plan).
+    over = (
+        (F.length(F.col("doc_id").cast("string")) > _FW_ID_W)
+        | (F.length("lang") > _FW_LANG_W)
+        | (F.length(F.col("n_chars").cast("string")) > _FW_N_W)
+    )
+    line = F.when(
+        over,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"fixed-width overflow (widths {_FW_ID_W}/"
+                    f"{_FW_LANG_W}/{_FW_N_W}): doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit(" lang="),
+                F.col("lang"),
+            )
+        ).cast("string"),
+    ).otherwise(
+        F.concat(
+            F.rpad(F.col("doc_id").cast("string"), _FW_ID_W, " "),
+            F.rpad(F.col("lang"), _FW_LANG_W, " "),
+            F.lpad(F.col("n_chars").cast("string"), _FW_N_W, "0"),
+        )
     )
     docs.select(line.alias("value")).write.mode("overwrite").text(out)
     raw = spark.read.text(out)

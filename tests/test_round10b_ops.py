@@ -196,6 +196,11 @@ def test_url_canonicalize_cases(spark):
         "https://a.com/x/?id=3": "https://a.com/x?id=3",
         # everything at once
         "HTTP://B.Com:80/P/?utm_a=1&ref=2&utm_b=3#z": "http://b.com/P?ref=2",
+        # params that merely END in a tracker name survive intact (the
+        # separator-anchored regex, r10 ADVICE): no substring mangling
+        "https://a.com/x?xfbclid=1": "https://a.com/x?xfbclid=1",
+        "https://a.com/x?myutm_foo=v&id=3": "https://a.com/x?myutm_foo=v&id=3",
+        "https://a.com/x?myutm_foo=v&fbclid=z": "https://a.com/x?myutm_foo=v",
         # already canonical
         "https://a.com/x?id=3": "https://a.com/x?id=3",
     }
