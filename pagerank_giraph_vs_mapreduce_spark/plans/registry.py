@@ -48,71 +48,19 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-10 budget math (VERDICT r09 "Next round" #1, the hard criterion:
-# after r10 no registered query's newest driver row may predate r05): the
-# 26 queries whose newest row is still r04 lead, then the 10 new r10
-# queries, then queries whose CODE or ORACLE changed in r10 (re-certify:
-# the r09 ADVICE fixes touched the mini-batch-trainer oracle and the
-# three hour-bucketing queries; the sorted-cache change re-touches the
-# mb trainer + the as-of family after the atomic-payload fix), then the
-# oldest r05 rows the remaining ~7 budget slots reach (26 + 10 new +
-# 7 re-certs = 43). The rest of the r05 cohort follows in order and
-# leads the r11 gate. Everything is additionally re-proven every round
-# by tools/check_oracle.py (stricter: exact stringified values, not
-# hashes).
+# Round-11 budget math (VERDICT r10 "Next round" #1/#4): the r10 gate's 50
+# slots ended at rel_asof_join_tol, so the 10 round-10 queries that have
+# never had a driver row lead (g_degree_gini now certifies the BINNED
+# default — its semantics changed this round), then the round-11 newcomers,
+# then queries whose CODE or ORACLE changed in r11 (pipeline_url_dedup's
+# anchored tracker regex changes values; mm_wav_decimate gained input
+# validation), then the r10 re-cert block the r10 budget never reached,
+# then the r05-stale cohort (hard criterion: no registered query's newest
+# row may predate r06 by end of r12 — ~30 fit this round, the rest leads
+# r12). Everything is additionally re-proven every round by
+# tools/check_oracle.py (stricter: exact stringified values, not hashes).
 _PRIORITY = (
-    # --- the 26 r04-stale queries (VERDICT r09 What's-missing #1)
-    "g_degree_assortativity",
-    "g_harmonic_k4",
-    "g_multi_bfs_k4",
-    "g_pagerank_weighted_k3",
-    "g_random_walks_k3",
-    "g_scc_of_source_k4",
-    "pipeline_class_balance",
-    "pipeline_curation_staged",
-    "pipeline_curation_staged_funnel",
-    "pipeline_domain_mix",
-    "rel_q10_returned_items",
-    "rel_q13_order_distribution",
-    "rel_q14_promo_revenue",
-    "rel_q15_top_supplier",
-    "rel_q17_small_quantity",
-    "rel_q19_disjunctive",
-    "rel_q22_idle_customers",
-    "rel_q7_volume_shipping",
-    "rel_q8_market_share",
-    "rel_retention_cohorts",
-    "rel_upsert_merge",
-    "source_json_corrupt_records",
-    "sql_recursive_bfs_k3",
-    "stream_curation_gate",
-    "stream_enrich_features",
-    "udf_grouped_agg_wmean",
-    # --- new in r10
-    "rel_asof_join",
-    "g_louvain_r2",
-    "mm_ivf_external_features",
-    "g_modularity_score",
-    "rel_ohlc_candles",
-    "stream_ohlc_candles",
-    "rel_asof_join_fwd",
-    "g_louvain_w_r2",
-    "stream_scd2_enrich",
-    "g_louvain_l2",
-    "g_square_count",
-    "g_link_jaccard",
-    "rel_profile_columns",
-    "pipeline_url_dedup",
-    "mm_wav_decimate",
-    "rel_win_ewma8",
-    "g_diameter_lb_k4",
-    "mm_scene_cuts",
-    "text_readability",
-    "source_xml_roundtrip",
-    "pipeline_model_auc",
-    "pipeline_span_corrupt",
-    "stream_model_gate",
-    "rel_asof_join_tol",
+    # --- the 10 round-10 queries with no driver row yet (VERDICT r10 #1)
     "rel_er_fuzzy_join",
     "fn_quantile_sketch",
     "stream_quantile_sketch",
@@ -123,7 +71,12 @@ _PRIORITY = (
     "rel_assoc_rules",
     "g_matching_r3",
     "g_coarsen_r3",
-    # --- code/oracle changed in r10 (ADVICE fixes): re-certify
+    # --- new in r11
+    "g_degree_gini_exact",
+    # --- code/oracle changed in r11: re-certify
+    "pipeline_url_dedup",
+    "mm_wav_decimate",
+    # --- r10 re-cert block the r10 budget never reached
     "pipeline_train_quality_lr_mb",
     "rel_resample_gapfill",
     "rel_resample_lerp",
