@@ -193,9 +193,12 @@ def main() -> int:
     # entries in a fresh session — the arbiter for in-suite regressions
     # within the shared-JVM cross-talk band (see timed()).
 
+    entry_fns: dict = {}  # name -> thunk, for end-of-suite warm arbitration
+
     def timed(name: str, fn) -> None:
         if only and name not in only:
             return
+        entry_fns[name] = fn
         t0 = time.monotonic()
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
@@ -1181,6 +1184,56 @@ def main() -> int:
         print(f"warning: unknown bench entries skipped: {sorted(unknown)}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    def arbitrate(prior_full: dict) -> dict:
+        """Mechanized cold-JIT arbitration (VERDICT r10 What's-wrong #2):
+        every cross-round flag gets a machine-readable verdict IN the
+        artifact, replacing the SCALING §27 prose protocol. The suite
+        session is maximally WARM at this point (every entry has run), so
+        re-measuring a flagged entry here IS the warm-mini-suite
+        re-measurement: if the warm number returns inside the
+        calibration band the suite-context value was session-order noise
+        (cold JIT / cache ordering); if it stays out, the plan itself
+        changed and the entry needs a human look (solo runs remain the
+        final arbiter). Improvements are labeled, not re-run."""
+        oq = prior_full.get("queries", {})
+        band = 1.25
+        ratios = [
+            extras[k] / prior_full[k]
+            for k in ("host_python_loop_sec", "host_jvm_agg_sec")
+            if k in extras and prior_full.get(k)
+        ]
+        lo = (min(ratios) if ratios else 1.0) / band
+        hi = (max(ratios) if ratios else 1.0) * band
+        out: dict = {"band": [round(lo, 3), round(hi, 3)]}
+        verdicts: dict = {}
+        for name in sorted(set(oq) & set(timings)):
+            a, b = oq[name], timings[name]
+            if (a < 1.0 and b < 1.0) or not a:
+                continue  # sub-second entries live inside scheduler noise
+            r = b / a
+            if lo <= r <= hi:
+                continue
+            row = {"old": a, "suite": b, "ratio": round(r, 2)}
+            if r < lo:
+                row["verdict"] = "improvement"
+            else:
+                t0 = time.monotonic()
+                entry_fns[name]()
+                warm = round(time.monotonic() - t0, 3)
+                spark.catalog.clearCache()
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                row["warm"] = warm
+                row["verdict"] = (
+                    "session_order" if warm / a <= hi else "plan_change"
+                )
+            verdicts[name] = row
+        out["verdicts"] = verdicts
+        return out
+
     # Full artifact committed in-repo: the driver captures only a ~2000-char
     # stdout tail, so the complete per-query dict lives here (BENCH came back
     # "parsed": null in rounds 1-6 because the single stdout line outgrew
@@ -1211,6 +1264,8 @@ def main() -> int:
             "sf": sf,
             **extras,
         }
+        if prior.get("queries"):
+            full["arbitration"] = arbitrate(prior)
     # Probes (multi-minute one-offs, SCALING.md §23) persist across suite
     # runs: a fresh full-suite write carries stored probe rows forward.
     all_probes = dict(prior.get("probes", {}))
@@ -1276,6 +1331,12 @@ def main() -> int:
         **{k: extras[k] for k in headline_extras if k in extras},
         "full": "BENCH_full.json",
     }
+    if "arbitration" in full:
+        vs = full["arbitration"]["verdicts"]
+        compact["arb"] = {
+            v: sum(1 for r in vs.values() if r["verdict"] == v)
+            for v in ("improvement", "session_order", "plan_change")
+        }
     line = json.dumps(compact)
     if len(line) > 1800:  # hard guard: never outgrow the driver's tail capture
         compact["queries"] = {}

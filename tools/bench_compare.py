@@ -75,8 +75,17 @@ def main() -> int:
         r = b / a if a else float("inf")
         if not (lo <= r <= hi):
             flagged.append((r, k, a, b))
+    arb = cur.get("arbitration", {}).get("verdicts", {})
     for r, k, a, b in sorted(flagged, reverse=True):
-        print(f"FLAG  {k}: {a} -> {b} ({r:.2f}x) — solo-arbiter it")
+        if k in arb:
+            row = arb[k]
+            warm = f" warm={row['warm']}" if "warm" in row else ""
+            print(
+                f"FLAG  {k}: {a} -> {b} ({r:.2f}x) —"
+                f" arbitrated: {row['verdict']}{warm}"
+            )
+        else:
+            print(f"FLAG  {k}: {a} -> {b} ({r:.2f}x) — solo-arbiter it")
     print(
         f"{len(flagged)} flagged / {len(set(oq) & set(cq))} comparable"
         f" (new: {len(set(cq) - set(oq))}, gone: {len(set(oq) - set(cq))})"
