@@ -597,3 +597,106 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
     for p in matched_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def matching_mapping(edges_uv: DataFrame, verts: DataFrame, rounds: int) -> DataFrame:
+    """(node, super) contraction mapping from one matching pass: matched
+    pairs map both endpoints to the pair's min id, every other vertex of
+    ``verts`` (the FULL vertex set of this level — including supers left
+    isolated by a previous contraction, which the edge table no longer
+    mentions) maps to itself. The unmatched branch is an anti-join
+    against the matched endpoints; no row of ``verts`` is ever lost, so
+    multilevel composition is total."""
+    m = greedy_matching(
+        edges_uv.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+        rounds=rounds,
+    )
+    gone = m.select(F.col("u").alias("node")).union(
+        m.select(F.col("v").alias("node"))
+    )
+    return (
+        verts.join(gone, "node", "left_anti")
+        .select("node", F.col("node").alias("super"))
+        .unionByName(m.select(F.col("u").alias("node"), F.col("u").alias("super")))
+        .unionByName(m.select(F.col("v").alias("node"), F.col("u").alias("super")))
+    )
+
+
+def contract_weighted(e: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Contract a weighted undirected edge list (u, v, weight) through a
+    (node, super) mapping: intra-super edges drop, parallel edges merge
+    by SUMMING weights (the invariant the edge-cut-conservation pytest
+    pins: total cross-super weight is preserved level to level). One
+    V-row mapping join per endpoint + one map-side-combined aggregate —
+    the g_louvain_l2 condensation shape."""
+    mu = mapping.select(F.col("node").alias("u"), F.col("super").alias("su"))
+    mv = mapping.select(F.col("node").alias("v"), F.col("super").alias("sv"))
+    return (
+        e.join(mu, "u")
+        .join(mv, "v")
+        .filter(F.col("su") != F.col("sv"))
+        .groupBy(
+            F.least("su", "sv").alias("u"),
+            F.greatest("su", "sv").alias("v"),
+        )
+        .agg(F.sum("weight").cast("bigint").alias("weight"))
+    )
+
+
+def multilevel_partition_k2(
+    edges: DataFrame, level_rounds: tuple[int, ...] = (3, 2, 2)
+) -> DataFrame:
+    """METIS-shaped multilevel 2-way partition: coarsen ``len(level_rounds)``
+    levels by mutual-min matching + weighted contraction, 2-color the
+    COARSEST graph by alternating a (leaf-count DESC, id) ranking (the
+    LPT greedy: heaviest super-vertices split first, so the two sides
+    stay leaf-balanced), and project the assignment back through the
+    composed mappings to every leaf vertex. Every step is deterministic
+    (min-id proposals, integer weights, total-order ranking), so the
+    whole run unrolls into a SQL oracle.
+
+    Scale contract: matching/contraction per level are V-row joins and
+    map-side-combined aggregates (never edge self-joins); each level
+    shrinks the vertex set geometrically, and a production run ADDS
+    LEVELS until the coarsest table is node-bounded — the one global
+    ranking window here runs over that COARSEST table only (declared,
+    like exact AUC's eval set), never over the leaf vertices. Refinement
+    (KL/FM moves per level on the way back up) is the documented next
+    seam; the projection itself is exact.
+
+    Returns (id, part) for every vertex of the undirected graph.
+    """
+    und = undirect_dedup(edges)
+    e = und.withColumn("weight", F.lit(1).cast("bigint"))
+    verts = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    comp = None
+    for rounds in level_rounds:
+        mapping = matching_mapping(
+            e.select("u", "v"), verts, rounds
+        ).localCheckpoint(eager=True)
+        if comp is None:
+            comp = mapping.select(F.col("node").alias("id"), "super")
+        else:
+            nxt = mapping.select(
+                F.col("node").alias("super"),
+                F.col("super").alias("super_next"),
+            )
+            comp = comp.join(nxt, "super").select(
+                "id", F.col("super_next").alias("super")
+            )
+        e = contract_weighted(e, mapping).localCheckpoint(eager=True)
+        verts = mapping.select(F.col("super").alias("node")).distinct()
+    leaf_w = comp.groupBy("super").agg(F.count(F.lit(1)).alias("w"))
+    part = leaf_w.select(
+        "super",
+        (
+            F.row_number().over(Window.orderBy(F.desc("w"), "super")) % 2
+        )
+        .cast("int")
+        .alias("part"),
+    )
+    return comp.join(part, "super").select("id", "part")

@@ -2222,3 +2222,113 @@ def g_coarsen_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("weight"))
     )
+
+
+MLP_LEVEL_ROUNDS = (3, 2, 2)
+
+
+def _mlp_level_sql(lv: int, src_e: str, src_v: str, rounds: int) -> str:
+    """One coarsening level of the multilevel-partition oracle: mutual-min
+    matching CTEs (the g_matching_r3 unrolling, prefixed per level) over
+    the edge CTE ``src_e``(u, v, weight), a total (node, super) mapping
+    over the FULL vertex CTE ``src_v``(id), and the weighted contraction
+    e{lv} / its vertex set v{lv}."""
+    parts = [
+        f""",
+sym{lv} AS MATERIALIZED (SELECT u AS node, v AS nbr FROM {src_e}
+        UNION ALL SELECT v AS node, u AS nbr FROM {src_e}),
+live{lv}_0 AS MATERIALIZED (SELECT DISTINCT node FROM sym{lv})"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+aa{lv}_{r} AS MATERIALIZED (SELECT s.node, s.nbr FROM sym{lv} s
+          JOIN live{lv}_{r - 1} a ON s.node = a.node
+          JOIN live{lv}_{r - 1} b ON s.nbr = b.node),
+pr{lv}_{r} AS MATERIALIZED (SELECT node, min(nbr) AS prop FROM aa{lv}_{r} GROUP BY node),
+m{lv}_{r} AS MATERIALIZED (SELECT p1.node AS u, p2.node AS v
+         FROM pr{lv}_{r} p1 JOIN pr{lv}_{r} p2
+           ON p1.prop = p2.node AND p2.prop = p1.node
+          AND p1.node < p2.node),
+live{lv}_{r} AS MATERIALIZED (SELECT node FROM live{lv}_{r - 1} l
+            WHERE NOT EXISTS (SELECT 1 FROM m{lv}_{r}
+                              WHERE m{lv}_{r}.u = l.node
+                                 OR m{lv}_{r}.v = l.node))"""
+        )
+    matched = "\n    UNION ALL ".join(
+        f"SELECT u, v FROM m{lv}_{r}" for r in range(1, rounds + 1)
+    )
+    parts.append(
+        f""",
+matched{lv} AS MATERIALIZED ({matched}),
+map{lv} AS MATERIALIZED (
+  SELECT id AS node, id AS super FROM {src_v}
+  WHERE NOT EXISTS (SELECT 1 FROM matched{lv}
+                    WHERE matched{lv}.u = id OR matched{lv}.v = id)
+  UNION ALL SELECT u AS node, u AS super FROM matched{lv}
+  UNION ALL SELECT v AS node, u AS super FROM matched{lv}),
+e{lv} AS MATERIALIZED (
+  SELECT least(a.super, b.super) AS u, greatest(a.super, b.super) AS v,
+         CAST(sum(e.weight) AS BIGINT) AS weight
+  FROM {src_e} e JOIN map{lv} a ON a.node = e.u
+                 JOIN map{lv} b ON b.node = e.v
+  WHERE a.super <> b.super GROUP BY 1, 2),
+v{lv} AS MATERIALIZED (SELECT DISTINCT super AS id FROM map{lv})"""
+    )
+    return "".join(parts)
+
+
+def _mlp_oracle(level_rounds: tuple[int, ...]) -> str:
+    n = len(level_rounds)
+    sql = [
+        f"""WITH raw AS MATERIALIZED ({EDGES_SQL}),
+edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
+e0 AS MATERIALIZED (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+              CAST(1 AS BIGINT) AS weight
+       FROM edges WHERE src <> dst GROUP BY 1, 2, 3),
+v0 AS MATERIALIZED (SELECT u AS id FROM e0 UNION SELECT v AS id FROM e0)"""
+    ]
+    for lv, rounds in enumerate(level_rounds, start=1):
+        sql.append(_mlp_level_sql(lv, f"e{lv - 1}", f"v{lv - 1}", rounds))
+    comp_joins = "\n         ".join(
+        f"JOIN map{lv} mm{lv} ON mm{lv}.node = mm{lv - 1}.super"
+        for lv in range(2, n + 1)
+    )
+    sql.append(
+        f""",
+comp AS MATERIALIZED (SELECT mm1.node AS id, mm{n}.super AS super
+         FROM map1 mm1
+         {comp_joins}),
+lw AS MATERIALIZED (SELECT super, count(*) AS w FROM comp GROUP BY super),
+pt AS MATERIALIZED (SELECT super,
+              CAST(row_number() OVER (ORDER BY w DESC, super) % 2 AS INT)
+                AS part
+       FROM lw)
+SELECT comp.id, pt.part FROM comp JOIN pt ON pt.super = comp.super"""
+    )
+    return "".join(sql)
+
+
+@query("g_partition_k2", oracle=_mlp_oracle(MLP_LEVEL_ROUNDS))
+def g_partition_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METIS-shaped multilevel 2-way partition
+    (graph/motifs.py:multilevel_partition_k2) — the recursion the
+    matching/coarsening pair exists for, and the engine's answer to the
+    hash-partitioning skew problem the reference documents for its own
+    shuffle (README.md:417-418): three mutual-min-matching + weighted-
+    contraction levels (rounds 3/2/2), an LPT-alternating 2-coloring of
+    the coarsest super-vertices by leaf count, and an exact projection
+    back through the composed mappings to every leaf vertex. Fully
+    deterministic (min-id proposals, integer weights, total-order
+    ranking), so all three levels unroll into one SQL oracle. Per-level
+    cost is V-row joins + map-side-combined weight aggregates; the one
+    global ranking runs over the COARSEST table only (a production run
+    adds levels until that table is node-bounded). Edge-cut conservation
+    across levels is pinned by pytest."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2,
+    )
+
+    return multilevel_partition_k2(
+        derived_edges(spark, sf_dir), level_rounds=MLP_LEVEL_ROUNDS
+    )

@@ -73,6 +73,7 @@ _PRIORITY = (
     "g_coarsen_r3",
     # --- new in r11
     "g_degree_gini_exact",
+    "g_partition_k2",
     # --- code/oracle changed in r11: re-certify
     "pipeline_url_dedup",
     "mm_wav_decimate",

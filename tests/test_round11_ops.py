@@ -107,3 +107,187 @@ def test_binned_gini_plan_has_no_vertex_window(spark, sf_oracle_dir):
         .count()
     )
     assert n_bins <= GINI_D0 + math.isqrt(max(max_d - GINI_D0, 0)) + 2
+
+
+# ---------------------------------------------------------- g_partition_k2
+
+
+def _py_matching(edges_uv: set[tuple[int, int]], rounds: int) -> list[tuple[int, int]]:
+    adj: dict[int, set[int]] = {}
+    for u, v in edges_uv:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    live = set(adj)
+    matched = []
+    for _ in range(rounds):
+        prop = {
+            n: min(x for x in adj[n] if x in live)
+            for n in live
+            if any(x in live for x in adj[n])
+        }
+        pairs = [
+            (a, b)
+            for a, b in prop.items()
+            if b in prop and prop[b] == a and a < b
+        ]
+        matched.extend(pairs)
+        for a, b in pairs:
+            live.discard(a)
+            live.discard(b)
+    return matched
+
+
+def _py_multilevel(pairs, level_rounds):
+    """Pure-Python mirror of multilevel_partition_k2: returns (leaf part
+    dict, per-level weighted edge dicts, per-level mappings)."""
+    e = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        u, v = min(a, b), max(a, b)
+        e[(u, v)] = 1 if (u, v) not in e else e[(u, v)]  # dedup, weight 1
+    verts = sorted({x for uv in e for x in uv})
+    comp = {x: x for x in verts}
+    levels = [dict(e)]
+    mappings = []
+    for rounds in level_rounds:
+        matched = _py_matching(set(e), rounds)
+        mapping = {x: x for x in verts}
+        for a, b in matched:
+            mapping[a] = a
+            mapping[b] = a
+        mappings.append(mapping)
+        ne: dict[tuple[int, int], int] = {}
+        for (u, v), w in e.items():
+            su, sv = mapping[u], mapping[v]
+            if su == sv:
+                continue
+            k = (min(su, sv), max(su, sv))
+            ne[k] = ne.get(k, 0) + w
+        e = ne
+        levels.append(dict(e))
+        comp = {leaf: mapping[s] for leaf, s in comp.items()}
+        verts = sorted(set(mapping.values()))
+    lw: dict[int, int] = {}
+    for s in comp.values():
+        lw[s] = lw.get(s, 0) + 1
+    ranked = sorted(lw, key=lambda s: (-lw[s], s))
+    part_of_super = {s: i % 2 for i, s in enumerate(ranked, start=1)}
+    return {leaf: part_of_super[s] for leaf, s in comp.items()}, levels, mappings
+
+
+def test_multilevel_partition_matches_python_mirror(spark):
+    """multilevel_partition_k2 equals an independent pure-Python unrolling
+    of the same deterministic semantics on hand fixtures (two cliques +
+    bridge, a path, a star + tail)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2,
+    )
+    from tests.conftest import make_edges
+
+    fixtures = {
+        "cliques_bridge": [
+            (a, b) for a in range(4) for b in range(4) if a < b
+        ]
+        + [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+        + [(3, 10)],
+        "path": [(i, i + 1) for i in range(12)],
+        "star_tail": [(0, i) for i in range(1, 8)] + [(7, 8), (8, 9), (9, 20)],
+    }
+    for name, pairs in fixtures.items():
+        want, _, _ = _py_multilevel(pairs, (2, 2))
+        got = {
+            r["id"]: r["part"]
+            for r in multilevel_partition_k2(
+                make_edges(spark, pairs), level_rounds=(2, 2)
+            ).collect()
+        }
+        assert got == want, (name, got, want)
+        assert set(got.values()) <= {0, 1}, name
+        assert len(set(got.values())) == 2, name  # both sides non-empty
+
+
+def test_multilevel_partition_edge_cut_conservation(spark):
+    """The invariant the coarsening exists for: (a) every level conserves
+    CROSS-SUPER edge mass (sum of contracted weights == cross-super mass
+    of the finer level), so (b) the cut of the coarse assignment on the
+    coarsest graph EQUALS the cut of the projected assignment on the
+    leaf graph — refinement gains at the top are real gains at the
+    bottom. Checked through the Spark operators level by level."""
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        contract_weighted,
+        matching_mapping,
+        multilevel_partition_k2,
+        undirect_dedup,
+    )
+    from tests.conftest import make_edges
+
+    pairs = (
+        [(a, b) for a in range(6) for b in range(6) if a < b]
+        + [(a, b) for a in range(20, 26) for b in range(20, 26) if a < b]
+        + [(5, 20), (4, 21), (0, 40), (40, 41), (41, 42), (42, 25)]
+    )
+    edges = make_edges(spark, pairs)
+    und = undirect_dedup(edges)
+    e = und.withColumn("weight", F.lit(1).cast("bigint"))
+    verts = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    level_rounds = (2, 2)
+    levels = [e]
+    mappings = []
+    for rounds in level_rounds:
+        mapping = matching_mapping(e.select("u", "v"), verts, rounds)
+        mappings.append(mapping)
+        # cross-super mass of the finer level
+        mu = mapping.select(F.col("node").alias("u"), F.col("super").alias("su"))
+        mv = mapping.select(F.col("node").alias("v"), F.col("super").alias("sv"))
+        cross = (
+            e.join(mu, "u")
+            .join(mv, "v")
+            .filter(F.col("su") != F.col("sv"))
+            .agg(F.sum("weight"))
+            .collect()[0][0]
+        )
+        e = contract_weighted(e, mapping)
+        levels.append(e)
+        assert e.agg(F.sum("weight")).collect()[0][0] == cross, rounds
+        verts = mapping.select(F.col("super").alias("node")).distinct()
+
+    # project parts to every level and compare cuts
+    parts = multilevel_partition_k2(edges, level_rounds=level_rounds)
+    leaf_cut = (
+        und.join(parts.select(F.col("id").alias("u"), F.col("part").alias("pu")), "u")
+        .join(parts.select(F.col("id").alias("v"), F.col("part").alias("pv")), "v")
+        .filter(F.col("pu") != F.col("pv"))
+        .count()
+    )
+    # coarse assignment: part of each coarsest super = part of any of its leaves
+    comp = mappings[0].select(F.col("node").alias("id"), "super")
+    nxt = mappings[1].select(
+        F.col("node").alias("super"), F.col("super").alias("super_next")
+    )
+    comp = comp.join(nxt, "super").select(
+        "id", F.col("super_next").alias("super")
+    )
+    super_part = (
+        comp.join(parts, "id")
+        .groupBy("super")
+        .agg(F.min("part").alias("part"), F.max("part").alias("part_mx"))
+    )
+    rows = super_part.collect()
+    assert all(r["part"] == r["part_mx"] for r in rows)  # projection is constant per super
+    sp = super_part.select("super", "part")
+    coarse_cut = (
+        levels[-1]
+        .join(sp.select(F.col("super").alias("u"), F.col("part").alias("pu")), "u")
+        .join(sp.select(F.col("super").alias("v"), F.col("part").alias("pv")), "v")
+        .filter(F.col("pu") != F.col("pv"))
+        .agg(F.sum("weight"))
+        .collect()[0][0]
+    )
+    assert leaf_cut == coarse_cut, (leaf_cut, coarse_cut)
