@@ -280,3 +280,152 @@ def test_late_rows_bucket_correctly_before_gapfill(spark, tmp_path):
     assert (1, base_h + 3, 2.25, True) in got
     assert (2, base_h + 1, 10.0, True) in got
     assert (1, base_h + 4, 4.0, False) in got
+
+
+def test_scrambled_replay_quantile_sketch_counters(spark, tmp_path):
+    """Scrambled-event-time replay for stream_quantile_sketch (VERDICT
+    r10 item 7): the 128 histogram counters are watermark-free
+    complete-mode sums, so arbitrarily late rows must land in their
+    value bins with ZERO watermark drops and the drained counters must
+    equal the batch sketch bin-for-bin — arrival order (newest event
+    times first, stragglers last, one file per micro-batch) must be
+    invisible in the final state. Quantile interpolation over the
+    drained counters then equals the batch fn_quantile_sketch numbers on
+    the same rows by construction."""
+    from pagerank_giraph_vs_mapreduce_spark.plans.function_queries import (
+        QSK_BINS,
+        QSK_LO,
+        QSK_W,
+    )
+
+    def cells(df):
+        return (
+            df.select(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("value") - QSK_LO) / QSK_W), F.lit(0)
+                    ),
+                    F.lit(QSK_BINS - 1),
+                )
+                .cast("bigint")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    # values chosen to hit low/mid/clamped-high bins; event times scrambled
+    rows_new = [(i, _mins(100 + i), 1, "click", float(v)) for i, v in
+                enumerate([500.0, 260.5, 4.0, 999.9])]
+    rows_late = [(10 + i, _mins(i), 1, "click", float(v)) for i, v in
+                 enumerate([-3.0, 4.0, 4.2, 130.0, 260.5, 511.9])]
+    src = tmp_path / "qsk_src"
+    _write_file(spark, rows_new, src, "f1", 1, tmp_path)
+    _write_file(spark, rows_late, src, "f2", 2, tmp_path)
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        cells(stream)
+        .writeStream.format("memory")
+        .queryName("qsk_replay")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["bin"], r["c"]) for r in spark.table("qsk_replay").collect()
+    }
+    want = {
+        (r["bin"], r["c"])
+        for r in cells(
+            spark.createDataFrame(rows_new + rows_late, _SCHEMA)
+        ).collect()
+    }
+    assert got == want
+    n_dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert n_dropped == 0
+
+
+def test_scrambled_replay_model_gate(spark, tmp_path):
+    """Scrambled replay for stream_model_gate (VERDICT r10 item 7): the
+    gate is a stateless per-row expression with batch-trained scalars
+    inlined, so a document shard arriving out of order — or a straggler
+    arriving after newer shards — must score and gate IDENTICALLY to
+    the batch pass: same kept doc_ids, same 9-dp scores, no state rows
+    at all (progress reports zero stateOperators)."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.mlfit import squash
+
+    doc_schema = "doc_id bigint, text string, lang string"
+    wb, wl, wsp, mean_p = -0.2, 0.9, -1.1, 0.45  # frozen trained scalars
+
+    def gate(df):
+        feats = df.filter(F.length("text") > 0).select(
+            "doc_id",
+            (F.length("text").cast("double") / F.lit(1000.0)).alias("f_len"),
+            (
+                (
+                    F.length("text")
+                    - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+                ).cast("double")
+                / F.length("text").cast("double")
+            ).alias("f_space"),
+        )
+        z = F.lit(wb) + F.lit(wl) * F.col("f_len") + F.lit(wsp) * F.col("f_space")
+        return (
+            feats.select("doc_id", squash(z).alias("p"))
+            .filter(F.round("p", 12) >= F.lit(mean_p))
+            .select("doc_id", F.round("p", 9).alias("score"))
+        )
+
+    docs = [
+        (i, ("word " * (20 * i + 5)).strip(), "en") for i in range(1, 10)
+    ] + [(99, "", "en")]  # empty text filtered, never scored
+    shard_new = [docs[i] for i in (5, 6, 7, 8, 9)]
+    shard_late = [docs[i] for i in (0, 1, 2, 3, 4)]  # straggler shard
+
+    def wf(rows, name, seq):
+        staging = tmp_path / f"_dstage_{name}"
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staging))
+        part = globmod.glob(str(staging / "part-*.parquet"))[0]
+        d = tmp_path / "gate_src"
+        d.mkdir(exist_ok=True)
+        dest = d / f"{name}.parquet"
+        shutil.copy(part, dest)
+        t = 1_700_000_000 + seq * 60
+        os.utime(dest, (t, t))
+        shutil.rmtree(staging)
+
+    wf(shard_new, "f1", 1)
+    wf(shard_late, "f2", 2)
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "gate_src"))
+    )
+    q = (
+        gate(stream)
+        .writeStream.format("memory")
+        .queryName("gate_replay")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["doc_id"], r["score"]) for r in spark.table("gate_replay").collect()}
+    want = {
+        (r["doc_id"], r["score"])
+        for r in gate(spark.createDataFrame(docs, doc_schema)).collect()
+    }
+    assert got == want and got  # identical and non-empty
+    assert all(not p["stateOperators"] for p in q.recentProgress)  # stateless
