@@ -1444,3 +1444,21 @@ def wav_decimate(media: DataFrame, factor: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "wav"])
 
     return media.mapInPandas(batches, WAV_SCHEMA)
+
+
+def wrongtype_marker_codec(payload: bytes) -> dict | None:
+    """Poison-mix probe codec (VERDICT r10 item 8): payloads carrying the
+    b'WT' marker get a WRONG-TYPED return (width is a non-numeric
+    string) so decode_external's per-row coercion contract — degrade
+    exactly that row to the byte-stat stub, never the batch — is
+    exercised under the DRIVER GATE, not only in pytest; every other
+    payload rides the real zlib codec."""
+    if bytes(payload[:2]) == b"WT":
+        return {
+            "width": "not-an-int",
+            "height": 2,
+            "channels": 1,
+            "bit_depth": 8,
+            "pixel_mean": 1.0,
+        }
+    return zlib_luma16_codec(payload)

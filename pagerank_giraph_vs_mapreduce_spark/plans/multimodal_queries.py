@@ -761,3 +761,84 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_cut"),
     )
+
+
+@query(
+    "mm_external_poison_mix",
+    # Healthy rows recompute the decoded plane from text (the ASCII
+    # fixture pin again); poison rows degrade to byte stats of their
+    # CONSTANT poison payloads, so every branch is oracle-exact:
+    # mode 1 = corrupt bitstream b'\\x00BAD' (zlib raises),
+    # mode 2 = NULL payload (stub of empty),
+    # mode 3 = b'WT!!' marker (codec returns wrong-typed width).
+    oracle="""WITH px AS (
+  SELECT d.doc_id, f.f AS fi, (d.doc_id * 4 + f.f) % 5 AS mode,
+    list_transform(range(1, 17),
+      i -> CASE WHEN f.f * 16 + i <= length(d.text)
+                THEN CAST(ascii(substr(d.text, CAST(f.f * 16 + i AS INT), 1))
+                          AS BIGINT)
+                ELSE 32 END) AS b
+  FROM documents d, LATERAL unnest(range(0, 4)) AS f(f))
+SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(mode AS INT) AS mode,
+  CAST(CASE mode WHEN 1 THEN 4 WHEN 2 THEN 0 WHEN 3 THEN 4
+       ELSE 16 END AS BIGINT) AS n_bytes,
+  CAST(CASE mode WHEN 1 THEN 0 WHEN 2 THEN -1 WHEN 3 THEN 87
+       ELSE b[1] END AS INT) AS first_byte,
+  CASE mode WHEN 1 THEN 49.75 WHEN 2 THEN 0.0 WHEN 3 THEN 59.25
+       ELSE CAST(list_sum(b) AS DOUBLE) / 16.0 END AS byte_mean,
+  'ZL00' AS format,
+  CASE WHEN mode IN (1, 2, 3) THEN NULL ELSE 8 END AS width,
+  CASE WHEN mode IN (1, 2, 3) THEN NULL ELSE 2 END AS height,
+  CASE WHEN mode IN (1, 2, 3) THEN NULL ELSE 1 END AS channels,
+  CASE WHEN mode IN (1, 2, 3) THEN NULL ELSE 8 END AS bit_depth,
+  CASE WHEN mode IN (1, 2, 3) THEN NULL
+       ELSE CAST(list_sum(b) AS DOUBLE) / 16.0 END AS pixel_mean
+FROM px""",
+)
+def mm_external_poison_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The external-seam degradation contract under the DRIVER GATE
+    (VERDICT r10 item 8 — previously pinned only in pytest): one frame
+    stream mixes healthy zlib frames with all three poison classes —
+    corrupt bitstreams (decompression raises), NULL payloads, and a
+    marker that makes the codec return a WRONG-TYPED width — chosen by
+    the deterministic rule cid % 5 so the oracle can mirror exactly
+    which rows degrade. Each poison row must collapse to the byte-stat
+    stub of ITS OWN payload (constants, oracle-exact) while every
+    healthy row still decodes through the real zlib codec; a single
+    poison row killing its Arrow batch would take ~4 healthy rows'
+    values with it and break the hash. Same zero-shuffle row-local map
+    shape as mm_ivf_external_features."""
+    from pagerank_giraph_vs_mapreduce_spark.operators.multimodal import (
+        IVF_N_FRAMES,
+        decode_external,
+        ivf_explode_frames,
+        ivf_zlib_payload,
+        wrongtype_marker_codec,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = ivf_explode_frames(ivf_zlib_payload(docs))
+    mode = (F.col("doc_id") % 5).cast("int")
+    poisoned = frames.withColumn(
+        "payload",
+        F.when(mode == 1, F.lit(bytearray(b"\x00BAD")))
+        .when(mode == 2, F.lit(None).cast("binary"))
+        .when(mode == 3, F.lit(bytearray(b"WT!!")))
+        .otherwise(F.col("payload")),
+    )
+    feats = decode_external(poisoned, wrongtype_marker_codec, formats=("ZL00",))
+    n = IVF_N_FRAMES
+    return feats.select(
+        F.expr(f"doc_id DIV {n}").alias("doc_id"),
+        (F.col("doc_id") % n).cast("int").alias("frame_idx"),
+        (F.col("doc_id") % 5).cast("int").alias("mode"),
+        "n_bytes",
+        "first_byte",
+        "byte_mean",
+        "format",
+        "width",
+        "height",
+        "channels",
+        "bit_depth",
+        "pixel_mean",
+    )
