@@ -203,6 +203,10 @@ HEADLINE = [
     "rel_skyline_2d",
     "text_pmi_bigrams",
     "g_degree_gini",
+    # round-11
+    "g_degree_gini_exact",
+    "g_partition_k2",
+    "mm_external_poison_mix",
 ]
 
 
