@@ -643,28 +643,25 @@ def contract_weighted(e: DataFrame, mapping: DataFrame) -> DataFrame:
     )
 
 
-def multilevel_partition_k2(
-    edges: DataFrame, level_rounds: tuple[int, ...] = (3, 2, 2)
-) -> DataFrame:
-    """METIS-shaped multilevel 2-way partition: coarsen ``len(level_rounds)``
-    levels by mutual-min matching + weighted contraction, 2-color the
-    COARSEST graph by alternating a (leaf-count DESC, id) ranking (the
-    LPT greedy: heaviest super-vertices split first, so the two sides
-    stay leaf-balanced), and project the assignment back through the
-    composed mappings to every leaf vertex. Every step is deterministic
-    (min-id proposals, integer weights, total-order ranking), so the
-    whole run unrolls into a SQL oracle.
+def _multilevel_pipeline(edges: DataFrame, level_rounds: tuple[int, ...]):
+    """Shared coarsening pipeline for the multilevel partitioners:
+    coarsen ``len(level_rounds)`` levels by mutual-min matching +
+    weighted contraction, 2-color the COARSEST graph by alternating a
+    (leaf-count DESC, id) ranking (the LPT greedy: heaviest
+    super-vertices split first, so the two sides stay leaf-balanced).
+    Every step is deterministic (min-id proposals, integer weights,
+    total-order ranking), so fixed level counts unroll into SQL oracles.
 
     Scale contract: matching/contraction per level are V-row joins and
     map-side-combined aggregates (never edge self-joins); each level
     shrinks the vertex set geometrically, and a production run ADDS
     LEVELS until the coarsest table is node-bounded — the one global
     ranking window here runs over that COARSEST table only (declared,
-    like exact AUC's eval set), never over the leaf vertices. Refinement
-    (KL/FM moves per level on the way back up) is the documented next
-    seam; the projection itself is exact.
+    like exact AUC's eval set), never over the leaf vertices.
 
-    Returns (id, part) for every vertex of the undirected graph.
+    Returns (comp leaf->coarsest (id, super), coarsest weighted edges
+    (u, v, weight), leaf weights per super (super, w), initial
+    assignment (super, part)).
     """
     und = undirect_dedup(edges)
     e = und.withColumn("weight", F.lit(1).cast("bigint"))
@@ -699,4 +696,110 @@ def multilevel_partition_k2(
         .cast("int")
         .alias("part"),
     )
+    return comp, e, leaf_w, part
+
+
+def multilevel_partition_k2(
+    edges: DataFrame, level_rounds: tuple[int, ...] = (3, 2, 2)
+) -> DataFrame:
+    """METIS-shaped multilevel 2-way partition — coarsen, LPT-color the
+    coarsest supers, project back to the leaves (see _multilevel_pipeline
+    for the full contract; refinement lives in
+    multilevel_partition_k2_refined). Returns (id, part) for every
+    vertex of the undirected graph."""
+    comp, _, _, part = _multilevel_pipeline(edges, level_rounds)
+    return comp.join(part, "super").select("id", "part")
+
+
+def refine_partition_sweep(
+    e: DataFrame, part: DataFrame, leaf_w: DataFrame
+) -> DataFrame:
+    """ONE deterministic KL-style boundary sweep on the coarse graph —
+    the refinement seam multilevel_partition_k2's docstring names:
+
+    - gain(s) = external − internal edge weight of flipping super s
+      under the CURRENT assignment (two per-edge contributions, one
+      map-side-combined aggregate);
+    - candidates = positive-gain supers on the HEAVIER side (by leaf
+      weight, tie → part 0) — the balance guard, so refinement can only
+      push toward balance, never away;
+    - movers = candidates not BEATEN by an adjacent candidate (beaten =
+      neighbor has larger gain, or equal gain and smaller id). Beating
+      is a total order per edge, so movers form an INDEPENDENT SET: no
+      cut edge flips both ends, the cut change decomposes per mover,
+      and cut strictly drops by Σ gains — monotone non-increase is
+      structural, pinned by pytest.
+
+    Every step is a V_coarse-row join or a 2-row aggregate; nothing
+    touches leaf rows. Deterministic, so fixed sweep counts unroll into
+    the SQL oracle."""
+    side = (
+        part.join(leaf_w, "super")
+        .groupBy("part")
+        .agg(F.sum("w").alias("tw"))
+    )
+    heavier = side.orderBy(F.desc("tw"), F.asc("part")).limit(1).select("part")
+    pu = part.select(F.col("super").alias("u"), F.col("part").alias("p_u"))
+    pv = part.select(F.col("super").alias("v"), F.col("part").alias("p_v"))
+    both = e.join(pu, "u").join(pv, "v")
+    c_expr = F.when(F.col("p_u") != F.col("p_v"), F.col("weight")).otherwise(
+        -F.col("weight")
+    )
+    gain = (
+        both.select(F.col("u").alias("super"), c_expr.alias("c"))
+        .unionAll(both.select(F.col("v").alias("super"), c_expr.alias("c")))
+        .groupBy("super")
+        .agg(F.sum("c").alias("gain"))
+    )
+    cand = (
+        gain.filter(F.col("gain") > 0)
+        .join(part, "super")
+        .join(F.broadcast(heavier), "part", "left_semi")
+        .select("super", "gain")
+    )
+    cu = cand.select(F.col("super").alias("u"), F.col("gain").alias("g_u"))
+    cv = cand.select(F.col("super").alias("v"), F.col("gain").alias("g_v"))
+    adj = e.join(cu, "u").join(cv, "v")
+    beaten = (
+        adj.filter(
+            (F.col("g_v") > F.col("g_u"))
+            | ((F.col("g_v") == F.col("g_u")) & (F.col("v") < F.col("u")))
+        )
+        .select(F.col("u").alias("super"))
+        .union(
+            adj.filter(
+                (F.col("g_u") > F.col("g_v"))
+                | ((F.col("g_u") == F.col("g_v")) & (F.col("u") < F.col("v")))
+            ).select(F.col("v").alias("super"))
+        )
+        .distinct()
+    )
+    movers = cand.select("super").join(beaten, "super", "left_anti")
+    return part.join(
+        movers.withColumn("mv", F.lit(1)), "super", "left"
+    ).select(
+        "super",
+        F.when(F.col("mv").isNotNull(), 1 - F.col("part"))
+        .otherwise(F.col("part"))
+        .cast("int")
+        .alias("part"),
+    )
+
+
+def multilevel_partition_k2_refined(
+    edges: DataFrame,
+    level_rounds: tuple[int, ...] = (3, 2, 2),
+    sweeps: int = 2,
+) -> DataFrame:
+    """multilevel_partition_k2 + ``sweeps`` deterministic boundary
+    refinement sweeps at the coarsest level (see refine_partition_sweep)
+    before projecting down — the full V-cycle shape minus per-level
+    re-refinement. Cut non-increase per sweep is structural (independent-
+    set movers); the leaf cut equals the refined coarse cut by the same
+    conservation argument the unrefined projection pins."""
+    comp, e, leaf_w, part = _multilevel_pipeline(edges, level_rounds)
+    for _ in range(sweeps):
+        part = refine_partition_sweep(e, part, leaf_w).localCheckpoint(
+            eager=True
+        )
     return comp.join(part, "super").select("id", "part")

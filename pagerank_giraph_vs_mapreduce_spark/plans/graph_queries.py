@@ -2278,7 +2278,10 @@ v{lv} AS MATERIALIZED (SELECT DISTINCT super AS id FROM map{lv})"""
     return "".join(parts)
 
 
-def _mlp_oracle(level_rounds: tuple[int, ...]) -> str:
+def _mlp_cte_prefix(level_rounds: tuple[int, ...]) -> str:
+    """Shared CTE prefix of the multilevel-partition oracles: base graph,
+    all coarsening levels, leaf->coarsest composition (comp), leaf
+    weights (lw), and the initial LPT assignment as p0."""
     n = len(level_rounds)
     sql = [
         f"""WITH raw AS MATERIALIZED ({EDGES_SQL}),
@@ -2300,11 +2303,75 @@ comp AS MATERIALIZED (SELECT mm1.node AS id, mm{n}.super AS super
          FROM map1 mm1
          {comp_joins}),
 lw AS MATERIALIZED (SELECT super, count(*) AS w FROM comp GROUP BY super),
-pt AS MATERIALIZED (SELECT super,
+p0 AS MATERIALIZED (SELECT super,
               CAST(row_number() OVER (ORDER BY w DESC, super) % 2 AS INT)
                 AS part
-       FROM lw)
-SELECT comp.id, pt.part FROM comp JOIN pt ON pt.super = comp.super"""
+       FROM lw)"""
+    )
+    return "".join(sql)
+
+
+def _mlp_oracle(level_rounds: tuple[int, ...]) -> str:
+    return (
+        _mlp_cte_prefix(level_rounds)
+        + "\nSELECT comp.id, p0.part FROM comp"
+        + " JOIN p0 ON p0.super = comp.super"
+    )
+
+
+def _mlp_sweep_sql(r: int, e_cte: str) -> str:
+    """One refinement sweep of the refined-partition oracle — the SQL
+    twin of graph/motifs.py:refine_partition_sweep: side weights by leaf
+    count, heavier side (tie -> part 0), per-super flip gains from two
+    per-edge contributions, positive-gain heavier-side candidates,
+    beaten-by-adjacent-candidate elimination (total order by gain then
+    smaller id), independent-set flip."""
+    return f""",
+sw{r} AS MATERIALIZED (
+  SELECT p.part, sum(lw.w) AS tw
+  FROM p{r - 1} p JOIN lw ON lw.super = p.super GROUP BY p.part),
+hv{r} AS MATERIALIZED (
+  SELECT part FROM sw{r} ORDER BY tw DESC, part ASC LIMIT 1),
+gc{r} AS MATERIALIZED (
+  SELECT e.u, e.v,
+         CASE WHEN pu.part <> pv.part THEN e.weight ELSE -e.weight END AS c
+  FROM {e_cte} e JOIN p{r - 1} pu ON pu.super = e.u
+                 JOIN p{r - 1} pv ON pv.super = e.v),
+gn{r} AS MATERIALIZED (
+  SELECT super, sum(c) AS gain FROM (
+    SELECT u AS super, c FROM gc{r}
+    UNION ALL SELECT v AS super, c FROM gc{r}) s GROUP BY super),
+cd{r} AS MATERIALIZED (
+  SELECT g.super, g.gain FROM gn{r} g
+  JOIN p{r - 1} p ON p.super = g.super
+  JOIN hv{r} h ON h.part = p.part
+  WHERE g.gain > 0),
+bt{r} AS MATERIALIZED (
+  SELECT ca.super FROM {e_cte} e
+    JOIN cd{r} ca ON ca.super = e.u JOIN cd{r} cb ON cb.super = e.v
+  WHERE cb.gain > ca.gain OR (cb.gain = ca.gain AND cb.super < ca.super)
+  UNION
+  SELECT cb.super FROM {e_cte} e
+    JOIN cd{r} ca ON ca.super = e.u JOIN cd{r} cb ON cb.super = e.v
+  WHERE ca.gain > cb.gain OR (ca.gain = cb.gain AND ca.super < cb.super)),
+mv{r} AS MATERIALIZED (
+  SELECT super FROM cd{r}
+  WHERE super NOT IN (SELECT super FROM bt{r})),
+p{r} AS MATERIALIZED (
+  SELECT p.super,
+         CAST(CASE WHEN m.super IS NULL THEN p.part ELSE 1 - p.part END
+              AS INT) AS part
+  FROM p{r - 1} p LEFT JOIN mv{r} m ON m.super = p.super)"""
+
+
+def _mlp_refined_oracle(level_rounds: tuple[int, ...], sweeps: int) -> str:
+    n = len(level_rounds)
+    sql = [_mlp_cte_prefix(level_rounds)]
+    for r in range(1, sweeps + 1):
+        sql.append(_mlp_sweep_sql(r, f"e{n}"))
+    sql.append(
+        f"\nSELECT comp.id, p{sweeps}.part FROM comp"
+        f" JOIN p{sweeps} ON p{sweeps}.super = comp.super"
     )
     return "".join(sql)
 
@@ -2331,4 +2398,35 @@ def g_partition_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return multilevel_partition_k2(
         derived_edges(spark, sf_dir), level_rounds=MLP_LEVEL_ROUNDS
+    )
+
+
+MLP_SWEEPS = 2
+
+
+@query(
+    "g_partition_k2_refined",
+    oracle=_mlp_refined_oracle(MLP_LEVEL_ROUNDS, MLP_SWEEPS),
+)
+def g_partition_k2_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g_partition_k2 + two deterministic KL-style boundary sweeps at the
+    coarsest level before projection
+    (graph/motifs.py:refine_partition_sweep) — closing the refinement
+    seam the unrefined query declares: per sweep, positive-flip-gain
+    supers on the HEAVIER side (balance guard) move iff no adjacent
+    candidate beats them (total order by gain then smaller id), so the
+    movers are an independent set, no cut edge flips both ends, and the
+    cut drops by exactly the summed gains — monotone non-increase is
+    structural, pinned by pytest alongside the balance guard. Sweep
+    cost is two V_coarse-row joins + map-side-combined gain sums + one
+    2-row side aggregate; the oracle unrolls both sweeps on top of the
+    three coarsening levels (every CTE materialized)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2_refined,
+    )
+
+    return multilevel_partition_k2_refined(
+        derived_edges(spark, sf_dir),
+        level_rounds=MLP_LEVEL_ROUNDS,
+        sweeps=MLP_SWEEPS,
     )

@@ -74,6 +74,7 @@ _PRIORITY = (
     # --- new in r11
     "g_degree_gini_exact",
     "g_partition_k2",
+    "g_partition_k2_refined",
     "mm_external_poison_mix",
     # --- code/oracle changed in r11: re-certify
     "pipeline_url_dedup",

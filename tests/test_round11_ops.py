@@ -291,3 +291,74 @@ def test_multilevel_partition_edge_cut_conservation(spark):
         .collect()[0][0]
     )
     assert leaf_cut == coarse_cut, (leaf_cut, coarse_cut)
+
+
+def test_refinement_sweep_cut_non_increase_and_independence(spark):
+    """Each refine_partition_sweep must (a) never increase the weighted
+    coarse cut (the independent-set movers argument made empirical),
+    (b) flip an independent set only — no coarse edge may have BOTH
+    endpoints move in one sweep, and (c) move vertices off the HEAVIER
+    side only (the balance guard). Checked for 3 consecutive sweeps on
+    fixtures whose LPT initial coloring is deliberately bad (a clique
+    chain whose heaviest supers alternate sides)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        _multilevel_pipeline,
+        refine_partition_sweep,
+    )
+    from tests.conftest import make_edges
+
+    def cut_of(e, part):
+        pu = part.select(F.col("super").alias("u"), F.col("part").alias("p_u"))
+        pv = part.select(F.col("super").alias("v"), F.col("part").alias("p_v"))
+        r = (
+            e.join(pu, "u")
+            .join(pv, "v")
+            .filter(F.col("p_u") != F.col("p_v"))
+            .agg(F.sum("weight"))
+            .collect()[0][0]
+        )
+        return r or 0
+
+    fixtures = {
+        "clique_chain": [
+            (a + 10 * k, b + 10 * k)
+            for k in range(4)
+            for a in range(5)
+            for b in range(5)
+            if a < b
+        ]
+        + [(4, 10), (14, 20), (24, 30)],
+        "grid": [
+            (i + 6 * j, i + 6 * j + 1) for j in range(6) for i in range(5)
+        ]
+        + [(i + 6 * j, i + 6 * (j + 1)) for j in range(5) for i in range(6)],
+    }
+    for name, pairs in fixtures.items():
+        comp, e, leaf_w, part = _multilevel_pipeline(
+            make_edges(spark, pairs), (2,)
+        )
+        e = e.localCheckpoint(eager=True)
+        part = part.localCheckpoint(eager=True)
+        adj = {
+            (r["u"], r["v"]) for r in e.select("u", "v").collect()
+        }
+        for sweep in range(3):
+            before = {r["super"]: r["part"] for r in part.collect()}
+            w_by_super = {r["super"]: r["w"] for r in leaf_w.collect()}
+            side_w = {0: 0, 1: 0}
+            for s, p in before.items():
+                side_w[p] += w_by_super[s]
+            heavier = 0 if side_w[0] >= side_w[1] else 1
+            cut_before = cut_of(e, part)
+            part2 = refine_partition_sweep(e, part, leaf_w).localCheckpoint(
+                eager=True
+            )
+            after = {r["super"]: r["part"] for r in part2.collect()}
+            movers = {s for s in before if before[s] != after[s]}
+            assert cut_of(e, part2) <= cut_before, (name, sweep)
+            for u, v in adj:
+                assert not (u in movers and v in movers), (name, sweep, u, v)
+            assert all(before[s] == heavier for s in movers), (name, sweep)
+            part = part2
