@@ -297,6 +297,10 @@ def main() -> int:
         "pipeline_split_leakage_safe": 1,
         # n-gram family: vocab/bigrams always on
         "text_repeated_ngrams": 1,
+        # multilevel partition: base vs +refinement sweeps (same kernel)
+        "g_partition_k2": 0, "g_partition_k2_refined": 1,
+        # degree Gini: the binned default runs every round; exact rotates
+        "g_degree_gini_exact": 1,
     }
 
     def timed_query(name: str, fn) -> None:
@@ -1014,6 +1018,11 @@ def main() -> int:
         "rel_assoc_rules",
         "g_matching_r3",
         "g_coarsen_r3",
+        # round-11 additions
+        "g_degree_gini_exact",
+        "g_partition_k2",
+        "g_partition_k2_refined",
+        "mm_external_poison_mix",
     ):
         timed_query(q, run_query_rows(q))
 

@@ -206,6 +206,7 @@ HEADLINE = [
     # round-11
     "g_degree_gini_exact",
     "g_partition_k2",
+    "g_partition_k2_refined",
     "mm_external_poison_mix",
 ]
 
