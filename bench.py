@@ -297,7 +297,8 @@ def main() -> int:
         "pipeline_split_leakage_safe": 1,
         # n-gram family: vocab/bigrams always on
         "text_repeated_ngrams": 1,
-        # multilevel partition: base vs +refinement sweeps (same kernel)
+        # multilevel partition triple: the V-cycle (superset) runs every
+        # round; base and +coarsest-refinement alternate as the A/B
         "g_partition_k2": 0, "g_partition_k2_refined": 1,
         # degree Gini: the binned default runs every round; exact rotates
         "g_degree_gini_exact": 1,
@@ -1022,6 +1023,7 @@ def main() -> int:
         "g_degree_gini_exact",
         "g_partition_k2",
         "g_partition_k2_refined",
+        "g_partition_k2_vcycle",
         "mm_external_poison_mix",
     ):
         timed_query(q, run_query_rows(q))

@@ -663,6 +663,22 @@ def _multilevel_pipeline(edges: DataFrame, level_rounds: tuple[int, ...]):
     (u, v, weight), leaf weights per super (super, w), initial
     assignment (super, part)).
     """
+    levels, mappings, comps, part = _multilevel_pipeline_full(
+        edges, level_rounds
+    )
+    comp = comps[-1]
+    leaf_w = comp.groupBy("super").agg(F.count(F.lit(1)).alias("w"))
+    return comp, levels[-1], leaf_w, part
+
+
+def _multilevel_pipeline_full(
+    edges: DataFrame, level_rounds: tuple[int, ...]
+):
+    """The pipeline with every per-level artifact exposed (for the
+    V-cycle's per-level refinement): returns (levels — weighted edge
+    DataFrames e_0..e_n, mappings — m_1..m_n each (node, super), comps —
+    leaf->level-k composition for k=1..n, initial coarsest assignment
+    (super, part))."""
     und = undirect_dedup(edges)
     e = und.withColumn("weight", F.lit(1).cast("bigint"))
     verts = (
@@ -670,11 +686,15 @@ def _multilevel_pipeline(edges: DataFrame, level_rounds: tuple[int, ...]):
         .union(e.select(F.col("v").alias("node")))
         .distinct()
     )
+    levels = [e]
+    mappings = []
+    comps = []
     comp = None
     for rounds in level_rounds:
         mapping = matching_mapping(
             e.select("u", "v"), verts, rounds
         ).localCheckpoint(eager=True)
+        mappings.append(mapping)
         if comp is None:
             comp = mapping.select(F.col("node").alias("id"), "super")
         else:
@@ -685,7 +705,9 @@ def _multilevel_pipeline(edges: DataFrame, level_rounds: tuple[int, ...]):
             comp = comp.join(nxt, "super").select(
                 "id", F.col("super_next").alias("super")
             )
+        comps.append(comp)
         e = contract_weighted(e, mapping).localCheckpoint(eager=True)
+        levels.append(e)
         verts = mapping.select(F.col("super").alias("node")).distinct()
     leaf_w = comp.groupBy("super").agg(F.count(F.lit(1)).alias("w"))
     part = leaf_w.select(
@@ -696,7 +718,7 @@ def _multilevel_pipeline(edges: DataFrame, level_rounds: tuple[int, ...]):
         .cast("int")
         .alias("part"),
     )
-    return comp, e, leaf_w, part
+    return levels, mappings, comps, part
 
 
 def multilevel_partition_k2(
@@ -803,3 +825,64 @@ def multilevel_partition_k2_refined(
             eager=True
         )
     return comp.join(part, "super").select("id", "part")
+
+
+def multilevel_partition_k2_vcycle(
+    edges: DataFrame,
+    level_rounds: tuple[int, ...] = (3, 2, 2),
+    coarsest_sweeps: int = 2,
+    sweeps_per_level: int = 1,
+) -> DataFrame:
+    """The FULL METIS V-cycle: coarsen, LPT-color and refine the coarsest
+    graph (multilevel_partition_k2_refined's shape), then UNCOARSEN —
+    project the assignment one level down at a time and run
+    ``sweeps_per_level`` refine_partition_sweep passes on EACH finer
+    graph, where boundary vertices regain the freedom the contraction
+    took away (a super-vertex moves as a block at level k; its members
+    can split across the cut at level k-1). Balance guards use the
+    LEAF weight carried by each level-k node, so every level's sweeps
+    push toward the same global balance.
+
+    Scale: level-k sweeps are V_k-row joins + map-side-combined gain
+    sums; level-0 sweeps touch the full vertex set but remain
+    aggregate-shaped (no window, no sort). Deterministic end to end —
+    fixed level/sweep counts unroll into the SQL oracle.
+
+    Returns (id, part) for every vertex of the undirected graph."""
+    levels, mappings, comps, part = _multilevel_pipeline_full(
+        edges, level_rounds
+    )
+    n = len(level_rounds)
+    # leaf weight per level-k node: k=0 -> 1 per vertex, else comp counts
+    def lw_at(k: int) -> DataFrame:
+        if k == 0:
+            return (
+                levels[0]
+                .select(F.col("u").alias("super"))
+                .union(levels[0].select(F.col("v").alias("super")))
+                .distinct()
+                .withColumn("w", F.lit(1).cast("bigint"))
+            )
+        return comps[k - 1].groupBy("super").agg(F.count(F.lit(1)).alias("w"))
+
+    for _ in range(coarsest_sweeps):
+        part = refine_partition_sweep(levels[n], part, lw_at(n)).localCheckpoint(
+            eager=True
+        )
+    for k in range(n - 1, -1, -1):
+        # project level-(k+1) parts onto level-k nodes via mapping_{k+1}
+        part = (
+            mappings[k]
+            .join(
+                part.select(
+                    F.col("super").alias("up"), F.col("part").alias("part")
+                ),
+                F.col("super") == F.col("up"),
+            )
+            .select(F.col("node").alias("super"), "part")
+        )
+        for _ in range(sweeps_per_level):
+            part = refine_partition_sweep(
+                levels[k], part, lw_at(k)
+            ).localCheckpoint(eager=True)
+    return part.select(F.col("super").alias("id"), "part")

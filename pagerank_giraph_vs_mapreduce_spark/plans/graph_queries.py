@@ -2319,60 +2319,117 @@ def _mlp_oracle(level_rounds: tuple[int, ...]) -> str:
     )
 
 
-def _mlp_sweep_sql(r: int, e_cte: str) -> str:
-    """One refinement sweep of the refined-partition oracle — the SQL
+def _mlp_sweep_sql(
+    tag: str, prev: str, e_cte: str, lw_cte: str, out: str
+) -> str:
+    """One refinement sweep of the refined/V-cycle oracles — the SQL
     twin of graph/motifs.py:refine_partition_sweep: side weights by leaf
     count, heavier side (tie -> part 0), per-super flip gains from two
     per-edge contributions, positive-gain heavier-side candidates,
     beaten-by-adjacent-candidate elimination (total order by gain then
-    smaller id), independent-set flip."""
+    smaller id), independent-set flip. ``prev`` is the incoming
+    (super, part) CTE, ``lw_cte`` the (super, w) leaf weights of this
+    level, ``out`` the produced (super, part) CTE name."""
     return f""",
-sw{r} AS MATERIALIZED (
+sw_{tag} AS MATERIALIZED (
   SELECT p.part, sum(lw.w) AS tw
-  FROM p{r - 1} p JOIN lw ON lw.super = p.super GROUP BY p.part),
-hv{r} AS MATERIALIZED (
-  SELECT part FROM sw{r} ORDER BY tw DESC, part ASC LIMIT 1),
-gc{r} AS MATERIALIZED (
+  FROM {prev} p JOIN {lw_cte} lw ON lw.super = p.super GROUP BY p.part),
+hv_{tag} AS MATERIALIZED (
+  SELECT part FROM sw_{tag} ORDER BY tw DESC, part ASC LIMIT 1),
+gc_{tag} AS MATERIALIZED (
   SELECT e.u, e.v,
          CASE WHEN pu.part <> pv.part THEN e.weight ELSE -e.weight END AS c
-  FROM {e_cte} e JOIN p{r - 1} pu ON pu.super = e.u
-                 JOIN p{r - 1} pv ON pv.super = e.v),
-gn{r} AS MATERIALIZED (
+  FROM {e_cte} e JOIN {prev} pu ON pu.super = e.u
+                 JOIN {prev} pv ON pv.super = e.v),
+gn_{tag} AS MATERIALIZED (
   SELECT super, sum(c) AS gain FROM (
-    SELECT u AS super, c FROM gc{r}
-    UNION ALL SELECT v AS super, c FROM gc{r}) s GROUP BY super),
-cd{r} AS MATERIALIZED (
-  SELECT g.super, g.gain FROM gn{r} g
-  JOIN p{r - 1} p ON p.super = g.super
-  JOIN hv{r} h ON h.part = p.part
+    SELECT u AS super, c FROM gc_{tag}
+    UNION ALL SELECT v AS super, c FROM gc_{tag}) s GROUP BY super),
+cd_{tag} AS MATERIALIZED (
+  SELECT g.super, g.gain FROM gn_{tag} g
+  JOIN {prev} p ON p.super = g.super
+  JOIN hv_{tag} h ON h.part = p.part
   WHERE g.gain > 0),
-bt{r} AS MATERIALIZED (
+bt_{tag} AS MATERIALIZED (
   SELECT ca.super FROM {e_cte} e
-    JOIN cd{r} ca ON ca.super = e.u JOIN cd{r} cb ON cb.super = e.v
+    JOIN cd_{tag} ca ON ca.super = e.u JOIN cd_{tag} cb ON cb.super = e.v
   WHERE cb.gain > ca.gain OR (cb.gain = ca.gain AND cb.super < ca.super)
   UNION
   SELECT cb.super FROM {e_cte} e
-    JOIN cd{r} ca ON ca.super = e.u JOIN cd{r} cb ON cb.super = e.v
+    JOIN cd_{tag} ca ON ca.super = e.u JOIN cd_{tag} cb ON cb.super = e.v
   WHERE ca.gain > cb.gain OR (ca.gain = cb.gain AND ca.super < cb.super)),
-mv{r} AS MATERIALIZED (
-  SELECT super FROM cd{r}
-  WHERE super NOT IN (SELECT super FROM bt{r})),
-p{r} AS MATERIALIZED (
+mv_{tag} AS MATERIALIZED (
+  SELECT super FROM cd_{tag}
+  WHERE super NOT IN (SELECT super FROM bt_{tag})),
+{out} AS MATERIALIZED (
   SELECT p.super,
          CAST(CASE WHEN m.super IS NULL THEN p.part ELSE 1 - p.part END
               AS INT) AS part
-  FROM p{r - 1} p LEFT JOIN mv{r} m ON m.super = p.super)"""
+  FROM {prev} p LEFT JOIN mv_{tag} m ON m.super = p.super)"""
 
 
 def _mlp_refined_oracle(level_rounds: tuple[int, ...], sweeps: int) -> str:
     n = len(level_rounds)
     sql = [_mlp_cte_prefix(level_rounds)]
     for r in range(1, sweeps + 1):
-        sql.append(_mlp_sweep_sql(r, f"e{n}"))
+        sql.append(_mlp_sweep_sql(str(r), f"p{r - 1}", f"e{n}", "lw", f"p{r}"))
     sql.append(
         f"\nSELECT comp.id, p{sweeps}.part FROM comp"
         f" JOIN p{sweeps} ON p{sweeps}.super = comp.super"
     )
+    return "".join(sql)
+
+
+def _mlp_vcycle_oracle(
+    level_rounds: tuple[int, ...], coarsest_sweeps: int, sweeps_per_level: int
+) -> str:
+    """The full V-cycle unrolled: coarsest LPT init + refinement sweeps,
+    then per level downward a projection CTE (part of a level-k node =
+    part of its level-k+1 super) followed by sweeps on THAT level's
+    graph with THAT level's leaf weights. Level-0 output rows ARE the
+    leaves."""
+    n = len(level_rounds)
+    sql = [_mlp_cte_prefix(level_rounds)]
+    # per-level leaf->level-k compositions and leaf weights
+    sql.append(
+        """,
+comp1 AS MATERIALIZED (SELECT node AS id, super FROM map1),
+lw0 AS MATERIALIZED (SELECT id AS super, CAST(1 AS BIGINT) AS w FROM v0)"""
+    )
+    for k in range(2, n):
+        sql.append(
+            f""",
+comp{k} AS MATERIALIZED (SELECT c.id, m.super FROM comp{k - 1} c
+         JOIN map{k} m ON m.node = c.super)"""
+        )
+    for k in range(1, n):
+        sql.append(
+            f""",
+lw{k} AS MATERIALIZED (SELECT super, count(*) AS w FROM comp{k}
+       GROUP BY super)"""
+        )
+    # coarsest refinement (lw == lw{n} from the prefix)
+    prev = "p0"
+    for s in range(1, coarsest_sweeps + 1):
+        out = f"q{n}_{s}"
+        sql.append(_mlp_sweep_sql(f"{n}_{s}", prev, f"e{n}", "lw", out))
+        prev = out
+    # uncoarsen: project + sweeps at each finer level
+    for k in range(n - 1, -1, -1):
+        out = f"q{k}_0"
+        sql.append(
+            f""",
+{out} AS MATERIALIZED (SELECT m.node AS super, p.part
+        FROM map{k + 1} m JOIN {prev} p ON p.super = m.super)"""
+        )
+        prev = out
+        for s in range(1, sweeps_per_level + 1):
+            out = f"q{k}_{s}"
+            sql.append(
+                _mlp_sweep_sql(f"{k}_{s}", prev, f"e{k}", f"lw{k}", out)
+            )
+            prev = out
+    sql.append(f"\nSELECT super AS id, part FROM {prev}")
     return "".join(sql)
 
 
@@ -2429,4 +2486,35 @@ def g_partition_k2_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         derived_edges(spark, sf_dir),
         level_rounds=MLP_LEVEL_ROUNDS,
         sweeps=MLP_SWEEPS,
+    )
+
+
+@query(
+    "g_partition_k2_vcycle",
+    oracle=_mlp_vcycle_oracle(MLP_LEVEL_ROUNDS, MLP_SWEEPS, 1),
+)
+def g_partition_k2_vcycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL METIS V-cycle
+    (graph/motifs.py:multilevel_partition_k2_vcycle): after the coarsest
+    refinement, the assignment is UNCOARSENED — projected one level down
+    at a time with one boundary sweep on each finer graph, where the
+    contraction's blocks regain per-member freedom (a level-k super
+    moves whole; its members can split across the cut at level k-1).
+    Balance guards use each level's LEAF weights, so every sweep pushes
+    the same global balance; cut non-increase per sweep is the same
+    independent-set argument as g_partition_k2_refined, now holding
+    through the projections too (projection preserves the cut exactly —
+    the conservation pytest — and sweeps only lower it). Level-0 sweeps
+    touch the full vertex set but stay aggregate-shaped (gain sums +
+    anti-joins, no window, no sort). All 3 + 2 + 4 stages unroll into
+    one materialized-CTE oracle."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2_vcycle,
+    )
+
+    return multilevel_partition_k2_vcycle(
+        derived_edges(spark, sf_dir),
+        level_rounds=MLP_LEVEL_ROUNDS,
+        coarsest_sweeps=MLP_SWEEPS,
+        sweeps_per_level=1,
     )

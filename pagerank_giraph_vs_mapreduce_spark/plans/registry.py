@@ -75,6 +75,7 @@ _PRIORITY = (
     "g_degree_gini_exact",
     "g_partition_k2",
     "g_partition_k2_refined",
+    "g_partition_k2_vcycle",
     "mm_external_poison_mix",
     # --- code/oracle changed in r11: re-certify
     "pipeline_url_dedup",

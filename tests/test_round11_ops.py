@@ -362,3 +362,57 @@ def test_refinement_sweep_cut_non_increase_and_independence(spark):
                 assert not (u in movers and v in movers), (name, sweep, u, v)
             assert all(before[s] == heavier for s in movers), (name, sweep)
             part = part2
+
+
+def test_vcycle_cut_chain(spark, sf_dir):
+    """The V-cycle's whole value proposition as one inequality chain on
+    the LEAF graph: cut(vcycle) <= cut(refined) <= cut(unrefined).
+    Projection preserves the cut exactly (the conservation test) and
+    every sweep — coarsest or per-level — only lowers it, so the chain
+    is structural; checked on the sf0.001 parquet graph AND a fixture
+    whose initial LPT coloring is bad."""
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2,
+        multilevel_partition_k2_refined,
+        multilevel_partition_k2_vcycle,
+        undirect_dedup,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import derived_edges
+    from tests.conftest import make_edges
+
+    def leaf_cut(edges, parts):
+        und = undirect_dedup(edges)
+        pu = parts.select(F.col("id").alias("u"), F.col("part").alias("p_u"))
+        pv = parts.select(F.col("id").alias("v"), F.col("part").alias("p_v"))
+        return (
+            und.join(pu, "u")
+            .join(pv, "v")
+            .filter(F.col("p_u") != F.col("p_v"))
+            .count()
+        )
+
+    clique_chain = [
+        (a + 10 * k, b + 10 * k)
+        for k in range(4)
+        for a in range(5)
+        for b in range(5)
+        if a < b
+    ] + [(4, 10), (14, 20), (24, 30)]
+    cases = [
+        ("fixture", make_edges(spark, clique_chain), (2,)),
+        ("sf0.001", derived_edges(spark, sf_dir), (3, 2, 2)),
+    ]
+    for name, edges, lr in cases:
+        c_plain = leaf_cut(edges, multilevel_partition_k2(edges, lr))
+        c_ref = leaf_cut(
+            edges, multilevel_partition_k2_refined(edges, lr, sweeps=2)
+        )
+        c_vc = leaf_cut(
+            edges,
+            multilevel_partition_k2_vcycle(
+                edges, lr, coarsest_sweeps=2, sweeps_per_level=1
+            ),
+        )
+        assert c_vc <= c_ref <= c_plain, (name, c_vc, c_ref, c_plain)

@@ -207,6 +207,7 @@ HEADLINE = [
     "g_degree_gini_exact",
     "g_partition_k2",
     "g_partition_k2_refined",
+    "g_partition_k2_vcycle",
     "mm_external_poison_mix",
 ]
 
