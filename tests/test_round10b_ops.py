@@ -618,9 +618,12 @@ def test_degree_gini_known_distributions(spark, tmp_path):
     except duckdb.Error:
         pass  # EDGES_SQL may reference more lineitem columns than the stub
     if row is not None:
-        n, s, g = row
+        # binned oracle (r11): (n_vertices, sum_deg, n_bins, gini); all
+        # degrees here are far below GINI_D0, so binned == exact EXACTLY
+        n, s, n_bins, g = row
         degs = {1: 3, 2: 1}
         assert (n, s) == (2, 4)
+        assert n_bins == 2  # identity bins: one per distinct degree
         assert abs(g - gini_of(list(degs.values()))) < 1e-9
 
 
