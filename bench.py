@@ -1228,19 +1228,28 @@ def main() -> int:
             row = {"old": a, "suite": b, "ratio": round(r, 2)}
             if r < lo:
                 row["verdict"] = "improvement"
+            elif name not in entry_fns:
+                # composite ladder entries record timings directly (no
+                # re-runnable thunk): flag for the solo arbiter instead
+                # of silently dropping the flag
+                row["verdict"] = "manual_solo"
             else:
-                t0 = time.monotonic()
-                entry_fns[name]()
-                warm = round(time.monotonic() - t0, 3)
-                spark.catalog.clearCache()
-                import gc as _gc
+                try:
+                    t0 = time.monotonic()
+                    entry_fns[name]()
+                    warm = round(time.monotonic() - t0, 3)
+                    spark.catalog.clearCache()
+                    import gc as _gc
 
-                _gc.collect()
-                spark.sparkContext._jvm.System.gc()
-                row["warm"] = warm
-                row["verdict"] = (
-                    "session_order" if warm / a <= hi else "plan_change"
-                )
+                    _gc.collect()
+                    spark.sparkContext._jvm.System.gc()
+                    row["warm"] = warm
+                    row["verdict"] = (
+                        "session_order" if warm / a <= hi else "plan_change"
+                    )
+                except Exception as exc:  # never lose the suite artifact
+                    row["verdict"] = "manual_solo"
+                    row["rerun_error"] = str(exc)[:200]
             verdicts[name] = row
         out["verdicts"] = verdicts
         return out
@@ -1346,7 +1355,12 @@ def main() -> int:
         vs = full["arbitration"]["verdicts"]
         compact["arb"] = {
             v: sum(1 for r in vs.values() if r["verdict"] == v)
-            for v in ("improvement", "session_order", "plan_change")
+            for v in (
+                "improvement",
+                "session_order",
+                "plan_change",
+                "manual_solo",
+            )
         }
     line = json.dumps(compact)
     if len(line) > 1800:  # hard guard: never outgrow the driver's tail capture
