@@ -300,6 +300,7 @@ def main() -> int:
         # multilevel partition triple: the V-cycle (superset) runs every
         # round; base and +coarsest-refinement alternate as the A/B
         "g_partition_k2": 0, "g_partition_k2_refined": 1,
+        "g_partition_cut_stats": 0,
         # degree Gini: the binned default runs every round; exact rotates
         "g_degree_gini_exact": 1,
     }
@@ -1024,6 +1025,7 @@ def main() -> int:
         "g_partition_k2",
         "g_partition_k2_refined",
         "g_partition_k2_vcycle",
+        "g_partition_cut_stats",
         "mm_external_poison_mix",
     ):
         timed_query(q, run_query_rows(q))

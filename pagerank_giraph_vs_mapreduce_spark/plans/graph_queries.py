@@ -2518,3 +2518,66 @@ def g_partition_k2_vcycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarsest_sweeps=MLP_SWEEPS,
         sweeps_per_level=1,
     )
+
+
+@query(
+    "g_partition_cut_stats",
+    oracle=_mlp_refined_oracle(MLP_LEVEL_ROUNDS, MLP_SWEEPS).replace(
+        "\nSELECT comp.id, p2.part FROM comp JOIN p2 ON p2.super = comp.super",
+        f""",
+leafp AS MATERIALIZED (
+  SELECT comp.id, p{MLP_SWEEPS}.part FROM comp
+  JOIN p{MLP_SWEEPS} ON p{MLP_SWEEPS}.super = comp.super)
+SELECT CAST(sum(CASE WHEN pa.part <> pb.part THEN 1 ELSE 0 END) AS BIGINT)
+         AS edge_cut,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM leafp WHERE part = 0) AS BIGINT) AS n_part0,
+       CAST((SELECT count(*) FROM leafp WHERE part = 1) AS BIGINT) AS n_part1
+FROM e0 JOIN leafp pa ON pa.id = e0.u JOIN leafp pb ON pb.id = e0.v""",
+    ),
+)
+def g_partition_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition QUALITY observability — the two numbers a partitioner
+    is judged by, as one aggregate row: leaf edge cut and per-side
+    vertex counts for g_partition_k2_refined's assignment. This is what
+    an operator would monitor before trusting a partition for shuffle
+    placement (the reference's skew problem, README.md:417-418). Plan:
+    the assignment V-row table joined twice onto the undirected edge
+    list, one map-side-combined aggregate — no new algorithmic machinery
+    beyond the partitioner itself, so the oracle is the refined oracle's
+    CTE chain with a metrics finisher."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2_refined,
+        undirect_dedup,
+    )
+
+    und = undirect_dedup(derived_edges(spark, sf_dir))
+    parts = multilevel_partition_k2_refined(
+        derived_edges(spark, sf_dir),
+        level_rounds=MLP_LEVEL_ROUNDS,
+        sweeps=MLP_SWEEPS,
+    )
+    pa = parts.select(F.col("id").alias("u"), F.col("part").alias("pa"))
+    pb = parts.select(F.col("id").alias("v"), F.col("part").alias("pb"))
+    side = parts.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    sides = side.agg(
+        F.sum(F.when(F.col("part") == 0, F.col("n"))).alias("n_part0"),
+        F.sum(F.when(F.col("part") == 1, F.col("n"))).alias("n_part1"),
+    )
+    return (
+        und.join(pa, "u")
+        .join(pb, "v")
+        .agg(
+            F.sum(F.when(F.col("pa") != F.col("pb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("edge_cut"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+        .crossJoin(F.broadcast(sides))
+        .select(
+            "edge_cut",
+            "n_edges",
+            F.col("n_part0").cast("bigint").alias("n_part0"),
+            F.col("n_part1").cast("bigint").alias("n_part1"),
+        )
+    )

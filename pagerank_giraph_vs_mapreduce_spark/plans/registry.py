@@ -76,6 +76,7 @@ _PRIORITY = (
     "g_partition_k2",
     "g_partition_k2_refined",
     "g_partition_k2_vcycle",
+    "g_partition_cut_stats",
     "mm_external_poison_mix",
     # --- code/oracle changed in r11: re-certify
     "pipeline_url_dedup",

@@ -208,6 +208,7 @@ HEADLINE = [
     "g_partition_k2",
     "g_partition_k2_refined",
     "g_partition_k2_vcycle",
+    "g_partition_cut_stats",
     "mm_external_poison_mix",
 ]
 
