@@ -886,3 +886,51 @@ def multilevel_partition_k2_vcycle(
                 levels[k], part, lw_at(k)
             ).localCheckpoint(eager=True)
     return part.select(F.col("super").alias("id"), "part")
+
+
+def multilevel_partition_k4(
+    edges: DataFrame,
+    top_levels: tuple[int, ...] = (3, 2, 2),
+    top_sweeps: int = 2,
+    side_levels: tuple[int, ...] = (3, 2),
+    side_sweeps: int = 1,
+) -> DataFrame:
+    """k-way partition by recursive bisection (k=4): refined top
+    bisection, then an independent refined bisection of each side's
+    induced subgraph; final label = top*2 + side bit. Vertices isolated
+    inside their side default to sub-part 0 (every incident edge
+    crosses the top cut, so their side-local placement is free). The
+    two side pipelines are independent plans over disjoint edge sets —
+    at scale they run concurrently, which is the METIS cost argument
+    (k-way ~ log2(k) x one-bisection work over a shrinking graph)."""
+    top = multilevel_partition_k2_refined(
+        edges, top_levels, top_sweeps
+    ).localCheckpoint(eager=True)
+    und = undirect_dedup(edges)
+    subs = []
+    for side in (0, 1):
+        vs = top.filter(F.col("part") == side).select("id")
+        e_side = und.join(
+            vs.select(F.col("id").alias("u")), "u", "left_semi"
+        ).join(vs.select(F.col("id").alias("v")), "v", "left_semi")
+        sub = multilevel_partition_k2_refined(
+            e_side.select(
+                F.col("u").alias("src"), F.col("v").alias("dst")
+            ),
+            side_levels,
+            side_sweeps,
+        )
+        subs.append(sub.select("id", F.col("part").alias(f"sp{side}")))
+    return (
+        top.join(subs[0], "id", "left")
+        .join(subs[1], "id", "left")
+        .select(
+            "id",
+            (
+                F.col("part") * 2
+                + F.coalesce(F.col("sp0"), F.col("sp1"), F.lit(0))
+            )
+            .cast("int")
+            .alias("part"),
+        )
+    )

@@ -2227,86 +2227,96 @@ def g_coarsen_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
 MLP_LEVEL_ROUNDS = (3, 2, 2)
 
 
-def _mlp_level_sql(lv: int, src_e: str, src_v: str, rounds: int) -> str:
+def _mlp_level_sql(
+    lv: int, src_e: str, src_v: str, rounds: int, px: str = ""
+) -> str:
     """One coarsening level of the multilevel-partition oracle: mutual-min
     matching CTEs (the g_matching_r3 unrolling, prefixed per level) over
     the edge CTE ``src_e``(u, v, weight), a total (node, super) mapping
     over the FULL vertex CTE ``src_v``(id), and the weighted contraction
-    e{lv} / its vertex set v{lv}."""
+    {px}e{lv} / its vertex set {px}v{lv}."""
     parts = [
         f""",
-sym{lv} AS MATERIALIZED (SELECT u AS node, v AS nbr FROM {src_e}
+{px}sym{lv} AS MATERIALIZED (SELECT u AS node, v AS nbr FROM {src_e}
         UNION ALL SELECT v AS node, u AS nbr FROM {src_e}),
-live{lv}_0 AS MATERIALIZED (SELECT DISTINCT node FROM sym{lv})"""
+{px}liv{px}e{lv}_0 AS MATERIALIZED (SELECT DISTINCT node FROM {px}sym{lv})"""
     ]
     for r in range(1, rounds + 1):
         parts.append(
             f""",
-aa{lv}_{r} AS MATERIALIZED (SELECT s.node, s.nbr FROM sym{lv} s
-          JOIN live{lv}_{r - 1} a ON s.node = a.node
-          JOIN live{lv}_{r - 1} b ON s.nbr = b.node),
-pr{lv}_{r} AS MATERIALIZED (SELECT node, min(nbr) AS prop FROM aa{lv}_{r} GROUP BY node),
-m{lv}_{r} AS MATERIALIZED (SELECT p1.node AS u, p2.node AS v
-         FROM pr{lv}_{r} p1 JOIN pr{lv}_{r} p2
+{px}aa{lv}_{r} AS MATERIALIZED (SELECT s.node, s.nbr FROM {px}sym{lv} s
+          JOIN {px}liv{px}e{lv}_{r - 1} a ON s.node = a.node
+          JOIN {px}liv{px}e{lv}_{r - 1} b ON s.nbr = b.node),
+{px}pr{lv}_{r} AS MATERIALIZED (SELECT node, min(nbr) AS prop FROM {px}aa{lv}_{r} GROUP BY node),
+{px}m{lv}_{r} AS MATERIALIZED (SELECT p1.node AS u, p2.node AS v
+         FROM {px}pr{lv}_{r} p1 JOIN {px}pr{lv}_{r} p2
            ON p1.prop = p2.node AND p2.prop = p1.node
           AND p1.node < p2.node),
-live{lv}_{r} AS MATERIALIZED (SELECT node FROM live{lv}_{r - 1} l
-            WHERE NOT EXISTS (SELECT 1 FROM m{lv}_{r}
-                              WHERE m{lv}_{r}.u = l.node
-                                 OR m{lv}_{r}.v = l.node))"""
+{px}liv{px}e{lv}_{r} AS MATERIALIZED (SELECT node FROM {px}liv{px}e{lv}_{r - 1} l
+            WHERE NOT EXISTS (SELECT 1 FROM {px}m{lv}_{r}
+                              WHERE {px}m{lv}_{r}.u = l.node
+                                 OR {px}m{lv}_{r}.v = l.node))"""
         )
     matched = "\n    UNION ALL ".join(
-        f"SELECT u, v FROM m{lv}_{r}" for r in range(1, rounds + 1)
+        f"SELECT u, v FROM {px}m{lv}_{r}" for r in range(1, rounds + 1)
     )
     parts.append(
         f""",
-matched{lv} AS MATERIALIZED ({matched}),
-map{lv} AS MATERIALIZED (
+{px}matched{lv} AS MATERIALIZED ({matched}),
+{px}map{lv} AS MATERIALIZED (
   SELECT id AS node, id AS super FROM {src_v}
-  WHERE NOT EXISTS (SELECT 1 FROM matched{lv}
-                    WHERE matched{lv}.u = id OR matched{lv}.v = id)
-  UNION ALL SELECT u AS node, u AS super FROM matched{lv}
-  UNION ALL SELECT v AS node, u AS super FROM matched{lv}),
-e{lv} AS MATERIALIZED (
+  WHERE NOT EXISTS (SELECT 1 FROM {px}matched{lv}
+                    WHERE {px}matched{lv}.u = id OR {px}matched{lv}.v = id)
+  UNION ALL SELECT u AS node, u AS super FROM {px}matched{lv}
+  UNION ALL SELECT v AS node, u AS super FROM {px}matched{lv}),
+{px}e{lv} AS MATERIALIZED (
   SELECT least(a.super, b.super) AS u, greatest(a.super, b.super) AS v,
          CAST(sum(e.weight) AS BIGINT) AS weight
-  FROM {src_e} e JOIN map{lv} a ON a.node = e.u
-                 JOIN map{lv} b ON b.node = e.v
+  FROM {src_e} e JOIN {px}map{lv} a ON a.node = e.u
+                 JOIN {px}map{lv} b ON b.node = e.v
   WHERE a.super <> b.super GROUP BY 1, 2),
-v{lv} AS MATERIALIZED (SELECT DISTINCT super AS id FROM map{lv})"""
+{px}v{lv} AS MATERIALIZED (SELECT DISTINCT super AS id FROM {px}map{lv})"""
     )
     return "".join(parts)
 
 
-def _mlp_cte_prefix(level_rounds: tuple[int, ...]) -> str:
-    """Shared CTE prefix of the multilevel-partition oracles: base graph,
-    all coarsening levels, leaf->coarsest composition (comp), leaf
-    weights (lw), and the initial LPT assignment as p0."""
+def _mlp_cte_prefix(level_rounds: tuple[int, ...], px: str = "") -> str:
+    """Shared CTE prefix of the multilevel-partition oracles: base graph
+    (unprefixed chains only), all coarsening levels, leaf->coarsest
+    composition ({px}comp), leaf weights ({px}lw), and the initial LPT
+    assignment as {px}p0. With a prefix, the caller must define
+    {px}e0(u, v, weight) and {px}v0(id) beforehand (used for the k-way
+    recursion's induced side subgraphs)."""
     n = len(level_rounds)
-    sql = [
-        f"""WITH raw AS MATERIALIZED ({EDGES_SQL}),
+    if px:
+        sql = []
+    else:
+        sql = [
+            f"""WITH raw AS MATERIALIZED ({EDGES_SQL}),
 edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw),
 e0 AS MATERIALIZED (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
               CAST(1 AS BIGINT) AS weight
        FROM edges WHERE src <> dst GROUP BY 1, 2, 3),
 v0 AS MATERIALIZED (SELECT u AS id FROM e0 UNION SELECT v AS id FROM e0)"""
-    ]
+        ]
     for lv, rounds in enumerate(level_rounds, start=1):
-        sql.append(_mlp_level_sql(lv, f"e{lv - 1}", f"v{lv - 1}", rounds))
+        sql.append(
+            _mlp_level_sql(lv, f"{px}e{lv - 1}", f"{px}v{lv - 1}", rounds, px)
+        )
     comp_joins = "\n         ".join(
-        f"JOIN map{lv} mm{lv} ON mm{lv}.node = mm{lv - 1}.super"
+        f"JOIN {px}map{lv} mm{lv} ON mm{lv}.node = mm{lv - 1}.super"
         for lv in range(2, n + 1)
     )
     sql.append(
         f""",
-comp AS MATERIALIZED (SELECT mm1.node AS id, mm{n}.super AS super
-         FROM map1 mm1
+{px}comp AS MATERIALIZED (SELECT mm1.node AS id, mm{n}.super AS super
+         FROM {px}map1 mm1
          {comp_joins}),
-lw AS MATERIALIZED (SELECT super, count(*) AS w FROM comp GROUP BY super),
-p0 AS MATERIALIZED (SELECT super,
+{px}lw AS MATERIALIZED (SELECT super, count(*) AS w FROM {px}comp GROUP BY super),
+{px}p0 AS MATERIALIZED (SELECT super,
               CAST(row_number() OVER (ORDER BY w DESC, super) % 2 AS INT)
                 AS part
-       FROM lw)"""
+       FROM {px}lw)"""
     )
     return "".join(sql)
 
@@ -2580,4 +2590,101 @@ def g_partition_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_part0").cast("bigint").alias("n_part0"),
             F.col("n_part1").cast("bigint").alias("n_part1"),
         )
+    )
+
+
+K4_SIDE_LEVELS = (3, 2)
+K4_SIDE_SWEEPS = 1
+
+
+def _mlp_k4_oracle(
+    top_levels: tuple[int, ...],
+    top_sweeps: int,
+    side_levels: tuple[int, ...],
+    side_sweeps: int,
+) -> str:
+    """Recursive-bisection 4-way oracle: the unprefixed k2+refinement
+    chain produces the top assignment (tleaf); each side's INDUCED
+    subgraph (both endpoints on the side) seeds a prefixed chain
+    ('a'/'b') whose base {px}e0/{px}v0 this function defines, and the
+    final part is top*2 + side-local bit (vertices isolated inside
+    their side — every edge crossing — default to sub-part 0 on both
+    engines)."""
+    n_t, n_s = len(top_levels), len(side_levels)
+    sql = [_mlp_cte_prefix(top_levels)]
+    prev = "p0"
+    for s in range(1, top_sweeps + 1):
+        out = f"tp{s}"
+        sql.append(_mlp_sweep_sql(f"t{s}", prev, f"e{n_t}", "lw", out))
+        prev = out
+    sql.append(
+        f""",
+tleaf AS MATERIALIZED (
+  SELECT comp.id, {prev}.part FROM comp
+  JOIN {prev} ON {prev}.super = comp.super)"""
+    )
+    for px, side in (("a", 0), ("b", 1)):
+        sql.append(
+            f""",
+{px}e0 AS MATERIALIZED (
+  SELECT e.u, e.v, CAST(1 AS BIGINT) AS weight
+  FROM e0 e JOIN tleaf pa ON pa.id = e.u AND pa.part = {side}
+            JOIN tleaf pb ON pb.id = e.v AND pb.part = {side}),
+{px}v0 AS MATERIALIZED (SELECT u AS id FROM {px}e0
+        UNION SELECT v AS id FROM {px}e0)"""
+        )
+        sql.append(_mlp_cte_prefix(side_levels, px=px))
+        prev_s = f"{px}p0"
+        for s in range(1, side_sweeps + 1):
+            out = f"{px}p{s}"
+            sql.append(
+                _mlp_sweep_sql(f"{px}{s}", prev_s, f"{px}e{n_s}", f"{px}lw", out)
+            )
+            prev_s = out
+        sql.append(
+            f""",
+{px}leaf AS MATERIALIZED (
+  SELECT {px}comp.id, {prev_s}.part FROM {px}comp
+  JOIN {prev_s} ON {prev_s}.super = {px}comp.super)"""
+        )
+    sql.append(
+        """
+SELECT t.id,
+       CAST(t.part * 2 + coalesce(a.part, b.part, 0) AS INT) AS part
+FROM tleaf t
+LEFT JOIN aleaf a ON a.id = t.id
+LEFT JOIN bleaf b ON b.id = t.id"""
+    )
+    return "".join(sql)
+
+
+@query(
+    "g_partition_k4",
+    oracle=_mlp_k4_oracle(
+        MLP_LEVEL_ROUNDS, MLP_SWEEPS, K4_SIDE_LEVELS, K4_SIDE_SWEEPS
+    ),
+)
+def g_partition_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-WAY partitioning by recursive bisection — how METIS builds k
+    parts from its 2-way kernel: the refined top-level bisection splits
+    the graph, each side's INDUCED subgraph (cross edges dropped — they
+    are already paid for in the top cut) is bisected again by the same
+    multilevel machinery on half the data, and the final label is
+    top*2 + side bit. Vertices isolated inside their side (every
+    incident edge crosses the top cut) keep sub-part 0 — declared and
+    mirrored in the oracle. Recursion depth is log2(k); each level's
+    total work is ONE pass over the (shrinking) edge set across all
+    branches, so k-way costs ~log2(k) times the bisection — the METIS
+    argument, preserved here because the branches are independent
+    DataFrame plans. Returns (id, part) with part in 0..3."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k4,
+    )
+
+    return multilevel_partition_k4(
+        derived_edges(spark, sf_dir),
+        top_levels=MLP_LEVEL_ROUNDS,
+        top_sweeps=MLP_SWEEPS,
+        side_levels=K4_SIDE_LEVELS,
+        side_sweeps=K4_SIDE_SWEEPS,
     )
