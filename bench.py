@@ -301,6 +301,8 @@ def main() -> int:
         # round; base and +coarsest-refinement alternate as the A/B
         "g_partition_k2": 0, "g_partition_k2_refined": 1,
         "g_partition_cut_stats": 0,
+        # k4 re-runs the whole bisection machinery twice more: even rounds
+        "g_partition_k4": 0,
         # degree Gini: the binned default runs every round; exact rotates
         "g_degree_gini_exact": 1,
     }
@@ -1026,6 +1028,7 @@ def main() -> int:
         "g_partition_k2_refined",
         "g_partition_k2_vcycle",
         "g_partition_cut_stats",
+        "g_partition_k4",
         "mm_external_poison_mix",
     ):
         timed_query(q, run_query_rows(q))

@@ -77,6 +77,7 @@ _PRIORITY = (
     "g_partition_k2_refined",
     "g_partition_k2_vcycle",
     "g_partition_cut_stats",
+    "g_partition_k4",
     "mm_external_poison_mix",
     # --- code/oracle changed in r11: re-certify
     "pipeline_url_dedup",

@@ -209,6 +209,7 @@ HEADLINE = [
     "g_partition_k2_refined",
     "g_partition_k2_vcycle",
     "g_partition_cut_stats",
+    "g_partition_k4",
     "mm_external_poison_mix",
 ]
 
