@@ -2227,6 +2227,19 @@ def g_coarsen_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
 MLP_LEVEL_ROUNDS = (3, 2, 2)
 
 
+def _replace_or_raise(sql: str, old: str, new: str) -> str:
+    """str.replace that refuses to silently no-op: the cut_stats oracle
+    swaps the refined oracle's finisher for a metrics finisher, and a
+    constant drift (e.g. MLP_SWEEPS changing the finisher's CTE name)
+    must fail at import time, not degenerate to the (id, part) oracle."""
+    if old not in sql:
+        raise AssertionError(
+            "oracle rewrite target not found; finisher out of sync: "
+            + old
+        )
+    return sql.replace(old, new)
+
+
 def _mlp_level_sql(
     lv: int, src_e: str, src_v: str, rounds: int, px: str = ""
 ) -> str:
@@ -2532,8 +2545,10 @@ def g_partition_k2_vcycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "g_partition_cut_stats",
-    oracle=_mlp_refined_oracle(MLP_LEVEL_ROUNDS, MLP_SWEEPS).replace(
-        "\nSELECT comp.id, p2.part FROM comp JOIN p2 ON p2.super = comp.super",
+    oracle=_replace_or_raise(
+        _mlp_refined_oracle(MLP_LEVEL_ROUNDS, MLP_SWEEPS),
+        f"\nSELECT comp.id, p{MLP_SWEEPS}.part FROM comp"
+        f" JOIN p{MLP_SWEEPS} ON p{MLP_SWEEPS}.super = comp.super",
         f""",
 leafp AS MATERIALIZED (
   SELECT comp.id, p{MLP_SWEEPS}.part FROM comp
@@ -2570,9 +2585,15 @@ def g_partition_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = parts.select(F.col("id").alias("u"), F.col("part").alias("pa"))
     pb = parts.select(F.col("id").alias("v"), F.col("part").alias("pb"))
     side = parts.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    # coalesce to 0 on an empty side (e.g. a graph that coarsens to a
+    # single super) to match the oracle's COUNT(*) subqueries
     sides = side.agg(
-        F.sum(F.when(F.col("part") == 0, F.col("n"))).alias("n_part0"),
-        F.sum(F.when(F.col("part") == 1, F.col("n"))).alias("n_part1"),
+        F.coalesce(
+            F.sum(F.when(F.col("part") == 0, F.col("n"))), F.lit(0)
+        ).alias("n_part0"),
+        F.coalesce(
+            F.sum(F.when(F.col("part") == 1, F.col("n"))), F.lit(0)
+        ).alias("n_part1"),
     )
     return (
         und.join(pa, "u")
