@@ -646,11 +646,13 @@ def contract_weighted(e: DataFrame, mapping: DataFrame) -> DataFrame:
 def _multilevel_pipeline(edges: DataFrame, level_rounds: tuple[int, ...]):
     """Shared coarsening pipeline for the multilevel partitioners:
     coarsen ``len(level_rounds)`` levels by mutual-min matching +
-    weighted contraction, 2-color the COARSEST graph by alternating a
-    (leaf-count DESC, id) ranking (the LPT greedy: heaviest
-    super-vertices split first, so the two sides stay leaf-balanced).
-    Every step is deterministic (min-id proposals, integer weights,
-    total-order ranking), so fixed level counts unroll into SQL oracles.
+    weighted contraction, 2-color the COARSEST graph by deterministic
+    BFS region growing (see region_grow_bipartition: part 0 is a
+    contiguous ball grown from the heaviest edge-touching super until
+    the leaf weight crosses half — cut-aware where the round-11 LPT
+    alternation was cut-blind). Every step is deterministic (min-id
+    proposals, integer weights, total-order ranking), so fixed level
+    counts unroll into SQL oracles.
 
     Scale contract: matching/contraction per level are V-row joins and
     map-side-combined aggregates (never edge self-joins); each level
@@ -710,22 +712,105 @@ def _multilevel_pipeline_full(
         levels.append(e)
         verts = mapping.select(F.col("super").alias("node")).distinct()
     leaf_w = comp.groupBy("super").agg(F.count(F.lit(1)).alias("w"))
-    part = leaf_w.select(
-        "super",
-        (
-            F.row_number().over(Window.orderBy(F.desc("w"), "super")) % 2
-        )
-        .cast("int")
-        .alias("part"),
-    )
+    part = region_grow_bipartition(levels[-1], leaf_w)
     return levels, mappings, comps, part
+
+
+MLP_BFS_ROUNDS = 12
+MLP_DIST_INF = 2147483647
+
+
+def region_grow_bipartition(
+    e: DataFrame, leaf_w: DataFrame, bfs_rounds: int = MLP_BFS_ROUNDS
+) -> DataFrame:
+    """Deterministic region-growing (METIS GGP-style) initial 2-coloring
+    of the coarsest graph — replaces the round-11 LPT alternation, which
+    was balance-optimal but cut-BLIND (it scattered tightly-knit blocks
+    across the cut, capping the whole family ~5x off ideal on
+    clique-chain fixtures). Here part 0 is GROWN as a contiguous BFS
+    ball:
+
+    - seed = the heaviest super that touches an edge (tie -> min id; a
+      graph with no coarse edges has no seed and degrades to a pure
+      weight-ordered fill, where any coloring has cut 0);
+    - hop distances from the seed for a FIXED ``bfs_rounds`` rounds
+      (unreached supers get a sentinel distance, so they fill last —
+      they are far from the seed, exactly where part 1 should live);
+    - supers fill part 0 in (dist ASC, leaf-weight DESC, id) order until
+      the running weight crosses half: super s joins part 0 iff it is
+      the first row or its weight MIDPOINT lies before the global
+      midpoint (2*cum - w < total, all integers — exact on both
+      engines). The last row always lands in part 1, so both sides are
+      non-empty whenever the coarsest graph has >= 2 supers.
+
+    Scale contract: BFS rounds are V_coarse-row joins on the COARSEST
+    table (node-bounded by the add-levels rule, like exact AUC's eval
+    set), and the one ranking/cumulative window runs over that same
+    bounded table — never over leaf vertices. Deterministic end to end,
+    so a fixed ``bfs_rounds`` unrolls into the SQL oracles."""
+    endpoints = (
+        e.select(F.col("u").alias("super"))
+        .union(e.select(F.col("v").alias("super")))
+        .distinct()
+    )
+    seed = (
+        leaf_w.join(endpoints, "super", "left_semi")
+        .orderBy(F.desc("w"), "super")
+        .limit(1)
+        .select("super")
+    )
+    dist = seed.withColumn("dist", F.lit(0).cast("int"))
+    for r in range(1, bfs_rounds + 1):
+        hops = dist.select("super", (F.col("dist") + 1).alias("dist"))
+        nbr = (
+            e.join(hops.withColumnRenamed("super", "u"), "u")
+            .select(F.col("v").alias("super"), "dist")
+            .unionAll(
+                e.join(hops.withColumnRenamed("super", "v"), "v").select(
+                    F.col("u").alias("super"), "dist"
+                )
+            )
+        )
+        dist = (
+            dist.unionAll(nbr)
+            .groupBy("super")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if r % 4 == 0 or r == bfs_rounds:
+            dist = dist.localCheckpoint(eager=True)
+    total = leaf_w.agg(F.sum("w").alias("total"))
+    ranked = leaf_w.join(dist, "super", "left").select(
+        "super",
+        "w",
+        F.coalesce(F.col("dist"), F.lit(MLP_DIST_INF)).alias("dist"),
+    )
+    order = Window.orderBy("dist", F.desc("w"), "super")
+    cum_w = Window.orderBy("dist", F.desc("w"), "super").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(order))
+        .withColumn("cum", F.sum("w").over(cum_w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "super",
+            F.when(
+                (F.col("rn") == 1)
+                | (2 * F.col("cum") - F.col("w") < F.col("total")),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("part"),
+        )
+    )
 
 
 def multilevel_partition_k2(
     edges: DataFrame, level_rounds: tuple[int, ...] = (3, 2, 2)
 ) -> DataFrame:
-    """METIS-shaped multilevel 2-way partition — coarsen, LPT-color the
-    coarsest supers, project back to the leaves (see _multilevel_pipeline
+    """METIS-shaped multilevel 2-way partition — coarsen, region-grow a
+    2-coloring of the coarsest supers, project back to the leaves (see _multilevel_pipeline
     for the full contract; refinement lives in
     multilevel_partition_k2_refined). Returns (id, part) for every
     vertex of the undirected graph."""
@@ -833,7 +918,7 @@ def multilevel_partition_k2_vcycle(
     coarsest_sweeps: int = 2,
     sweeps_per_level: int = 1,
 ) -> DataFrame:
-    """The FULL METIS V-cycle: coarsen, LPT-color and refine the coarsest
+    """The FULL METIS V-cycle: coarsen, region-grow-color and refine the coarsest
     graph (multilevel_partition_k2_refined's shape), then UNCOARSEN —
     project the assignment one level down at a time and run
     ``sweeps_per_level`` refine_partition_sweep passes on EACH finer

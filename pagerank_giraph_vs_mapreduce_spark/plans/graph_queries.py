@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
 from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+    MLP_BFS_ROUNDS,
+    MLP_DIST_INF,
     kcore_survivors,
     ktruss_edges,
     local_clustering,
@@ -2296,10 +2298,16 @@ def _mlp_level_sql(
 def _mlp_cte_prefix(level_rounds: tuple[int, ...], px: str = "") -> str:
     """Shared CTE prefix of the multilevel-partition oracles: base graph
     (unprefixed chains only), all coarsening levels, leaf->coarsest
-    composition ({px}comp), leaf weights ({px}lw), and the initial LPT
-    assignment as {px}p0. With a prefix, the caller must define
-    {px}e0(u, v, weight) and {px}v0(id) beforehand (used for the k-way
-    recursion's induced side subgraphs)."""
+    composition ({px}comp), leaf weights ({px}lw), and the initial
+    region-grown assignment as {px}p0 — the SQL twin of
+    graph/motifs.py:region_grow_bipartition (seed = heaviest
+    edge-touching super, MLP_BFS_ROUNDS unrolled BFS hop-distance CTEs,
+    then a (dist, w DESC, super)-ordered cumulative-weight fill where a
+    super joins part 0 iff it is first or its weight midpoint lies
+    before the global midpoint — all-integer, exact on both engines).
+    With a prefix, the caller must define {px}e0(u, v, weight) and
+    {px}v0(id) beforehand (used for the k-way recursion's induced side
+    subgraphs)."""
     n = len(level_rounds)
     if px:
         sql = []
@@ -2326,10 +2334,44 @@ v0 AS MATERIALIZED (SELECT u AS id FROM e0 UNION SELECT v AS id FROM e0)"""
          FROM {px}map1 mm1
          {comp_joins}),
 {px}lw AS MATERIALIZED (SELECT super, count(*) AS w FROM {px}comp GROUP BY super),
-{px}p0 AS MATERIALIZED (SELECT super,
-              CAST(row_number() OVER (ORDER BY w DESC, super) % 2 AS INT)
-                AS part
-       FROM {px}lw)"""
+{px}seed AS MATERIALIZED (
+  SELECT lw.super FROM {px}lw lw
+  WHERE EXISTS (SELECT 1 FROM {px}e{n} e
+                WHERE e.u = lw.super OR e.v = lw.super)
+  ORDER BY lw.w DESC, lw.super LIMIT 1),
+{px}bf0 AS MATERIALIZED (SELECT super, 0 AS dist FROM {px}seed)"""
+    )
+    for r in range(1, MLP_BFS_ROUNDS + 1):
+        sql.append(
+            f""",
+{px}bf{r} AS MATERIALIZED (
+  SELECT super, min(dist) AS dist FROM (
+    SELECT super, dist FROM {px}bf{r - 1}
+    UNION ALL
+    SELECT e.v AS super, d.dist + 1 AS dist
+    FROM {px}e{n} e JOIN {px}bf{r - 1} d ON d.super = e.u
+    UNION ALL
+    SELECT e.u AS super, d.dist + 1 AS dist
+    FROM {px}e{n} e JOIN {px}bf{r - 1} d ON d.super = e.v) s
+  GROUP BY super)"""
+        )
+    sql.append(
+        f""",
+{px}fill AS MATERIALIZED (
+  SELECT lw.super, lw.w,
+         COALESCE(b.dist, {MLP_DIST_INF}) AS dist
+  FROM {px}lw lw LEFT JOIN {px}bf{MLP_BFS_ROUNDS} b ON b.super = lw.super),
+{px}p0 AS MATERIALIZED (
+  SELECT super,
+         CAST(CASE WHEN rn = 1 OR 2 * cum - w < total THEN 0 ELSE 1 END
+              AS INT) AS part
+  FROM (SELECT super, w,
+               row_number() OVER (ORDER BY dist, w DESC, super) AS rn,
+               sum(w) OVER (ORDER BY dist, w DESC, super
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+               sum(w) OVER () AS total
+        FROM {px}fill) t)"""
     )
     return "".join(sql)
 

@@ -171,9 +171,44 @@ def _py_multilevel(pairs, level_rounds):
     lw: dict[int, int] = {}
     for s in comp.values():
         lw[s] = lw.get(s, 0) + 1
-    ranked = sorted(lw, key=lambda s: (-lw[s], s))
-    part_of_super = {s: i % 2 for i, s in enumerate(ranked, start=1)}
+    part_of_super = _py_region_grow(e, lw)
     return {leaf: part_of_super[s] for leaf, s in comp.items()}, levels, mappings
+
+
+def _py_region_grow(
+    e: dict[tuple[int, int], int], lw: dict[int, int], bfs_rounds: int = 12
+) -> dict[int, int]:
+    """Mirror of graph/motifs.py:region_grow_bipartition: BFS hop
+    distances from the heaviest edge-touching super (capped at
+    ``bfs_rounds``, unreached -> sentinel), then a (dist, w DESC, super)
+    fill where a super joins part 0 iff it is first or its weight
+    midpoint lies before the global midpoint."""
+    INF = 2147483647
+    adj: dict[int, set[int]] = {}
+    for u, v in e:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    dist: dict[int, int] = {}
+    if adj:
+        seed = min(adj, key=lambda s: (-lw[s], s))
+        dist[seed] = 0
+        frontier = [seed]
+        for d in range(1, bfs_rounds + 1):
+            nxt = []
+            for n in frontier:
+                for m in adj[n]:
+                    if m not in dist:
+                        dist[m] = d
+                        nxt.append(m)
+            frontier = nxt
+    order = sorted(lw, key=lambda s: (dist.get(s, INF), -lw[s], s))
+    total = sum(lw.values())
+    part_of_super: dict[int, int] = {}
+    cum = 0
+    for i, s in enumerate(order):
+        cum += lw[s]
+        part_of_super[s] = 0 if i == 0 or 2 * cum - lw[s] < total else 1
+    return part_of_super
 
 
 def test_multilevel_partition_matches_python_mirror(spark):
@@ -419,16 +454,15 @@ def test_vcycle_cut_chain(spark, sf_dir):
 
 
 def test_k4_recursive_bisection_structure(spark):
-    """g_partition_k4's structural contract on a 4-clique chain: every
-    vertex gets exactly one part in 0..3, all four parts are non-empty,
-    two runs are identical (full determinism), and the 4-way leaf cut
-    is strictly below the 3/4-of-edges a uniform-random 4-way
-    assignment expects. Clique-WHOLENESS is deliberately NOT pinned: the LPT
-    initial coloring is balance-optimal but cut-blind, and the
-    independent-set sweeps guarantee monotone improvement, not global
-    optimality (measured: cut 24 -> 15 plateau on this fixture; the
-    named quality seams are a region-growing init and FM-style
-    tentative uphill moves)."""
+    """g_partition_k4's structural + QUALITY contract on a 4-clique
+    chain: every vertex gets exactly one part in 0..3, all four parts
+    are non-empty, two runs are identical (full determinism), every
+    clique lands WHOLE in one part, and the 4-way leaf cut is <= 5
+    (measured: exactly 3 — the ideal, one bridge edge per boundary).
+    Round 11's LPT initial coloring plateaued at cut 15 on this very
+    fixture (balance-optimal but cut-blind); the round-12
+    region-growing init (graph/motifs.py:region_grow_bipartition)
+    closes that gap, so clique-wholeness is now pinned."""
     from pyspark.sql import functions as F
 
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
@@ -468,5 +502,7 @@ def test_k4_recursive_bisection_structure(spark):
         for r in und.collect()
         if got[r["u"]] != got[r["v"]]
     )
-    assert cut < und.count() * 3 / 4, cut
+    assert cut <= 5, cut  # measured: 3, the ideal (one bridge per boundary)
+    for k in range(4):  # clique-wholeness: each clique entirely in one part
+        assert len({got[a + 10 * k] for a in range(5)}) == 1, (k, got)
     assert run() == got  # deterministic
