@@ -1,0 +1,114 @@
+"""Partition-aware edge placement — the consumer that turns the
+multilevel partition family (graph/motifs.py:multilevel_partition_k4)
+from an observed quality number into an engine feature.
+
+The reference's documented pathology is hash partitioning's shuffle
+hot-spot (README.md:386, 417-418): every superstep's gather moves a
+message per (edge, key) pair to wherever the hash sends it. Placing
+edges by a computed graph partition changes the physics of the SAME
+DataFrame plan: Spark's partial (map-side) aggregation combines all
+messages to a destination within each input partition BEFORE the
+exchange, so the exchange writes one row per (input partition,
+destination) pair. Under random/hash placement a destination with
+in-degree d receives from ~min(d, P) partitions; under a low-cut
+placement its in-neighbors are co-located, so it receives from ~1.
+The gather exchange therefore shrinks from ~P rows per hot vertex to
+~1+cut-degree — measured by tools/placement_ab.py and pinned (placed
+<= hash, results exactly equal) by tests/test_placement.py.
+
+At cluster scale the same placed table would be written
+bucket-partitioned (sinks.py's bucketed-join path) so every superstep
+of every downstream run inherits the placement for free; locally we
+localCheckpoint the placed table, which freezes the physical
+distribution the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def place_edges(
+    edges_sym: DataFrame, parts: DataFrame, num_partitions: int
+) -> DataFrame:
+    """Co-locate a symmetric edge table (src, dst) by the graph part of
+    its DESTINATION: one V-row broadcast-able join to attach the label,
+    then a repartition on the part column, materialized so downstream
+    plans start from the frozen distribution. Keying by dst's part means
+    a gather's map-side combine sees every in-message of a non-boundary
+    vertex in one place. ``parts`` is (id, part) from the partition
+    family; the join is V-row, never E-self.
+
+    Contract: a hash collision on the part column may MERGE two parts
+    into one Spark partition (costing parallelism, never correctness or
+    combine locality) but can never SPLIT a part — pinned by
+    tests/test_placement.py. A production table would instead be
+    bucket-WRITTEN by part (sinks.py bucketed path), which both
+    eliminates collisions and persists the placement across runs."""
+    pd = parts.select(F.col("id").alias("dst"), "part")
+    return (
+        edges_sym.join(pd, "dst")
+        .repartition(num_partitions, "part")
+        .localCheckpoint(eager=True)
+    )
+
+
+def hash_placed_edges(edges_sym: DataFrame, num_partitions: int) -> DataFrame:
+    """The A-side control: the same edge table round-robin/hash
+    distributed (what a plain shuffle produces — the reference's
+    default placement), materialized identically."""
+    return edges_sym.repartition(num_partitions).localCheckpoint(eager=True)
+
+
+def wcc_gather_round(placed: DataFrame) -> DataFrame:
+    """ONE WCC min-label gather superstep with initial label(v) = v:
+    new_nbr_min(dst) = min over in-edges of src. Integer min is
+    order-independent, so placed and hash runs must agree EXACTLY —
+    the invariant the A/B measurement is checked against. The single
+    exchange after the partial aggregate is the object under test."""
+    return placed.groupBy("dst").agg(F.min("src").alias("nbr_min"))
+
+
+def exchange_metrics(df: DataFrame) -> dict:
+    """Execute ``df`` and read its exchanges' actual shuffle
+    bytes/records from the executed plan's SQLMetrics (the
+    tools/runtime_metrics.py walk, packaged for the placement A/B):
+    returns rows_out / exchanges / shuffle_records / shuffle_bytes."""
+    n_rows = len(df.collect())
+    jvm = df.sparkSession._jvm
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+        cls = node.getClass().getSimpleName()
+        if "QueryStageExec" in cls:
+            yield from walk(node.plan())
+        if cls == "AdaptiveSparkPlanExec":
+            yield from walk(node.finalPhysicalPlan())
+
+    shuffle_bytes = 0
+    shuffle_records = 0
+    n_exchanges = 0
+    seen = set()
+    for n in walk(df._jdf.queryExecution().executedPlan()):
+        nid = n.id()
+        if nid in seen:
+            continue
+        seen.add(nid)
+        if n.getClass().getSimpleName() == "ShuffleExchangeExec":
+            n_exchanges += 1
+            jm = jvm.scala.collection.JavaConverters.mapAsJavaMap(n.metrics())
+            for k in jm.keySet():
+                if k == "shuffleBytesWritten":
+                    shuffle_bytes += jm.get(k).value()
+                elif k == "shuffleRecordsWritten":
+                    shuffle_records += jm.get(k).value()
+    return {
+        "rows_out": n_rows,
+        "exchanges": n_exchanges,
+        "shuffle_records": shuffle_records,
+        "shuffle_bytes": shuffle_bytes,
+    }

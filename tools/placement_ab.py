@@ -1,0 +1,180 @@
+"""Placement A/B — VERDICT r11 item 3: close the loop from "partition
+computed" to "shuffle bytes saved".
+
+Buckets the symmetric edge table by g_partition_k4's labels
+(graph/placement.py:place_edges) and runs ONE real WCC gather superstep
+(min-label, integer-exact) against the hash-distributed control,
+reading the gather exchange's ACTUAL shuffleBytes/RecordsWritten from
+the executed plan's SQLMetrics. The invariant gate: both runs'
+aggregated results must be EXACTLY equal (integer min is
+order-independent), so the measured delta is pure placement physics —
+a destination's in-messages combine map-side in one partition instead
+of min(in-degree, P).
+
+Two fixtures, both measured:
+- ring-of-cliques (4,000 blocks x 8): a graph WITH community structure
+  — where a placement user lives, and where the reference's hash
+  hot-spot pathology (README.md:417-418) is worst;
+- the sf0.1 derived graph: an expander (measured k2 cut ~46% of edges)
+  — the honest floor: where no good cut exists, placement can't
+  manufacture one.
+
+Appends a '## placement A/B (r12)' section to RUNTIME.md.
+
+Usage: python tools/placement_ab.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pagerank_giraph_vs_mapreduce_spark.session import get_spark  # noqa: E402
+
+NUM_PARTS = 4  # matches k4's label arity; equal parallelism both sides
+
+
+def ring_of_cliques(spark, n_blocks: int, m: int):
+    """Deterministic community graph: n_blocks cliques of m vertices,
+    single bridge edges around the ring (block b's last vertex to block
+    b+1's first). Generated JVM-side from ranges — no driver loop."""
+    blocks = spark.range(n_blocks).select(F.col("id").alias("b"))
+    members = spark.range(m).select(F.col("id").alias("i"))
+    intra = (
+        blocks.crossJoin(members.select(F.col("i").alias("x")))
+        .crossJoin(members.select(F.col("i").alias("y")))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            (F.col("b") * m + F.col("x")).alias("src"),
+            (F.col("b") * m + F.col("y")).alias("dst"),
+        )
+    )
+    bridges = blocks.select(
+        (F.col("b") * m + (m - 1)).alias("src"),
+        (((F.col("b") + 1) % n_blocks) * m).alias("dst"),
+    )
+    return intra.unionAll(bridges)
+
+
+def ab_on(spark, name: str, edges, top_levels, side_levels):
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k4,
+        undirect_dedup,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.graph.placement import (
+        exchange_metrics,
+        hash_placed_edges,
+        place_edges,
+        wcc_gather_round,
+    )
+
+    t0 = time.monotonic()
+    parts = multilevel_partition_k4(
+        edges,
+        top_levels=top_levels,
+        top_sweeps=2,
+        side_levels=side_levels,
+        side_sweeps=1,
+    ).localCheckpoint(eager=True)
+    t_part = time.monotonic() - t0
+    und = undirect_dedup(edges)
+    sym = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+
+    placed = place_edges(sym, parts, NUM_PARTS)
+    hashed = hash_placed_edges(sym, NUM_PARTS)
+
+    mp = exchange_metrics(wcc_gather_round(placed))
+    mh = exchange_metrics(wcc_gather_round(hashed))
+    rp = sorted(
+        (r["dst"], r["nbr_min"]) for r in wcc_gather_round(placed).collect()
+    )
+    rh = sorted(
+        (r["dst"], r["nbr_min"]) for r in wcc_gather_round(hashed).collect()
+    )
+    assert rp == rh, f"{name}: placed/hash gather results DIFFER"
+    n_edges = sym.count() // 2
+    row = {
+        "fixture": name,
+        "n_edges_und": n_edges,
+        "gather_rows": mp["rows_out"],
+        "placed_records": mp["shuffle_records"],
+        "hash_records": mh["shuffle_records"],
+        "placed_bytes": mp["shuffle_bytes"],
+        "hash_bytes": mh["shuffle_bytes"],
+        "partition_sec": round(t_part, 1),
+    }
+    print("measured", row, flush=True)
+    return row
+
+
+def main() -> int:
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import (
+        derived_edges,
+    )
+
+    rows = [
+        ab_on(
+            spark,
+            "ring_of_cliques_4000x8",
+            ring_of_cliques(spark, 4000, 8),
+            top_levels=(3, 2, 2),
+            side_levels=(3, 2),
+        ),
+        ab_on(
+            spark,
+            "derived_sf0.1_expander",
+            derived_edges(spark, "/root/testdata/sf0.1"),
+            top_levels=(3, 2, 2),
+            side_levels=(3, 2),
+        ),
+    ]
+
+    lines = [
+        "## placement A/B (r12)",
+        "",
+        "One WCC min-label gather superstep, k4-placed vs hash-distributed",
+        f"edges ({NUM_PARTS} partitions both sides), exchange SQLMetrics; "
+        "results asserted EXACTLY equal (integer min). "
+        "`records` = rows the gather exchange writes after map-side "
+        "combine — the placement win is combine locality.",
+        "",
+        "| fixture | und. edges | gather rows | exchange records "
+        "placed / hash (reduction) | exchange bytes placed / hash | "
+        "k4 partition sec |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        red = (
+            f"{r['hash_records'] / r['placed_records']:.2f}x"
+            if r["placed_records"]
+            else "n/a"
+        )
+        lines.append(
+            f"| {r['fixture']} | {r['n_edges_und']} | {r['gather_rows']} "
+            f"| {r['placed_records']} / {r['hash_records']} ({red}) "
+            f"| {r['placed_bytes']} / {r['hash_bytes']} "
+            f"| {r['partition_sec']} |"
+        )
+    with open("/root/repo/RUNTIME.md") as fh:
+        doc = fh.read()
+    marker = "\n## placement A/B (r12)"
+    if marker in doc:
+        start = doc.index(marker)
+        nxt = doc.find("\n## ", start + len(marker))
+        tail = doc[nxt:] if nxt != -1 else ""
+        doc = doc[:start] + tail
+    with open("/root/repo/RUNTIME.md", "w") as fh:
+        fh.write(doc + "\n" + "\n".join(lines) + "\n")
+    print("wrote RUNTIME.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
