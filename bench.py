@@ -101,13 +101,20 @@ def _s3solo() -> int:
 
 
 def _s3_solo_median(n_runs: int = 5) -> dict:
-    """Spawn n_runs fresh-JVM S3 kernel runs; return {median, runs[]}."""
+    """Spawn n_runs fresh-JVM S3 kernel runs; return {median, runs[]}.
+
+    r12 protocol tightening (VERDICT r11 item 7): the FIRST run is a
+    DISCARDED warmup — it alone pays cold page-cache/JIT for the whole
+    ladder (r11 spread [2.662..5.067] with the first run at 1.7x the
+    median), so n_runs+1 subprocesses run and the first result is
+    reported separately as `pagerank_s3_solo_discarded_warmup_sec`,
+    never in the median."""
     import subprocess
 
     me = os.path.abspath(__file__)
     medians: list[float] = []
     builds: list[float] = []
-    for _ in range(n_runs):
+    for _ in range(n_runs + 1):
         try:
             out = subprocess.run(
                 [sys.executable, me, "__s3solo__"],
@@ -123,11 +130,18 @@ def _s3_solo_median(n_runs: int = 5) -> dict:
             print(f"warning: s3 solo run failed: {e}", file=sys.stderr)
     if not medians:
         return {}
-    return {
+    warmup = None
+    if len(medians) > 1:  # discard-first: the cold-ladder warmup run
+        warmup, medians = medians[0], medians[1:]
+        builds = builds[1:]
+    out = {
         "pagerank_s3_solo_median_sec": sorted(medians)[len(medians) // 2],
         "pagerank_s3_solo_runs_sec": medians,
         "pagerank_s3_solo_build_secs": builds,
     }
+    if warmup is not None:
+        out["pagerank_s3_solo_discarded_warmup_sec"] = warmup
+    return out
 
 
 def main() -> int:
@@ -1209,9 +1223,46 @@ def main() -> int:
         re-measuring a flagged entry here IS the warm-mini-suite
         re-measurement: if the warm number returns inside the
         calibration band the suite-context value was session-order noise
-        (cold JIT / cache ordering); if it stays out, the plan itself
-        changed and the entry needs a human look (solo runs remain the
-        final arbiter). Improvements are labeled, not re-run."""
+        (cold JIT / cache ordering); if it stays out, the entry gets an
+        AUTOMATIC fresh-JVM solo re-measurement in a subprocess (r12
+        protocol extension — r11 closed with its one warm-surviving
+        flag unadjudicated) and only ships as plan_change if the solo
+        number stays outside the band too. Improvements are labeled,
+        not re-run."""
+
+        def fresh_jvm_solo(name: str) -> float | None:
+            """Time one registry entry in a NEW JVM: run it once to pay
+            JVM/codegen/footer warmup, clear caches, time the second
+            execution — the closest subprocess analogue of the
+            warm-JVM-cold-query conditions an in-suite number has."""
+            import subprocess
+
+            script = (
+                "import sys, time\n"
+                f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})\n"
+                "from pagerank_giraph_vs_mapreduce_spark.session import get_spark\n"
+                "from pagerank_giraph_vs_mapreduce_spark.plans.registry import QUERIES, load_all_queries\n"
+                "load_all_queries()\n"
+                "spark = get_spark()\n"
+                f"QUERIES[{name!r}](spark, {sf_dir!r}).count()\n"
+                "spark.catalog.clearCache()\n"
+                "t0 = time.monotonic()\n"
+                f"QUERIES[{name!r}](spark, {sf_dir!r}).count()\n"
+                "print('SOLO_SEC', round(time.monotonic() - t0, 3))\n"
+            )
+            try:
+                res = subprocess.run(
+                    [sys.executable, "-c", script],
+                    capture_output=True,
+                    text=True,
+                    timeout=600,
+                )
+                for line in res.stdout.splitlines():
+                    if line.startswith("SOLO_SEC "):
+                        return float(line.split()[1])
+            except Exception:
+                pass
+            return None
         oq = prior_full.get("queries", {})
         band = 1.25
         ratios = [
@@ -1249,9 +1300,23 @@ def main() -> int:
                     _gc.collect()
                     spark.sparkContext._jvm.System.gc()
                     row["warm"] = warm
-                    row["verdict"] = (
-                        "session_order" if warm / a <= hi else "plan_change"
-                    )
+                    if warm / a <= hi:
+                        row["verdict"] = "session_order"
+                    else:
+                        # warm-surviving flag: escalate to an automatic
+                        # fresh-JVM solo before it can ship as plan_change
+                        solo = (
+                            fresh_jvm_solo(name) if name in QUERIES else None
+                        )
+                        if solo is None:
+                            row["verdict"] = "plan_change"
+                        else:
+                            row["solo"] = solo
+                            row["verdict"] = (
+                                "session_order_solo"
+                                if solo / a <= hi
+                                else "plan_change"
+                            )
                 except Exception as exc:  # never lose the suite artifact
                     row["verdict"] = "manual_solo"
                     row["rerun_error"] = str(exc)[:200]

@@ -347,9 +347,11 @@ def ktruss_edges(
     additionally bounds per-round array sizes the way degree orientation
     bounds wedge work, and NOT re-ranking by the shrinking survivor set
     saves a degree aggregation plus two rank joins per round. Per round:
-    one collect_list shuffle, two adjacency joins (AQE broadcasts the
-    V-row side when it fits), one codegen array_intersect + explode, one
-    map-side-combined support count, one filter.
+    one collect_list shuffle, two adjacency joins (PINNED shuffle-merge —
+    see the in-loop comment: the r12 adjudication of the r11 bench
+    plan_change flag found AQE's broadcast flip at the 10 MB boundary
+    both unstable and 2x slower), one codegen array_intersect + explode,
+    one map-side-combined support count, one filter.
 
     Returns the surviving canonical edges ``(u BIGINT, v BIGINT)``, u < v.
     """
@@ -377,13 +379,22 @@ def ktruss_edges(
     r = 0
     while rounds is None or r < rounds:
         r += 1
-        # materialized: both adjacency joins consume adj (broadcast when
-        # it fits), and without the checkpoint each broadcast would
-        # re-run the collect_list aggregation independently
+        # materialized: both adjacency joins consume adj, and without the
+        # checkpoint each join would re-run the collect_list aggregation
+        # independently. The joins are PINNED to shuffle-merge: the
+        # adjacency's serialized size hovers at AQE's 10 MB broadcast
+        # boundary on the bench fixture, and the flip is both
+        # environment-sensitive (the r11 bench arbitration's one
+        # plan_change flag) and WRONG — broadcasting the array-heavy
+        # V-row table measured 2x slower per round than the merge join
+        # it displaced (12.7 s vs 6.2 s, round 1 at sf0.1); at scale the
+        # adjacency exceeds the threshold anyway, so the pin only
+        # removes the boundary regime, never a win.
         adj = (
             e.groupBy(F.col("x").alias("id"))
             .agg(F.collect_list("y").alias("nbrs"))
             .localCheckpoint(eager=True)
+            .hint("shuffle_merge")
         )
         with_nx = e.join(adj.withColumnRenamed("id", "x"), "x").select(
             "x", "y", F.col("nbrs").alias("nx")
