@@ -48,74 +48,19 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-11 budget math (VERDICT r10 "Next round" #1/#4): the r10 gate's 50
-# slots ended at rel_asof_join_tol, so the 10 round-10 queries that have
-# never had a driver row lead (g_degree_gini now certifies the BINNED
-# default — its semantics changed this round), then the round-11 newcomers,
-# then queries whose CODE or ORACLE changed in r11 (pipeline_url_dedup's
-# anchored tracker regex changes values; mm_wav_decimate gained input
-# validation), then the r10 re-cert block the r10 budget never reached,
-# then the r05-stale cohort (hard criterion: no registered query's newest
-# row may predate r06 by end of r12 — ~30 fit this round, the rest leads
-# r12). Everything is additionally re-proven every round by
+# Round-12 budget math (VERDICT r11 "Next round" #4): the final 21 r05-stale
+# rows LEAD (end-of-r12 criterion: no registered query's newest driver row
+# may predate r06 — this drains the backlog), then the 7 queries whose CODE
+# changed this round (the whole partition family re-certifies the
+# region-growing initial coloring + the cut_stats NULL-side/oracle-rewrite
+# fixes; both ktruss queries re-certify the pinned shuffle-merge adjacency
+# joins), then the oldest r06 rows fill the remaining ~22 slots — the
+# freshness rotation continues with nothing older than two rounds left.
+# Everything is additionally re-proven every round by
 # tools/check_oracle.py (stricter: exact stringified values, not hashes).
 _PRIORITY = (
-    # --- the 10 round-10 queries with no driver row yet (VERDICT r10 #1)
-    "rel_er_fuzzy_join",
-    "fn_quantile_sketch",
-    "stream_quantile_sketch",
-    "source_fixed_width",
-    "rel_skyline_2d",
-    "text_pmi_bigrams",
-    "g_degree_gini",
-    "rel_assoc_rules",
-    "g_matching_r3",
-    "g_coarsen_r3",
-    # --- new in r11
-    "g_degree_gini_exact",
-    "g_partition_k2",
-    "g_partition_k2_refined",
-    "g_partition_k2_vcycle",
-    "g_partition_cut_stats",
-    "g_partition_k4",
-    "mm_external_poison_mix",
-    # --- code/oracle changed in r11: re-certify
-    "pipeline_url_dedup",
-    "mm_wav_decimate",
-    # --- r10 re-cert block the r10 budget never reached
-    "pipeline_train_quality_lr_mb",
-    "rel_resample_gapfill",
-    "rel_resample_lerp",
-    "stream_resample_gapfill",
-    "mm_ivf_frames",
-    "mm_y4m_frames",
-    "asof_click_purchase",  # operator change: atomic payload struct
-    # --- oldest r05 rows: what the remaining budget reaches
-    "dedup_simhash64_near_dups",
-    "g_hits_k2",
-    "mm_frame_sample",
-    "mm_meta",
-    "mm_resize",
-    "mm_thumbnail",
-    "pipeline_pack_sequences",
-    "rel_agg_cube",
-    "rel_agg_rollup",
-    "rel_case_coalesce",
-    "rel_date_funcs",
-    "rel_distinct_agg",
-    "rel_except",
-    "rel_filter_project",
-    "rel_having",
-    # --- rest of the r05 cohort (overflow leads r11)
-    "rel_intersect",
-    "rel_json_extract",
-    "rel_outer_join",
-    "rel_pivot",
-    "rel_salted_skew_join",
-    "rel_scd2_history",
-    "rel_sort_limit",
-    "rel_string_funcs",
-    "rel_union_all",
+    # --- the last 21 r05-stale rows: drained this round (end-of-r12
+    #     criterion met when these certify)
     "rel_win_lag",
     "rel_win_rank",
     "rel_win_ranking_family",
@@ -137,6 +82,56 @@ _PRIORITY = (
     "udf_grouped_zscore",
     "udf_pandas_normalize",
     "udf_udtf_tokenize",
+    # --- code changed in r12: re-certify
+    "g_partition_k2",
+    "g_partition_k2_refined",
+    "g_partition_k2_vcycle",
+    "g_partition_cut_stats",
+    "g_partition_k4",
+    "g_ktruss4_r3",
+    "g_ktruss4_conv",
+    # --- oldest r06 rows: what the remaining budget reaches
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_incremental_indexed",
+    "dedup_lsh_star_candidates",
+    "dedup_simhash",
+    "dedup_simhash_near_dups",
+    "fn_hll_union_rollup",
+    "g_kcore64_r4",
+    "g_sssp_k4",
+    "g_triangle_count",
+    "g_wcc_incremental",
+    "mm_audio_stats",
+    "pipeline_quality_bins",
+    "pipeline_stratified_sample",
+    "range_join_signup_errors",
+    "rel_q11_important_parts",
+    "rel_q12_priority_lines",
+    "rel_q16_supplier_part_count",
+    "rel_q20_excess_shipped",
+    "rel_q21_waiting_supplier",
+    "rel_q2_min_cost_supplier",
+    "rel_q4_order_priority",
+    "rel_q9_product_profit",
+    "sim_ann_recall",
+    "sim_cosine_top10",
+    "sim_cosine_top10_vectorized",
+    "sim_ivf_indexed_top5",
+    "sim_lsh_ann_top5",
+    "sim_range_search",
+    "source_orc_roundtrip",
+    "source_python_datasource",
+    "source_variant_props",
+    "sql_lateral_topk",
+    "sql_pivot",
+    "storage_bucketed_join",
+    "stream_incremental_dedup",
+    "stream_stream_join",
+    "text_dedup_paragraphs",
+    "text_quality",
+    "text_repeated_ngrams",
+    "udf_arrow_optimized",
 )
 
 
