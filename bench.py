@@ -273,8 +273,10 @@ def main() -> int:
     # parity 0 = even rounds, 1 = odd rounds; entries absent from a round's
     # artifact are visibly absent, never silently carried forward.
     ROTATE_PARITY = {
-        # peel kernel: fixed-round vs convergence mode
-        "g_ktruss4_r3": 1, "g_ktruss4_conv": 0,
+        # peel kernel: fixed-round vs convergence mode (parities swapped
+        # in r12 so the round that shipped the shuffle-merge adjacency
+        # pin also ships the entry's post-fix number)
+        "g_ktruss4_r3": 0, "g_ktruss4_conv": 1,
         # modularity family (g_louvain_r2 runs every round as the base)
         "g_louvain_l2": 0, "g_louvain_w_r2": 1, "g_modularity_score": 1,
         # sampled-betweenness +- normalization
@@ -311,9 +313,12 @@ def main() -> int:
         "pipeline_split_leakage_safe": 1,
         # n-gram family: vocab/bigrams always on
         "text_repeated_ngrams": 1,
-        # multilevel partition triple: the V-cycle (superset) runs every
-        # round; base and +coarsest-refinement alternate as the A/B
+        # multilevel partition family (r12 budget guard, VERDICT r11
+        # item 8): the V-cycle and the refined bisection are now parity
+        # SIBLINGS — one of the two prices the full machinery every
+        # round instead of the V-cycle riding along always-on
         "g_partition_k2": 0, "g_partition_k2_refined": 1,
+        "g_partition_k2_vcycle": 0,
         "g_partition_cut_stats": 0,
         # k4 re-runs the whole bisection machinery twice more: even rounds
         "g_partition_k4": 0,

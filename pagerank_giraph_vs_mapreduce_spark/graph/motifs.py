@@ -553,20 +553,50 @@ def jaccard_topk(edges: DataFrame, hub_cap: int = 256, k: int = 20) -> DataFrame
     )
 
 
-def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
+MATCH_HASH_P = 2147483647
+MATCH_HASH_A = 1103515245
+MATCH_HASH_B = 2654435761
+
+
+def edge_priority(node, nbr):
+    """Deterministic pseudo-random priority of the UNDIRECTED edge
+    {node, nbr} — a multiplicative hash in pure BIGINT modular
+    arithmetic (every intermediate < 2^63, so Spark, DuckDB, and Python
+    compute the identical value; ids are assumed non-negative, as every
+    source in this engine produces). Mutual-min matching under RANDOM
+    edge priorities (Luby-style) matches a constant expected fraction
+    per round on ANY degree profile — min-ID proposals collapse on
+    dense graphs, where whole neighborhoods propose to the same vertex
+    (measured on the sf0.01-density proxy: 20 pairs matched in 3
+    rounds by id vs 786 by hash on 2,000 vertices)."""
+    lo, hi = F.least(node, nbr), F.greatest(node, nbr)
+    p = F.lit(MATCH_HASH_P).cast("bigint")
+    return (
+        (lo % p) * F.lit(MATCH_HASH_A) % p
+        + (hi % p) * F.lit(MATCH_HASH_B) % p
+    ) % p
+
+
+def greedy_matching(
+    edges: DataFrame, rounds: int = 3, priority: str = "id"
+) -> DataFrame:
     """Deterministic distributed matching by mutual-minimum proposals —
     the coarsening primitive under multilevel partitioners (METIS-style)
     and Louvain-type aggregation: per round every live vertex proposes
-    to its MINIMUM-id live neighbor, an edge matches iff the proposals
-    are mutual, and matched vertices leave the graph. Min-id proposals
-    make every round a pure function of the edge set, so a fixed-round
-    run unrolls into a SQL oracle (the k-core discipline); each round is
-    one aggregate (min neighbor per vertex) + one self-join of the
-    V-sized proposal table — never an edge-table self-join. Matched
-    pairs accumulate; ``rounds`` is a declared knob (mutual-min
-    matching halves the live graph's matchable fraction per round in
-    expectation; 3 rounds capture the bulk, exactness-to-maximality is
-    the convergence variant's job).
+    to its minimum live neighbor under ``priority``, an edge matches iff
+    the proposals are mutual, and matched vertices leave the graph.
+    Deterministic proposals make every round a pure function of the
+    edge set, so a fixed-round run unrolls into a SQL oracle (the
+    k-core discipline); each round is one aggregate (min neighbor per
+    vertex) + one self-join of the V-sized proposal table — never an
+    edge-table self-join. Matched pairs accumulate; ``rounds`` is a
+    declared knob.
+
+    ``priority``: "id" proposes to the minimum-id neighbor (the
+    g_matching_r3 contract — greedy from the low ids, star matches
+    (center, min leaf)); "hash" proposes to the neighbor minimizing
+    (edge_priority, id) — the rule the multilevel partitioner uses,
+    because id-priority stalls on dense graphs (see edge_priority).
 
     Returns (u, v, round) with u < v, disjoint across rows.
     """
@@ -582,7 +612,17 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
         alive_adj = adj.join(live, "node", "left_semi").join(
             live.withColumnRenamed("node", "nbr"), "nbr", "left_semi"
         )
-        prop = alive_adj.groupBy("node").agg(F.min("nbr").alias("prop"))
+        if priority == "hash":
+            prop = (
+                alive_adj.withColumn(
+                    "h", edge_priority(F.col("node"), F.col("nbr"))
+                )
+                .groupBy("node")
+                .agg(F.min(F.struct("h", "nbr")).alias("s"))
+                .select("node", F.col("s.nbr").alias("prop"))
+            )
+        else:
+            prop = alive_adj.groupBy("node").agg(F.min("nbr").alias("prop"))
         p1 = prop.alias("p1")
         p2 = prop.alias("p2")
         pairs = (
@@ -610,7 +650,12 @@ def greedy_matching(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return out
 
 
-def matching_mapping(edges_uv: DataFrame, verts: DataFrame, rounds: int) -> DataFrame:
+def matching_mapping(
+    edges_uv: DataFrame,
+    verts: DataFrame,
+    rounds: int,
+    priority: str = "id",
+) -> DataFrame:
     """(node, super) contraction mapping from one matching pass: matched
     pairs map both endpoints to the pair's min id, every other vertex of
     ``verts`` (the FULL vertex set of this level — including supers left
@@ -621,6 +666,7 @@ def matching_mapping(edges_uv: DataFrame, verts: DataFrame, rounds: int) -> Data
     m = greedy_matching(
         edges_uv.select(F.col("u").alias("src"), F.col("v").alias("dst")),
         rounds=rounds,
+        priority=priority,
     )
     gone = m.select(F.col("u").alias("node")).union(
         m.select(F.col("v").alias("node"))
@@ -656,14 +702,16 @@ def contract_weighted(e: DataFrame, mapping: DataFrame) -> DataFrame:
 
 def _multilevel_pipeline(edges: DataFrame, level_rounds: tuple[int, ...]):
     """Shared coarsening pipeline for the multilevel partitioners:
-    coarsen ``len(level_rounds)`` levels by mutual-min matching +
-    weighted contraction, 2-color the COARSEST graph by deterministic
-    BFS region growing (see region_grow_bipartition: part 0 is a
-    contiguous ball grown from the heaviest edge-touching super until
-    the leaf weight crosses half — cut-aware where the round-11 LPT
-    alternation was cut-blind). Every step is deterministic (min-id
-    proposals, integer weights, total-order ranking), so fixed level
-    counts unroll into SQL oracles.
+    coarsen ``len(level_rounds)`` levels by mutual-min matching under
+    HASH edge priorities (see edge_priority — id priorities stall on
+    dense graphs) + weighted contraction, 2-color the COARSEST graph by
+    deterministic BFS region growing (see region_grow_bipartition:
+    part 0 is a contiguous ball grown from the heaviest edge-touching
+    super until the leaf weight crosses half — cut-aware where the
+    round-11 LPT alternation was cut-blind). Every step is
+    deterministic (hash-priority proposals, integer weights,
+    total-order ranking), so fixed level counts unroll into SQL
+    oracles.
 
     Scale contract: matching/contraction per level are V-row joins and
     map-side-combined aggregates (never edge self-joins); each level
@@ -704,8 +752,12 @@ def _multilevel_pipeline_full(
     comps = []
     comp = None
     for rounds in level_rounds:
+        # hash priority: id-priority matching stalls on dense graphs and
+        # the coarsest table would never become node-bounded (measured:
+        # the sf0.1 derived graph shrank 1500 -> 1492 over three
+        # id-priority levels; see edge_priority)
         mapping = matching_mapping(
-            e.select("u", "v"), verts, rounds
+            e.select("u", "v"), verts, rounds, priority="hash"
         ).localCheckpoint(eager=True)
         mappings.append(mapping)
         if comp is None:
@@ -743,16 +795,26 @@ def region_grow_bipartition(
 
     - seed = the heaviest super that touches an edge (tie -> min id; a
       graph with no coarse edges has no seed and degrades to a pure
-      weight-ordered fill, where any coloring has cut 0);
+      group-ordered fill, where any coloring has cut 0);
     - hop distances from the seed for a FIXED ``bfs_rounds`` rounds
       (unreached supers get a sentinel distance, so they fill last —
       they are far from the seed, exactly where part 1 should live);
-    - supers fill part 0 in (dist ASC, leaf-weight DESC, id) order until
-      the running weight crosses half: super s joins part 0 iff it is
-      the first row or its weight MIDPOINT lies before the global
-      midpoint (2*cum - w < total, all integers — exact on both
-      engines). The last row always lands in part 1, so both sides are
-      non-empty whenever the coarsest graph has >= 2 supers.
+    - supers the BFS cannot reach (other CONNECTED COMPONENTS, or past
+      the fixed horizon) are grouped by an approximate component label
+      — ``bfs_rounds`` rounds of min-id label propagation, the same
+      unrollable shape as the BFS — so whole components/neighborhoods
+      pack CONTIGUOUSLY into the fill instead of interleaving by
+      weight (measured on 5 disjoint graph copies: a weight-ordered
+      tail split four copies, cut 811k; grouped, the boundary falls
+      inside one copy);
+    - supers fill part 0 in (dist ASC, group, leaf-weight DESC, id)
+      order (group = -1 for BFS-reached supers, so the reached ball
+      keeps pure distance order) until the running weight crosses
+      half: super s joins part 0 iff it is the first row or its weight
+      MIDPOINT lies before the global midpoint (2*cum - w < total, all
+      integers — exact on both engines). The last row always lands in
+      part 1, so both sides are non-empty whenever the coarsest graph
+      has >= 2 supers.
 
     Scale contract: BFS rounds are V_coarse-row joins on the COARSEST
     table (node-bounded by the add-levels rule, like exact AUC's eval
@@ -789,14 +851,49 @@ def region_grow_bipartition(
         )
         if r % 4 == 0 or r == bfs_rounds:
             dist = dist.localCheckpoint(eager=True)
+    # approximate component labels: min-id propagation, same fixed
+    # unroll as the BFS — groups the supers the seed's ball can't reach
+    lbl = leaf_w.select("super", F.col("super").alias("lbl"))
+    for r in range(1, bfs_rounds + 1):
+        spread = (
+            e.join(
+                lbl.withColumnRenamed("super", "u").withColumnRenamed(
+                    "lbl", "l"
+                ),
+                "u",
+            )
+            .select(F.col("v").alias("super"), F.col("l").alias("lbl"))
+            .unionAll(
+                e.join(
+                    lbl.withColumnRenamed("super", "v").withColumnRenamed(
+                        "lbl", "l"
+                    ),
+                    "v",
+                ).select(F.col("u").alias("super"), F.col("l").alias("lbl"))
+            )
+        )
+        lbl = (
+            lbl.unionAll(spread)
+            .groupBy("super")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        if r % 4 == 0 or r == bfs_rounds:
+            lbl = lbl.localCheckpoint(eager=True)
     total = leaf_w.agg(F.sum("w").alias("total"))
-    ranked = leaf_w.join(dist, "super", "left").select(
-        "super",
-        "w",
-        F.coalesce(F.col("dist"), F.lit(MLP_DIST_INF)).alias("dist"),
+    ranked = (
+        leaf_w.join(dist, "super", "left")
+        .join(lbl, "super")
+        .select(
+            "super",
+            "w",
+            F.coalesce(F.col("dist"), F.lit(MLP_DIST_INF)).alias("dist"),
+            F.when(F.col("dist").isNotNull(), F.lit(-1).cast("bigint"))
+            .otherwise(F.col("lbl"))
+            .alias("grp"),
+        )
     )
-    order = Window.orderBy("dist", F.desc("w"), "super")
-    cum_w = Window.orderBy("dist", F.desc("w"), "super").rowsBetween(
+    order = Window.orderBy("dist", "grp", F.desc("w"), "super")
+    cum_w = Window.orderBy("dist", "grp", F.desc("w"), "super").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (

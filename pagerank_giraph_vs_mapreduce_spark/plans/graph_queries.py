@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
 from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+    MATCH_HASH_A,
+    MATCH_HASH_B,
+    MATCH_HASH_P,
     MLP_BFS_ROUNDS,
     MLP_DIST_INF,
     kcore_survivors,
@@ -2150,7 +2153,10 @@ def g_matching_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round cost is one V-sized min-aggregate plus a self-join of the
     PROPOSAL table (V rows), never of the edges. Disjointness is
     structural (matched vertices leave the live set) and pinned by
-    pytest."""
+    pytest. NOTE: this query keeps the id-priority rule as its
+    documented contract; the multilevel partition family coarsens with
+    greedy_matching(priority="hash") instead, because id priorities
+    stall on dense graphs (see graph/motifs.py:edge_priority)."""
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import greedy_matching
 
     return greedy_matching(derived_edges(spark, sf_dir), rounds=MATCHING_ROUNDS)
@@ -2245,11 +2251,15 @@ def _replace_or_raise(sql: str, old: str, new: str) -> str:
 def _mlp_level_sql(
     lv: int, src_e: str, src_v: str, rounds: int, px: str = ""
 ) -> str:
-    """One coarsening level of the multilevel-partition oracle: mutual-min
-    matching CTEs (the g_matching_r3 unrolling, prefixed per level) over
-    the edge CTE ``src_e``(u, v, weight), a total (node, super) mapping
-    over the FULL vertex CTE ``src_v``(id), and the weighted contraction
+    """One coarsening level of the multilevel-partition oracle:
+    mutual-min matching under HASH edge priorities (the SQL twin of
+    graph/motifs.py:edge_priority — pure BIGINT modular arithmetic,
+    identical on both engines; the two-step min-h-then-min-nbr pair of
+    CTEs is the engine-portable argmin) over the edge CTE
+    ``src_e``(u, v, weight), a total (node, super) mapping over the
+    FULL vertex CTE ``src_v``(id), and the weighted contraction
     {px}e{lv} / its vertex set {px}v{lv}."""
+    hp, ha, hb = MATCH_HASH_P, MATCH_HASH_A, MATCH_HASH_B
     parts = [
         f""",
 {px}sym{lv} AS MATERIALIZED (SELECT u AS node, v AS nbr FROM {src_e}
@@ -2259,10 +2269,18 @@ def _mlp_level_sql(
     for r in range(1, rounds + 1):
         parts.append(
             f""",
-{px}aa{lv}_{r} AS MATERIALIZED (SELECT s.node, s.nbr FROM {px}sym{lv} s
+{px}aa{lv}_{r} AS MATERIALIZED (SELECT s.node, s.nbr,
+          ((least(s.node, s.nbr) % {hp}) * {ha} % {hp}
+           + (greatest(s.node, s.nbr) % {hp}) * {hb} % {hp}) % {hp} AS h
+          FROM {px}sym{lv} s
           JOIN {px}liv{px}e{lv}_{r - 1} a ON s.node = a.node
           JOIN {px}liv{px}e{lv}_{r - 1} b ON s.nbr = b.node),
-{px}pr{lv}_{r} AS MATERIALIZED (SELECT node, min(nbr) AS prop FROM {px}aa{lv}_{r} GROUP BY node),
+{px}mh{lv}_{r} AS MATERIALIZED (SELECT node, min(h) AS mh
+          FROM {px}aa{lv}_{r} GROUP BY node),
+{px}pr{lv}_{r} AS MATERIALIZED (SELECT t.node, min(t.nbr) AS prop
+          FROM {px}aa{lv}_{r} t
+          JOIN {px}mh{lv}_{r} m ON m.node = t.node AND t.h = m.mh
+          GROUP BY t.node),
 {px}m{lv}_{r} AS MATERIALIZED (SELECT p1.node AS u, p2.node AS v
          FROM {px}pr{lv}_{r} p1 JOIN {px}pr{lv}_{r} p2
            ON p1.prop = p2.node AND p2.prop = p1.node
@@ -2301,10 +2319,12 @@ def _mlp_cte_prefix(level_rounds: tuple[int, ...], px: str = "") -> str:
     composition ({px}comp), leaf weights ({px}lw), and the initial
     region-grown assignment as {px}p0 — the SQL twin of
     graph/motifs.py:region_grow_bipartition (seed = heaviest
-    edge-touching super, MLP_BFS_ROUNDS unrolled BFS hop-distance CTEs,
-    then a (dist, w DESC, super)-ordered cumulative-weight fill where a
-    super joins part 0 iff it is first or its weight midpoint lies
-    before the global midpoint — all-integer, exact on both engines).
+    edge-touching super, MLP_BFS_ROUNDS unrolled BFS hop-distance CTEs
+    plus the same number of min-id label-propagation CTEs grouping the
+    supers the ball can't reach, then a (dist, group, w DESC, super)-
+    ordered cumulative-weight fill where a super joins part 0 iff it is
+    first or its weight midpoint lies before the global midpoint —
+    all-integer, exact on both engines).
     With a prefix, the caller must define {px}e0(u, v, weight) and
     {px}v0(id) beforehand (used for the k-way recursion's induced side
     subgraphs)."""
@@ -2357,17 +2377,38 @@ v0 AS MATERIALIZED (SELECT u AS id FROM e0 UNION SELECT v AS id FROM e0)"""
         )
     sql.append(
         f""",
+{px}lb0 AS MATERIALIZED (SELECT super, super AS lbl FROM {px}lw)"""
+    )
+    for r in range(1, MLP_BFS_ROUNDS + 1):
+        sql.append(
+            f""",
+{px}lb{r} AS MATERIALIZED (
+  SELECT super, min(lbl) AS lbl FROM (
+    SELECT super, lbl FROM {px}lb{r - 1}
+    UNION ALL
+    SELECT e.v AS super, d.lbl AS lbl
+    FROM {px}e{n} e JOIN {px}lb{r - 1} d ON d.super = e.u
+    UNION ALL
+    SELECT e.u AS super, d.lbl AS lbl
+    FROM {px}e{n} e JOIN {px}lb{r - 1} d ON d.super = e.v) s
+  GROUP BY super)"""
+        )
+    sql.append(
+        f""",
 {px}fill AS MATERIALIZED (
   SELECT lw.super, lw.w,
-         COALESCE(b.dist, {MLP_DIST_INF}) AS dist
-  FROM {px}lw lw LEFT JOIN {px}bf{MLP_BFS_ROUNDS} b ON b.super = lw.super),
+         COALESCE(b.dist, {MLP_DIST_INF}) AS dist,
+         CASE WHEN b.dist IS NOT NULL THEN -1 ELSE lb.lbl END AS grp
+  FROM {px}lw lw
+  LEFT JOIN {px}bf{MLP_BFS_ROUNDS} b ON b.super = lw.super
+  JOIN {px}lb{MLP_BFS_ROUNDS} lb ON lb.super = lw.super),
 {px}p0 AS MATERIALIZED (
   SELECT super,
          CAST(CASE WHEN rn = 1 OR 2 * cum - w < total THEN 0 ELSE 1 END
               AS INT) AS part
   FROM (SELECT super, w,
-               row_number() OVER (ORDER BY dist, w DESC, super) AS rn,
-               sum(w) OVER (ORDER BY dist, w DESC, super
+               row_number() OVER (ORDER BY dist, grp, w DESC, super) AS rn,
+               sum(w) OVER (ORDER BY dist, grp, w DESC, super
                             ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW) AS cum,
                sum(w) OVER () AS total

@@ -112,7 +112,17 @@ def test_binned_gini_plan_has_no_vertex_window(spark, sf_oracle_dir):
 # ---------------------------------------------------------- g_partition_k2
 
 
+def _edge_h(a: int, b: int) -> int:
+    """Mirror of graph/motifs.py:edge_priority (hash edge priority)."""
+    P, A, B = 2147483647, 1103515245, 2654435761
+    lo, hi = min(a, b), max(a, b)
+    return ((lo % P) * A % P + (hi % P) * B % P) % P
+
+
 def _py_matching(edges_uv: set[tuple[int, int]], rounds: int) -> list[tuple[int, int]]:
+    """Mirror of greedy_matching(priority='hash') — the multilevel
+    pipeline's matching rule: propose to the live neighbor minimizing
+    (edge hash priority, id)."""
     adj: dict[int, set[int]] = {}
     for u, v in edges_uv:
         adj.setdefault(u, set()).add(v)
@@ -121,7 +131,10 @@ def _py_matching(edges_uv: set[tuple[int, int]], rounds: int) -> list[tuple[int,
     matched = []
     for _ in range(rounds):
         prop = {
-            n: min(x for x in adj[n] if x in live)
+            n: min(
+                (x for x in adj[n] if x in live),
+                key=lambda x, n=n: (_edge_h(n, x), x),
+            )
             for n in live
             if any(x in live for x in adj[n])
         }
@@ -180,9 +193,11 @@ def _py_region_grow(
 ) -> dict[int, int]:
     """Mirror of graph/motifs.py:region_grow_bipartition: BFS hop
     distances from the heaviest edge-touching super (capped at
-    ``bfs_rounds``, unreached -> sentinel), then a (dist, w DESC, super)
-    fill where a super joins part 0 iff it is first or its weight
-    midpoint lies before the global midpoint."""
+    ``bfs_rounds``, unreached -> sentinel) + min-id label propagation
+    grouping unreached supers, then a (dist, group, w DESC, super)
+    fill (group = -1 for reached supers) where a super joins part 0 iff
+    it is first or its weight midpoint lies before the global
+    midpoint."""
     INF = 2147483647
     adj: dict[int, set[int]] = {}
     for u, v in e:
@@ -201,7 +216,23 @@ def _py_region_grow(
                         dist[m] = d
                         nxt.append(m)
             frontier = nxt
-    order = sorted(lw, key=lambda s: (dist.get(s, INF), -lw[s], s))
+    lbl = {s: s for s in lw}
+    for _ in range(bfs_rounds):
+        nl = dict(lbl)
+        for u, v in e:
+            m = min(lbl[u], lbl[v])
+            nl[u] = min(nl[u], m)
+            nl[v] = min(nl[v], m)
+        lbl = nl
+    order = sorted(
+        lw,
+        key=lambda s: (
+            dist.get(s, INF),
+            -1 if s in dist else lbl[s],
+            -lw[s],
+            s,
+        ),
+    )
     total = sum(lw.values())
     part_of_super: dict[int, int] = {}
     cum = 0
@@ -276,7 +307,10 @@ def test_multilevel_partition_edge_cut_conservation(spark):
     levels = [e]
     mappings = []
     for rounds in level_rounds:
-        mapping = matching_mapping(e.select("u", "v"), verts, rounds)
+        # hash priority — the rule the multilevel pipeline uses
+        mapping = matching_mapping(
+            e.select("u", "v"), verts, rounds, priority="hash"
+        )
         mappings.append(mapping)
         # cross-super mass of the finer level
         mu = mapping.select(F.col("node").alias("u"), F.col("super").alias("su"))
@@ -506,3 +540,38 @@ def test_k4_recursive_bisection_structure(spark):
     for k in range(4):  # clique-wholeness: each clique entirely in one part
         assert len({got[a + 10 * k] for a in range(5)}) == 1, (k, got)
     assert run() == got  # deterministic
+
+
+def test_region_grow_packs_disconnected_components_whole(spark):
+    """The component-grouped fill (r12): on a DISCONNECTED graph the BFS
+    ball covers only the seed's component, and the label-propagation
+    groups must pack every other component CONTIGUOUSLY — so a
+    bisection of four equal disjoint cliques puts two whole cliques on
+    each side and cuts ZERO edges. A weight-ordered (ungrouped) tail
+    interleaved supers across components and split them all (measured
+    on 5 disjoint graph copies: cut 811k vs one copy's ~219k)."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2,
+        undirect_dedup,
+    )
+    from tests.conftest import make_edges
+
+    pairs = [
+        (a + 100 * k, b + 100 * k)
+        for k in range(4)
+        for a in range(6)
+        for b in range(6)
+        if a < b
+    ]
+    edges = make_edges(spark, pairs)
+    got = {
+        r["id"]: r["part"]
+        for r in multilevel_partition_k2(edges, level_rounds=(2, 2)).collect()
+    }
+    sides = [sum(1 for p in got.values() if p == s) for s in (0, 1)]
+    assert sides == [12, 12], sides
+    for k in range(4):  # every clique whole
+        assert len({got[a + 100 * k] for a in range(6)}) == 1, (k, got)
+    und = undirect_dedup(edges)
+    cut = sum(1 for r in und.collect() if got[r["u"]] != got[r["v"]])
+    assert cut == 0, cut
