@@ -2489,7 +2489,7 @@ def _mlp_refined_oracle(level_rounds: tuple[int, ...], sweeps: int) -> str:
 def _mlp_vcycle_oracle(
     level_rounds: tuple[int, ...], coarsest_sweeps: int, sweeps_per_level: int
 ) -> str:
-    """The full V-cycle unrolled: coarsest LPT init + refinement sweeps,
+    """The full V-cycle unrolled: coarsest region-grown init + refinement sweeps,
     then per level downward a projection CTE (part of a level-k node =
     part of its level-k+1 super) followed by sweeps on THAT level's
     graph with THAT level's leaf weights. Level-0 output rows ARE the
@@ -2546,11 +2546,13 @@ def g_partition_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching/coarsening pair exists for, and the engine's answer to the
     hash-partitioning skew problem the reference documents for its own
     shuffle (README.md:417-418): three mutual-min-matching + weighted-
-    contraction levels (rounds 3/2/2), an LPT-alternating 2-coloring of
-    the coarsest super-vertices by leaf count, and an exact projection
-    back through the composed mappings to every leaf vertex. Fully
-    deterministic (min-id proposals, integer weights, total-order
-    ranking), so all three levels unroll into one SQL oracle. Per-level
+    contraction levels (rounds 3/2/2) under hash edge priorities, a
+    region-grown 2-coloring of the coarsest super-vertices (BFS ball +
+    component-grouped weight fill), and an exact projection back
+    through the composed mappings to every leaf vertex. Fully
+    deterministic (hash-priority proposals, integer weights,
+    total-order ranking), so all three levels unroll into one SQL
+    oracle. Per-level
     cost is V-row joins + map-side-combined weight aggregates; the one
     global ranking runs over the COARSEST table only (a production run
     adds levels until that table is node-bounded). Edge-cut conservation

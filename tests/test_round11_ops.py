@@ -368,7 +368,7 @@ def test_refinement_sweep_cut_non_increase_and_independence(spark):
     (b) flip an independent set only — no coarse edge may have BOTH
     endpoints move in one sweep, and (c) move vertices off the HEAVIER
     side only (the balance guard). Checked for 3 consecutive sweeps on
-    fixtures whose LPT initial coloring is deliberately bad (a clique
+    fixtures whose initial coloring is deliberately poor (a clique
     chain whose heaviest supers alternate sides)."""
     from pyspark.sql import functions as F
 
@@ -439,7 +439,7 @@ def test_vcycle_cut_chain(spark, sf_dir):
     Projection preserves the cut exactly (the conservation test) and
     every sweep — coarsest or per-level — only lowers it, so the chain
     is structural; checked on the sf0.001 parquet graph AND a fixture
-    whose initial LPT coloring is bad."""
+    whose initial coloring leaves refinement headroom."""
     from pyspark.sql import functions as F
 
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
