@@ -790,8 +790,7 @@ def region_grow_bipartition(
     of the coarsest graph — replaces the round-11 LPT alternation, which
     was balance-optimal but cut-BLIND (it scattered tightly-knit blocks
     across the cut, capping the whole family ~5x off ideal on
-    clique-chain fixtures). Here part 0 is GROWN as a contiguous BFS
-    ball:
+    clique-chain fixtures). Part 0 is GROWN as a contiguous BFS ball:
 
     - seed = the heaviest super that touches an edge (tie -> min id; a
       graph with no coarse edges has no seed and degrades to a pure
@@ -801,118 +800,79 @@ def region_grow_bipartition(
       they are far from the seed, exactly where part 1 should live);
     - supers the BFS cannot reach (other CONNECTED COMPONENTS, or past
       the fixed horizon) are grouped by an approximate component label
-      — ``bfs_rounds`` rounds of min-id label propagation, the same
-      unrollable shape as the BFS — so whole components/neighborhoods
-      pack CONTIGUOUSLY into the fill instead of interleaving by
-      weight (measured on 5 disjoint graph copies: a weight-ordered
-      tail split four copies, cut 811k; grouped, the boundary falls
-      inside one copy);
+      (``bfs_rounds`` synchronous rounds of min-id label propagation),
+      so whole components/neighborhoods pack CONTIGUOUSLY into the
+      fill instead of interleaving by weight (measured on 5 disjoint
+      graph copies: a weight-ordered tail split four copies, cut 811k;
+      grouped, the boundary falls inside one copy);
     - supers fill part 0 in (dist ASC, group, leaf-weight DESC, id)
       order (group = -1 for BFS-reached supers, so the reached ball
       keeps pure distance order) until the running weight crosses
       half: super s joins part 0 iff it is the first row or its weight
       MIDPOINT lies before the global midpoint (2*cum - w < total, all
-      integers — exact on both engines). The last row always lands in
-      part 1, so both sides are non-empty whenever the coarsest graph
-      has >= 2 supers.
+      integers — exact against the SQL oracles). The last row always
+      lands in part 1, so both sides are non-empty whenever the
+      coarsest graph has >= 2 supers.
 
-    Scale contract: BFS rounds are V_coarse-row joins on the COARSEST
-    table (node-bounded by the add-levels rule, like exact AUC's eval
-    set), and the one ranking/cumulative window runs over that same
-    bounded table — never over leaf vertices. Deterministic end to end,
-    so a fixed ``bfs_rounds`` unrolls into the SQL oracles."""
-    endpoints = (
-        e.select(F.col("u").alias("super"))
-        .union(e.select(F.col("v").alias("super")))
-        .distinct()
-    )
-    seed = (
-        leaf_w.join(endpoints, "super", "left_semi")
-        .orderBy(F.desc("w"), "super")
-        .limit(1)
-        .select("super")
-    )
-    dist = seed.withColumn("dist", F.lit(0).cast("int"))
-    for r in range(1, bfs_rounds + 1):
-        hops = dist.select("super", (F.col("dist") + 1).alias("dist"))
-        nbr = (
-            e.join(hops.withColumnRenamed("super", "u"), "u")
-            .select(F.col("v").alias("super"), "dist")
-            .unionAll(
-                e.join(hops.withColumnRenamed("super", "v"), "v").select(
-                    F.col("u").alias("super"), "dist"
-                )
+    Execution: SERIALLY ON THE DRIVER over the collected coarsest
+    table — the textbook multilevel design (METIS computes its initial
+    partition serially on the coarsest graph; making that graph
+    node-bounded is the entire point of coarsening, and a production
+    run ADDS LEVELS until it is — the same declared-bounded contract
+    as the family's coarsest-table ranking window and exact AUC's eval
+    set). The first, distributed cut of this function ran the two
+    propagations as 24 eagerly-checkpointed micro-jobs per pipeline
+    and dominated the family's in-suite cost (k2 32 s vs 21 s in r11);
+    two bounded collects replace them. Every rule above is a pure
+    function of the collected rows, so the SQL oracles (the unrolled
+    BFS/label CTEs in plans/graph_queries.py:_mlp_cte_prefix) pin the
+    driver computation exactly."""
+    spark = e.sparkSession
+    lw = {r["super"]: r["w"] for r in leaf_w.collect()}
+    adj: dict = {}
+    for r in e.select("u", "v").collect():
+        adj.setdefault(r["u"], set()).add(r["v"])
+        adj.setdefault(r["v"], set()).add(r["u"])
+    dist: dict = {}
+    if adj:
+        seed = min(adj, key=lambda s: (-lw[s], s))
+        dist[seed] = 0
+        frontier = [seed]
+        for d in range(1, bfs_rounds + 1):
+            nxt = []
+            for n in frontier:
+                for m in adj[n]:
+                    if m not in dist:
+                        dist[m] = d
+                        nxt.append(m)
+            frontier = nxt
+    lbl = {s: s for s in lw}
+    for _ in range(bfs_rounds):
+        prev = dict(lbl)  # synchronous rounds: read prev only
+        lbl = {
+            s: min(
+                prev[s],
+                min((prev[x] for x in adj.get(s, ())), default=prev[s]),
             )
-        )
-        dist = (
-            dist.unionAll(nbr)
-            .groupBy("super")
-            .agg(F.min("dist").alias("dist"))
-        )
-        if r % 4 == 0 or r == bfs_rounds:
-            dist = dist.localCheckpoint(eager=True)
-    # approximate component labels: min-id propagation, same fixed
-    # unroll as the BFS — groups the supers the seed's ball can't reach
-    lbl = leaf_w.select("super", F.col("super").alias("lbl"))
-    for r in range(1, bfs_rounds + 1):
-        spread = (
-            e.join(
-                lbl.withColumnRenamed("super", "u").withColumnRenamed(
-                    "lbl", "l"
-                ),
-                "u",
-            )
-            .select(F.col("v").alias("super"), F.col("l").alias("lbl"))
-            .unionAll(
-                e.join(
-                    lbl.withColumnRenamed("super", "v").withColumnRenamed(
-                        "lbl", "l"
-                    ),
-                    "v",
-                ).select(F.col("u").alias("super"), F.col("l").alias("lbl"))
-            )
-        )
-        lbl = (
-            lbl.unionAll(spread)
-            .groupBy("super")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        if r % 4 == 0 or r == bfs_rounds:
-            lbl = lbl.localCheckpoint(eager=True)
-    total = leaf_w.agg(F.sum("w").alias("total"))
-    ranked = (
-        leaf_w.join(dist, "super", "left")
-        .join(lbl, "super")
-        .select(
-            "super",
-            "w",
-            F.coalesce(F.col("dist"), F.lit(MLP_DIST_INF)).alias("dist"),
-            F.when(F.col("dist").isNotNull(), F.lit(-1).cast("bigint"))
-            .otherwise(F.col("lbl"))
-            .alias("grp"),
-        )
+            for s in lw
+        }
+    order = sorted(
+        lw,
+        key=lambda s: (
+            dist.get(s, MLP_DIST_INF),
+            -1 if s in dist else lbl[s],
+            -lw[s],
+            s,
+        ),
     )
-    order = Window.orderBy("dist", "grp", F.desc("w"), "super")
-    cum_w = Window.orderBy("dist", "grp", F.desc("w"), "super").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        ranked.withColumn("rn", F.row_number().over(order))
-        .withColumn("cum", F.sum("w").over(cum_w))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "super",
-            F.when(
-                (F.col("rn") == 1)
-                | (2 * F.col("cum") - F.col("w") < F.col("total")),
-                F.lit(0),
-            )
-            .otherwise(F.lit(1))
-            .cast("int")
-            .alias("part"),
-        )
-    )
-
+    total = sum(lw.values())
+    out = []
+    cum = 0
+    for i, s in enumerate(order):
+        cum += lw[s]
+        part = 0 if i == 0 or 2 * cum - lw[s] < total else 1
+        out.append((s, part))
+    return spark.createDataFrame(out, "super bigint, part int")
 
 def multilevel_partition_k2(
     edges: DataFrame, level_rounds: tuple[int, ...] = (3, 2, 2)
