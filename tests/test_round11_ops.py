@@ -575,3 +575,32 @@ def test_region_grow_packs_disconnected_components_whole(spark):
     und = undirect_dedup(edges)
     cut = sum(1 for r in und.collect() if got[r["u"]] != got[r["v"]])
     assert cut == 0, cut
+
+
+def test_region_grow_degenerate_single_super(spark):
+    """Degenerate contracts of the initial coloring (ADVICE r11 #2
+    territory): a graph that fully contracts to ONE super gets part 0
+    everywhere (the empty part-1 side is the case the cut_stats Spark
+    aggregate zero-fills to match its oracle), and a triangle that
+    contracts to TWO supers still two-colors with both sides
+    non-empty."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2,
+    )
+    from tests.conftest import make_edges
+
+    got = {
+        r["id"]: r["part"]
+        for r in multilevel_partition_k2(
+            make_edges(spark, [(1, 2)]), level_rounds=(1,)
+        ).collect()
+    }
+    assert got == {1: 0, 2: 0}, got  # one super -> everything part 0
+
+    got = {
+        r["id"]: r["part"]
+        for r in multilevel_partition_k2(
+            make_edges(spark, [(1, 2), (2, 3), (1, 3)]), level_rounds=(1,)
+        ).collect()
+    }
+    assert set(got.values()) == {0, 1}, got  # 2+ supers -> both sides
