@@ -114,7 +114,8 @@ def _s3_solo_median(n_runs: int = 5) -> dict:
     me = os.path.abspath(__file__)
     medians: list[float] = []
     builds: list[float] = []
-    for _ in range(n_runs + 1):
+    first_run_succeeded = False
+    for i in range(n_runs + 1):
         try:
             out = subprocess.run(
                 [sys.executable, me, "__s3solo__"],
@@ -126,12 +127,18 @@ def _s3_solo_median(n_runs: int = 5) -> dict:
             row = json.loads(out.strip().splitlines()[-1])
             medians.append(float(row["s3_iter_median_sec"]))
             builds.append(float(row["s3_build_sec"]))
+            if i == 0:
+                first_run_succeeded = True
         except (subprocess.SubprocessError, ValueError, KeyError, IndexError) as e:
             print(f"warning: s3 solo run failed: {e}", file=sys.stderr)
     if not medians:
         return {}
     warmup = None
-    if len(medians) > 1:  # discard-first: the cold-ladder warmup run
+    # Discard-first: the cold-ladder warmup. Only when run index 0
+    # actually produced a result — if the cold run FAILED, the first
+    # successful run is a valid warm measurement and must stay in the
+    # median set (it already paid the ladder's cold cost implicitly).
+    if first_run_succeeded and len(medians) > 1:
         warmup, medians = medians[0], medians[1:]
         builds = builds[1:]
     out = {

@@ -600,6 +600,10 @@ def greedy_matching(
 
     Returns (u, v, round) with u < v, disjoint across rows.
     """
+    if priority not in ("id", "hash"):
+        raise ValueError(
+            f"greedy_matching priority must be 'id' or 'hash', got {priority!r}"
+        )
     sym = undirect_dedup(edges)
     live = sym.select(F.col("u").alias("node")).union(
         sym.select(F.col("v").alias("node"))

@@ -45,10 +45,23 @@ def place_edges(
     combine locality) but can never SPLIT a part — pinned by
     tests/test_placement.py. A production table would instead be
     bucket-WRITTEN by part (sinks.py bucketed path), which both
-    eliminates collisions and persists the placement across runs."""
+    eliminates collisions and persists the placement across runs.
+
+    ``parts`` should be total over the edge destinations, but the join
+    is LEFT so an edge whose destination lacks a part row is never
+    dropped: stragglers fall back to hash placement (pmod(dst, k)) —
+    they lose combine locality, never rows. When parts is total the
+    coalesce is a no-op and results are bit-identical to the inner
+    join (pinned by tests/test_placement.py totality test)."""
     pd = parts.select(F.col("id").alias("dst"), "part")
     return (
-        edges_sym.join(pd, "dst")
+        edges_sym.join(pd, "dst", "left")
+        .withColumn(
+            "part",
+            F.coalesce(
+                "part", F.pmod(F.col("dst"), F.lit(num_partitions)).cast("int")
+            ),
+        )
         .repartition(num_partitions, "part")
         .localCheckpoint(eager=True)
     )

@@ -84,3 +84,37 @@ def test_placed_gather_fewer_shuffle_records_same_result(spark):
         m_placed,
         m_hashed,
     )
+
+
+def test_place_edges_total_with_missing_parts(spark):
+    """ADVICE r12: place_edges must never DROP an edge whose destination
+    lacks a part row. Pins (a) totality — stragglers survive with the
+    pmod fallback part; (b) no-op equivalence — with a TOTAL parts table
+    the left-join+coalesce output equals the inner-join output exactly."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.placement import place_edges
+
+    sym = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 9), (9, 3)], "src bigint, dst bigint"
+    )
+    # parts covers 1,2,3 but NOT 9 -> edge (3, 9) has a straggler dst
+    parts = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "id bigint, part int"
+    )
+    placed = place_edges(sym, parts, num_partitions=4)
+    rows = {(r["src"], r["dst"], r["part"]) for r in placed.collect()}
+    assert len(rows) == 4, rows  # all 4 edges survive
+    assert (3, 9, 9 % 4) in rows  # straggler got the pmod fallback part
+
+    # totality no-op: with full coverage the fallback never fires
+    parts_total = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (9, 1)], "id bigint, part int"
+    )
+    placed_total = place_edges(sym, parts_total, num_partitions=4)
+    inner = {
+        (r["src"], r["dst"], r["part"])
+        for r in sym.join(
+            parts_total.select(F.col("id").alias("dst"), "part"), "dst"
+        ).collect()
+    }
+    got = {(r["src"], r["dst"], r["part"]) for r in placed_total.collect()}
+    assert got == inner
