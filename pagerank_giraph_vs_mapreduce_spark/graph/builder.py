@@ -33,12 +33,20 @@ from pyspark.storagelevel import StorageLevel
 
 @dataclass
 class GraphTables:
-    """Cached build artifacts consumed by the iterative kernel."""
+    """Cached build artifacts consumed by the iterative kernel.
+
+    ``parts`` (id, part), when set, marks a PLACED build
+    (graph/placement.py:build_placed_graph): ``links`` then carries a
+    ``part`` column = part(src), is distributed by it, and the kernel's
+    scatter join runs on (part, src) so the cached distribution is
+    reused — the graph-partition-aware twin of the default
+    hash-by-src layout."""
 
     vertices: DataFrame  # (id BIGINT)
     links: DataFrame  # (src BIGINT, dst BIGINT, outdeg BIGINT) — deduped
     n_vertices: int
     n_edges: int = 0  # deduped edge count (the links materialization count)
+    parts: DataFrame | None = None  # (id BIGINT, part INT) when placed
 
     def unpersist(self) -> None:
         self.vertices.unpersist()

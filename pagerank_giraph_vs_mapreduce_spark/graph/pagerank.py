@@ -140,8 +140,23 @@ def scatter_gather(
     tests/test_skew_scatter.py pins both). Explicit hub splitting is the
     plan-stable fix: hot srcs are few by definition (outdeg above a cap
     bounds their count at E/cap), so their (src, pr) rows broadcast for
-    pennies while their edge rows — the actual mass — stay put."""
-    ranks_src = ranks.select(F.col("id").alias("src"), "pr")
+    pennies while their edge rows — the actual mass — stay put.
+
+    PLACED mode (links carries a ``part`` column — see
+    graph/placement.py:build_placed_graph): the join runs on
+    (part, src) instead of src. src functionally determines part, so
+    the join is semantically identical, but the cached links side's
+    HashPartitioning([part]) satisfies the clustered distribution and
+    the E rows never re-shuffle; the scatter output stays part-local,
+    which is what shrinks the gather exchange under a low-cut
+    placement."""
+    placed = "part" in links.columns
+    if placed:
+        ranks_src = ranks.select(F.col("id").alias("src"), "pr", "part")
+        join_keys: list[str] | str = ["part", "src"]
+    else:
+        ranks_src = ranks.select(F.col("id").alias("src"), "pr")
+        join_keys = "src"
     contrib = lambda df: df.select(  # noqa: E731
         F.col("dst").alias("id"),
         (F.col("pr") / F.col("outdeg")).alias("contrib"),
@@ -149,16 +164,16 @@ def scatter_gather(
     if hub_ids:
         hot = F.col("src").isin(hub_ids)
         scattered = contrib(
-            links.filter(~hot).join(ranks_src.filter(~hot), "src")
+            links.filter(~hot).join(ranks_src.filter(~hot), join_keys)
         ).unionAll(
             contrib(
                 links.filter(hot).join(
-                    F.broadcast(ranks_src.filter(hot)), "src"
+                    F.broadcast(ranks_src.filter(hot)), join_keys
                 )
             )
         )
     else:
-        scattered = contrib(links.join(ranks_src, "src"))
+        scattered = contrib(links.join(ranks_src, join_keys))
     return scattered.groupBy("id").agg(F.sum("contrib").alias("contrib"))
 
 
@@ -239,8 +254,15 @@ def pagerank(
 
     # ranks carries a static `dangling` flag so the per-iteration global
     # aggregate gets Σ|Δ|, dangling mass and Σpr in ONE pass (A4+A5+A6).
+    # A PLACED build (g.parts set) additionally carries the static
+    # `part` label so the scatter join can run on (part, src) against
+    # the part-distributed links cache — see scatter_gather.
+    placed = g.parts is not None
+    state_cols = ["id", "pr", "dangling"] + (["part"] if placed else [])
     out_src = g.links.select("src").distinct()
     base_state = g.vertices.join(out_src, g.vertices.id == out_src.src, "left")
+    if placed:
+        base_state = base_state.join(g.parts, "id")
     if initial_ranks is None:
         init_pr = F.lit(1.0 / n)
         state = base_state
@@ -254,6 +276,7 @@ def pagerank(
             "id",
             init_pr.alias("pr"),
             F.col("src").isNull().alias("dangling"),
+            *(["part"] if placed else []),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -288,75 +311,99 @@ def pagerank(
     converged = False
     iterations = 0
 
-    for i in range(max_iter):
-        t0 = time.monotonic()
-        # J1/C2 scatter + A1 gather: links is cached pre-partitioned by src,
-        # so only the V-row ranks side shuffles here; hub sources (if a
-        # cap was given) scatter via broadcast instead.
-        msgs = scatter_gather(g.links, ranks, hub_ids)
-        # C1 update with same-iteration dangling redistribution.
-        new = (
-            ranks.select("id", "dangling", F.col("pr").alias("pr_old"))
-            .join(msgs, "id", "left")
-            .select(
-                "id",
-                "dangling",
-                "pr_old",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_sum / n))
-                ).alias("pr"),
+    # Placed mode leans on SUBSET co-partitioning: the links cache is
+    # HashPartitioning([part]) and the scatter joins on (part, src) —
+    # valid co-location (equal (part, src) implies equal part) that
+    # Spark >= 3.3 rejects by default (requireAllClusterKeysForCoPartition,
+    # a skew-conservatism default aimed at low-cardinality prefixes; a
+    # graph partition is balance-guarded by construction). Scoped to the
+    # iteration loop and restored after, so no other query's planning
+    # changes.
+    spark = edges.sparkSession
+    _copart_key = "spark.sql.requireAllClusterKeysForCoPartition"
+    _copart_prev = spark.conf.get(_copart_key, "true")
+    if placed:
+        spark.conf.set(_copart_key, "false")
+    try:
+        for i in range(max_iter):
+            t0 = time.monotonic()
+            # J1/C2 scatter + A1 gather: links is cached pre-partitioned by src,
+            # so only the V-row ranks side shuffles here; hub sources (if a
+            # cap was given) scatter via broadcast instead.
+            msgs = scatter_gather(g.links, ranks, hub_ids)
+            # C1 update with same-iteration dangling redistribution.
+            new = (
+                ranks.select(
+                    "id",
+                    "dangling",
+                    F.col("pr").alias("pr_old"),
+                    *(["part"] if placed else []),
+                )
+                .join(msgs, "id", "left")
+                .select(
+                    "id",
+                    "dangling",
+                    "pr_old",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_sum / n))
+                    ).alias("pr"),
+                    *(["part"] if placed else []),
+                )
             )
-        )
-        # Lazy localCheckpoint truncates the logical plan immediately (the
-        # returned DF is LogicalRDD-backed) while deferring materialization
-        # to the stats aggregate below — ONE action per superstep. Under
-        # phase_timing the checkpoint is eager instead, splitting the wall
-        # time into a compute job and a stats job.
-        t_plan = time.monotonic()
-        new = new.localCheckpoint(eager=phase_timing)
-        t_compute = time.monotonic()
+            # Lazy localCheckpoint truncates the logical plan immediately (the
+            # returned DF is LogicalRDD-backed) while deferring materialization
+            # to the stats aggregate below — ONE action per superstep. Under
+            # phase_timing the checkpoint is eager instead, splitting the wall
+            # time into a compute job and a stats job.
+            t_plan = time.monotonic()
+            new = new.localCheckpoint(eager=phase_timing)
+            t_compute = time.monotonic()
 
-        stats = new.agg(
-            F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("diff"),
-            F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum"),
-            F.sum("pr").alias("total"),
-        ).first()
-        t_stats = time.monotonic()
+            stats = new.agg(
+                F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("diff"),
+                F.sum(F.when(F.col("dangling"), F.col("pr")).otherwise(0.0)).alias("dsum"),
+                F.sum("pr").alias("total"),
+            ).first()
+            t_stats = time.monotonic()
 
-        ranks.unpersist()
-        ranks = new.select("id", "pr", "dangling")
-        dangling_sum = float(stats["dsum"] or 0.0)
-        avg_diff = float(stats["diff"] or 0.0) / n
-        iterations = i + 1
-        history.append(
-            IterationStats(
-                iteration=iterations,
-                avg_diff=avg_diff,
-                dangling_sum=dangling_sum,
-                total_pr=float(stats["total"] or 0.0),
-                seconds=time.monotonic() - t0,
-                # The lazy localCheckpoint call spans physical planning AND
-                # AQE query-stage materialization (.rdd on an adaptive plan
-                # executes intermediate shuffle stages synchronously), so on
-                # large graphs it is mostly compute; it lands in compute
-                # either way, with plan covering only DF construction.
-                plan_seconds=t_plan - t0,
-                compute_seconds=t_compute - t_plan,
-                stats_seconds=t_stats - t_compute,
+            ranks.unpersist()
+            ranks = new.select(*state_cols)
+            dangling_sum = float(stats["dsum"] or 0.0)
+            avg_diff = float(stats["diff"] or 0.0) / n
+            iterations = i + 1
+            history.append(
+                IterationStats(
+                    iteration=iterations,
+                    avg_diff=avg_diff,
+                    dangling_sum=dangling_sum,
+                    total_pr=float(stats["total"] or 0.0),
+                    seconds=time.monotonic() - t0,
+                    # The lazy localCheckpoint call spans physical planning AND
+                    # AQE query-stage materialization (.rdd on an adaptive plan
+                    # executes intermediate shuffle stages synchronously), so on
+                    # large graphs it is mostly compute; it lands in compute
+                    # either way, with plan covering only DF construction.
+                    plan_seconds=t_plan - t0,
+                    compute_seconds=t_compute - t_plan,
+                    stats_seconds=t_stats - t_compute,
+                )
             )
-        )
-        if iterations >= min_iter and avg_diff <= tol:
-            converged = True
-            break
-        if checkpoint_dir is not None and iterations % checkpoint_every == 0:
-            # One extra V-row action per checkpoint_every supersteps; the
-            # ranks are already materialized by the stats aggregate, so
-            # this rescans the LogicalRDD, not the superstep lineage.
-            ranks.select("id", "pr").write.mode("overwrite").parquet(
-                f"{checkpoint_dir}/iter_{iterations:05d}"
-            )
+            if iterations >= min_iter and avg_diff <= tol:
+                converged = True
+                break
+            if checkpoint_dir is not None and iterations % checkpoint_every == 0:
+                # One extra V-row action per checkpoint_every supersteps; the
+                # ranks are already materialized by the stats aggregate, so
+                # this rescans the LogicalRDD, not the superstep lineage.
+                ranks.select("id", "pr").write.mode("overwrite").parquet(
+                    f"{checkpoint_dir}/iter_{iterations:05d}"
+                )
+
+    finally:
+        if placed:
+            spark.conf.set(_copart_key, _copart_prev)
 
     result = ranks.select("id", "pr")
     if own_graph:

@@ -21,6 +21,7 @@ from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
 from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
     MATCH_HASH_A,
     MATCH_HASH_B,
+    MATCH_HASH_C,
     MATCH_HASH_P,
     MLP_BFS_ROUNDS,
     MLP_DIST_INF,
@@ -2259,7 +2260,7 @@ def _mlp_level_sql(
     ``src_e``(u, v, weight), a total (node, super) mapping over the
     FULL vertex CTE ``src_v``(id), and the weighted contraction
     {px}e{lv} / its vertex set {px}v{lv}."""
-    hp, ha, hb = MATCH_HASH_P, MATCH_HASH_A, MATCH_HASH_B
+    hp, ha, hb, hc = MATCH_HASH_P, MATCH_HASH_A, MATCH_HASH_B, MATCH_HASH_C
     parts = [
         f""",
 {px}sym{lv} AS MATERIALIZED (SELECT u AS node, v AS nbr FROM {src_e}
@@ -2271,7 +2272,10 @@ def _mlp_level_sql(
             f""",
 {px}aa{lv}_{r} AS MATERIALIZED (SELECT s.node, s.nbr,
           ((least(s.node, s.nbr) % {hp}) * {ha} % {hp}
-           + (greatest(s.node, s.nbr) % {hp}) * {hb} % {hp}) % {hp} AS h
+           + (greatest(s.node, s.nbr) % {hp}) * {hb} % {hp}
+           + ((least(s.node, s.nbr) % {hp})
+              * (greatest(s.node, s.nbr) % {hp}) % {hp}) * {hc} % {hp})
+          % {hp} AS h
           FROM {px}sym{lv} s
           JOIN {px}liv{px}e{lv}_{r - 1} a ON s.node = a.node
           JOIN {px}liv{px}e{lv}_{r - 1} b ON s.nbr = b.node),
@@ -2764,6 +2768,104 @@ LEFT JOIN bleaf b ON b.id = t.id"""
     return "".join(sql)
 
 
+def _k4_parts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k4,
+    )
+
+    return multilevel_partition_k4(
+        derived_edges(spark, sf_dir),
+        top_levels=MLP_LEVEL_ROUNDS,
+        top_sweeps=MLP_SWEEPS,
+        side_levels=K4_SIDE_LEVELS,
+        side_sweeps=K4_SIDE_SWEEPS,
+    )
+
+
+# the k4 oracle's finisher — interpolated from the same constants the
+# generator uses, so a constant drift fails at import (_replace_or_raise),
+# never silently no-ops
+_K4_FINISHER = """
+SELECT t.id,
+       CAST(t.part * 2 + coalesce(a.part, b.part, 0) AS INT) AS part
+FROM tleaf t
+LEFT JOIN aleaf a ON a.id = t.id
+LEFT JOIN bleaf b ON b.id = t.id"""
+
+
+@query(
+    "g_partition_k4_cut_stats",
+    oracle=_replace_or_raise(
+        _mlp_k4_oracle(
+            MLP_LEVEL_ROUNDS, MLP_SWEEPS, K4_SIDE_LEVELS, K4_SIDE_SWEEPS
+        ),
+        _K4_FINISHER,
+        """,
+k4leaf AS MATERIALIZED (
+  SELECT t.id,
+         CAST(t.part * 2 + coalesce(a.part, b.part, 0) AS INT) AS part
+  FROM tleaf t
+  LEFT JOIN aleaf a ON a.id = t.id
+  LEFT JOIN bleaf b ON b.id = t.id)
+SELECT CAST(sum(CASE WHEN pa.part <> pb.part THEN 1 ELSE 0 END) AS BIGINT)
+         AS edge_cut,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST((SELECT count(*) FROM k4leaf WHERE part = 0) AS BIGINT) AS n_part0,
+       CAST((SELECT count(*) FROM k4leaf WHERE part = 1) AS BIGINT) AS n_part1,
+       CAST((SELECT count(*) FROM k4leaf WHERE part = 2) AS BIGINT) AS n_part2,
+       CAST((SELECT count(*) FROM k4leaf WHERE part = 3) AS BIGINT) AS n_part3
+FROM e0 JOIN k4leaf pa ON pa.id = e0.u JOIN k4leaf pb ON pb.id = e0.v""",
+    ),
+)
+def g_partition_k4_cut_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way partition QUALITY observability (VERDICT r12 item 7): the
+    k4 leaf edge cut plus all four side sizes — the exact quantities the
+    placement consumer (graph/placement.py) relies on when it keys the
+    edge table by a 4-part assignment, where g_partition_cut_stats only
+    reports the 2-way refined cut. Same plan shape as the k2 finisher:
+    the V-row assignment joined twice onto the undirected edge list, one
+    map-side-combined aggregate, side counts via coalesce-to-0 so an
+    empty part matches the oracle's COUNT(*) subqueries."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        undirect_dedup,
+    )
+
+    und = undirect_dedup(derived_edges(spark, sf_dir))
+    parts = _k4_parts_df(spark, sf_dir)
+    pa = parts.select(F.col("id").alias("u"), F.col("part").alias("pa"))
+    pb = parts.select(F.col("id").alias("v"), F.col("part").alias("pb"))
+    side = parts.groupBy("part").agg(F.count(F.lit(1)).alias("n"))
+    sides = side.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("part") == k, F.col("n"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"n_part{k}")
+            for k in range(4)
+        ]
+    )
+    return (
+        und.join(pa, "u")
+        .join(pb, "v")
+        .agg(
+            F.sum(F.when(F.col("pa") != F.col("pb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("edge_cut"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+        .crossJoin(F.broadcast(sides))
+        .select(
+            "edge_cut",
+            "n_edges",
+            "n_part0",
+            "n_part1",
+            "n_part2",
+            "n_part3",
+        )
+    )
+
+
 @query(
     "g_partition_k4",
     oracle=_mlp_k4_oracle(
@@ -2783,14 +2885,4 @@ def g_partition_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches, so k-way costs ~log2(k) times the bisection — the METIS
     argument, preserved here because the branches are independent
     DataFrame plans. Returns (id, part) with part in 0..3."""
-    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
-        multilevel_partition_k4,
-    )
-
-    return multilevel_partition_k4(
-        derived_edges(spark, sf_dir),
-        top_levels=MLP_LEVEL_ROUNDS,
-        top_sweeps=MLP_SWEEPS,
-        side_levels=K4_SIDE_LEVELS,
-        side_sweeps=K4_SIDE_SWEEPS,
-    )
+    return _k4_parts_df(spark, sf_dir)

