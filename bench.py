@@ -320,15 +320,24 @@ def main() -> int:
         "pipeline_split_leakage_safe": 1,
         # n-gram family: vocab/bigrams always on
         "text_repeated_ngrams": 1,
-        # multilevel partition family (r12 budget guard, VERDICT r11
-        # item 8): the V-cycle and the refined bisection are now parity
-        # SIBLINGS — one of the two prices the full machinery every
-        # round instead of the V-cycle riding along always-on
+        # multilevel partition family (r13 budget rebalance, VERDICT r12
+        # item 5): k4 — the second-heaviest suite entry at 43.7 s in r12
+        # — re-runs the whole bisection machinery twice over the SAME
+        # fixture k2 coarsens, so the two now alternate: even rounds
+        # price k2 + V-cycle + k2 cut stats, odd rounds price refined +
+        # k4 + k4 cut stats. Every kernel is still priced every other
+        # round; correctness still gates every round via the oracle
+        # sweep.
         "g_partition_k2": 0, "g_partition_k2_refined": 1,
         "g_partition_k2_vcycle": 0,
         "g_partition_cut_stats": 0,
-        # k4 re-runs the whole bisection machinery twice more: even rounds
-        "g_partition_k4": 0,
+        "g_partition_k4": 1,
+        "g_partition_k4_cut_stats": 1,
+        # incremental maintenance: the warm-delete twin alternates with
+        # the warm-add twin (g_pagerank_incremental, parity 1); the
+        # streaming WCC loop's cost is its own surface — odd rounds
+        "g_pagerank_warm_delta": 0,
+        "g_wcc_delta_stream": 1,
         # degree Gini: the binned default runs every round; exact rotates
         "g_degree_gini_exact": 1,
     }
@@ -1056,6 +1065,10 @@ def main() -> int:
         "g_partition_cut_stats",
         "g_partition_k4",
         "mm_external_poison_mix",
+        # round-13 additions
+        "g_partition_k4_cut_stats",
+        "g_wcc_delta_stream",
+        "g_pagerank_warm_delta",
     ):
         timed_query(q, run_query_rows(q))
 

@@ -1584,6 +1584,190 @@ def g_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.components
 
 
+_WCC_STREAM_SQL = (
+    GRAPH_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+sym AS (SELECT src, dst FROM edges
+        UNION SELECT dst AS src, src AS dst FROM edges),
+verts2 AS (SELECT src AS id FROM sym),
+reach AS (
+  SELECT DISTINCT id, id AS r FROM verts2
+  UNION
+  SELECT s.dst AS id, r.r
+  FROM reach r JOIN sym s ON s.src = r.id)
+SELECT id, min(r) AS component FROM reach GROUP BY id"""
+)
+
+_WCC_STREAM_SHARDS: dict[str, str] = {}
+
+
+@query("g_wcc_delta_stream", oracle=_WCC_STREAM_SQL)
+def g_wcc_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WCC maintenance, driver-certified end-to-end (the
+    incremental-maintenance family's streaming twin — VERDICT r12 item
+    8): the derived edge table arrives as three file shards (src % 3,
+    modification-time order) through a real Structured Streaming file
+    source; each micro-batch appends its edges to a durable
+    batch_id-partitioned edge table and advances a durable label table
+    by running connected_components_incremental with ONLY the delta as
+    the frontier (streaming/graph_maintenance.py — every write is a
+    dynamic-partition overwrite, idempotent under foreachBatch replay).
+    Returns the final converged labeling; the oracle is the recursive
+    min-reach closure of the FULL edge set, so the check certifies the
+    maintained labels land on exactly the full-recompute answer.
+    Replay/restart behavior is pinned by tests/test_graph_maintenance.py
+    (no batch oracle can express a mid-stream crash)."""
+    import atexit
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from pagerank_giraph_vs_mapreduce_spark.streaming.graph_maintenance import (
+        latest_labels,
+        run_streaming_wcc,
+    )
+
+    edges = derived_edges(spark, sf_dir).select("src", "dst")
+    src = _WCC_STREAM_SHARDS.get(sf_dir)
+    if src is None:
+        shard_root = tempfile.mkdtemp(prefix="stream_wcc_shards_")
+        atexit.register(shutil.rmtree, shard_root, ignore_errors=True)
+        src = os.path.join(shard_root, "shards")
+        os.makedirs(src)
+        for b in range(3):
+            staging = os.path.join(shard_root, f"stage{b}")
+            (
+                edges.filter(F.col("src") % 3 == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            part = globmod.glob(os.path.join(staging, "part-*.parquet"))[0]
+            dest = os.path.join(src, f"b{b}.parquet")
+            shutil.copy(part, dest)
+            t = 1_700_000_000 + b * 60  # mtime order fixes batch order
+            os.utime(dest, (t, t))
+        _WCC_STREAM_SHARDS[sf_dir] = src
+    work = tempfile.mkdtemp(prefix="stream_wcc_run_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    e_t, l_t = "stream_wcc_edges_q", "stream_wcc_labels_q"
+    for t_ in (e_t, l_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t_}")
+    stream = (
+        spark.readStream.schema("src bigint, dst bigint")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    run_streaming_wcc(
+        stream,
+        edges_table=e_t,
+        edges_path=os.path.join(work, "edges"),
+        labels_table=l_t,
+        labels_path=os.path.join(work, "labels"),
+        checkpoint_dir=os.path.join(work, "ckpt"),
+    )
+    return latest_labels(spark, l_t)
+
+
+def _pagerank_warm_delete_sql(k0: int, k1: int, d: float = 0.85) -> str:
+    """Two-phase unrolled oracle for warm-start PageRank under edge
+    DELETIONS: k0 iterations on the base graph, then the (src+dst)%9==0
+    edges are REMOVED, the universe/degrees/dangling set rebuilt from
+    the survivors, carried ranks restricted to the surviving universe
+    (a vertex that lost every edge leaves the graph — its rank mass is
+    simply gone, exactly what pagerank(initial_ranks=...) over the
+    shrunk edge set computes), and k1 more iterations run."""
+    ctes = [
+        "dedges AS (SELECT src, dst FROM edges WHERE (src + dst) % 9 <> 0)",
+        "dverts AS (SELECT src AS id FROM dedges UNION SELECT dst AS id FROM dedges)",
+        "ddeg AS (SELECT src AS id, count(*) AS outdeg FROM dedges GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 / (SELECT count(*) FROM verts) AS pr FROM verts)",
+    ]
+    for i in range(1, k0 + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""dang{i} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM {p}
+  WHERE id NOT IN (SELECT id FROM deg))"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS id, sum(r.pr / g.outdeg) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.id JOIN deg g ON g.id = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT v.id,
+         (1 - {d}) / (SELECT count(*) FROM verts)
+         + {d} * ((SELECT dm FROM dang{i}) / (SELECT count(*) FROM verts)
+                  + coalesce(c.contrib, 0.0)) AS pr
+  FROM verts v LEFT JOIN c{i} c ON v.id = c.id)"""
+        )
+    ctes.append(
+        f"""w0 AS (
+  SELECT v.id, coalesce(r.pr, 1.0 / (SELECT count(*) FROM dverts)) AS pr
+  FROM dverts v LEFT JOIN r{k0} r ON r.id = v.id)"""
+    )
+    for i in range(1, k1 + 1):
+        p = f"w{i - 1}"
+        ctes.append(
+            f"""ddang{i} AS (
+  SELECT coalesce(sum(pr), 0.0) AS dm FROM {p}
+  WHERE id NOT IN (SELECT id FROM ddeg))"""
+        )
+        ctes.append(
+            f"""dc{i} AS (
+  SELECT e.dst AS id, sum(r.pr / g.outdeg) AS contrib
+  FROM dedges e JOIN {p} r ON e.src = r.id JOIN ddeg g ON g.id = e.src
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+  SELECT v.id,
+         (1 - {d}) / (SELECT count(*) FROM dverts)
+         + {d} * ((SELECT dm FROM ddang{i}) / (SELECT count(*) FROM dverts)
+                  + coalesce(c.contrib, 0.0)) AS pr
+  FROM dverts v LEFT JOIN dc{i} c ON v.id = c.id)"""
+        )
+    return (
+        f"{GRAPH_CTES},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(pr, 9) AS pr FROM w{k1}"
+    )
+
+
+@query("g_pagerank_warm_delta", oracle=_pagerank_warm_delete_sql(2, 2))
+def g_pagerank_warm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start PageRank under edge DELETIONS — the other half of the
+    insert/delete maintenance surface (g_pagerank_incremental covers
+    additions): 2 supersteps on the base graph, then the deterministic
+    (src+dst)%9==0 slice of edges is retired (link-rot / policy
+    takedowns in a crawl), the graph rebuilt from the survivors —
+    shrunk universe, reduced degrees, regrown dangling set — and 2 more
+    supersteps run from the carried ranks. Vertices that lost every
+    edge leave the universe (their carried mass is dropped, not
+    redistributed — declared, mirrored in the oracle); survivors whose
+    out-degree fell scatter larger per-edge contributions immediately.
+    The oracle unrolls both phases, so the deletion semantics land in
+    the value hash."""
+    from pagerank_giraph_vs_mapreduce_spark.graph.pagerank import pagerank
+
+    _raw, edges, _verts, _deg = _graph_parts(spark, sf_dir)
+    remaining = edges.filter((F.col("src") + F.col("dst")) % 9 != 0)
+    res0 = pagerank(edges, damping=0.85, max_iter=2, tol=-1.0, min_iter=0)
+    res = pagerank(
+        remaining,
+        damping=0.85,
+        max_iter=2,
+        tol=-1.0,
+        min_iter=0,
+        initial_ranks=res0.ranks,
+    )
+    return res.ranks.select("id", F.round("pr", 9).alias("pr"))
+
+
 AA_HUB_CAP = 256
 AA_TOP_K = 20
 

@@ -48,71 +48,19 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate checks queries in registration order with a
 # ~50-query budget per round — so registration order IS hard-signal coverage.
-# Round-12 budget math (VERDICT r11 "Next round" #4): the final 21 r05-stale
-# rows LEAD (end-of-r12 criterion: no registered query's newest driver row
-# may predate r06 — this drains the backlog), then the 7 queries whose CODE
-# changed this round (the whole partition family re-certifies the
-# region-growing initial coloring + the cut_stats NULL-side/oracle-rewrite
-# fixes; both ktruss queries re-certify the pinned shuffle-merge adjacency
-# joins), then the oldest r06 rows fill the remaining ~22 slots — the
-# freshness rotation continues with nothing older than two rounds left.
-# Everything is additionally re-proven every round by
+# Round-13 budget math (VERDICT r12 "Next round" #3): the 19 remaining
+# r06-stale rows LEAD (after they certify, no query's newest driver row
+# predates r07), then the queries NEW this round (the k4 cut-stats
+# observability finisher and the incremental-maintenance family), then the
+# SIX partition queries whose SEMANTICS changed this round (the matching
+# hash gained a quadratic mixing term — an affine hash is monotone along
+# arithmetic id progressions and stalled coarsening on chain graphs;
+# Spark + oracle + mirror all updated together), then the oldest r07 rows
+# fill the remaining budget — ~half the r07 cohort rotates this round, the
+# rest next. Everything is additionally re-proven every round by
 # tools/check_oracle.py (stricter: exact stringified values, not hashes).
 _PRIORITY = (
-    # --- the last 21 r05-stale rows: drained this round (end-of-r12
-    #     criterion met when these certify)
-    "rel_win_lag",
-    "rel_win_rank",
-    "rel_win_ranking_family",
-    "rel_win_running",
-    "sim_filtered_top5",
-    "sim_ivf_top5",
-    "sim_ivf_top5_nprobe2",
-    "sim_ivf_trained_top5",
-    "sim_pq_encode",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_schema_evolution",
-    "storage_zorder_buckets",
-    "stream_dedup_counts",
-    "stream_late_data_gate",
-    "stream_session_30m",
-    "stream_stateful_totals",
-    "stream_tumbling_15m",
-    "udf_grouped_zscore",
-    "udf_pandas_normalize",
-    "udf_udtf_tokenize",
-    # --- code changed in r12: re-certify
-    "g_partition_k2",
-    "g_partition_k2_refined",
-    "g_partition_k2_vcycle",
-    "g_partition_cut_stats",
-    "g_partition_k4",
-    "g_ktruss4_r3",
-    "g_ktruss4_conv",
-    # --- oldest r06 rows: what the remaining budget reaches
-    "dedup_containment",
-    "dedup_embedding_cosine",
-    "dedup_incremental_indexed",
-    "dedup_lsh_star_candidates",
-    "dedup_simhash",
-    "dedup_simhash_near_dups",
-    "fn_hll_union_rollup",
-    "g_kcore64_r4",
-    "g_sssp_k4",
-    "g_triangle_count",
-    "g_wcc_incremental",
-    "mm_audio_stats",
-    "pipeline_quality_bins",
-    "pipeline_stratified_sample",
-    "range_join_signup_errors",
-    "rel_q11_important_parts",
-    "rel_q12_priority_lines",
-    "rel_q16_supplier_part_count",
-    "rel_q20_excess_shipped",
-    "rel_q21_waiting_supplier",
-    "rel_q2_min_cost_supplier",
-    "rel_q4_order_priority",
+    # --- the 19 remaining r06-stale rows: drained this round
     "rel_q9_product_profit",
     "sim_ann_recall",
     "sim_cosine_top10",
@@ -132,6 +80,41 @@ _PRIORITY = (
     "text_quality",
     "text_repeated_ngrams",
     "udf_arrow_optimized",
+    # --- new this round
+    "g_partition_k4_cut_stats",
+    "g_wcc_delta_stream",
+    "g_pagerank_warm_delta",
+    # --- matching-hash semantics changed in r13: re-certify the family
+    "g_partition_k2",
+    "g_partition_k2_refined",
+    "g_partition_k2_vcycle",
+    "g_partition_cut_stats",
+    "g_partition_k4",
+    # --- oldest r07 rows: what the remaining budget reaches
+    "dedup_cdc_chunks",
+    "dedup_cdc_strip",
+    "edge_parse_snap",
+    "fn_agg_breadth",
+    "fn_sketch_bounds",
+    "fn_stats_agg",
+    "fn_win_frames",
+    "g_link_adamic_adar",
+    "g_pagerank_incremental",
+    "g_pagerank_top20",
+    "g_two_hop_count",
+    "g_walk_cooccurrence",
+    "mm_ahash_pairs",
+    "mm_gif_decode",
+    "mm_gif_frames",
+    "mm_jpeg_decode",
+    "mm_resize_jpeg",
+    "pipeline_corpus_build",
+    "pipeline_dsir_resample",
+    "pipeline_rag_mmr",
+    "pipeline_rag_retrieve",
+    "pipeline_rag_retrieve_encoder",
+    "pipeline_shuffle_shards",
+    "rel_bloom_semi_join",
 )
 
 
