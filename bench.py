@@ -1290,14 +1290,28 @@ def main() -> int:
             return None
         oq = prior_full.get("queries", {})
         band = 1.25
-        ratios = [
-            extras[k] / prior_full[k]
+        host_r = {
+            k: extras[k] / prior_full[k]
             for k in ("host_python_loop_sec", "host_jvm_agg_sec")
             if k in extras and prior_full.get(k)
-        ]
+        }
+        ratios = list(host_r.values())
         lo = (min(ratios) if ratios else 1.0) / band
         hi = (max(ratios) if ratios else 1.0) * band
-        out: dict = {"band": [round(lo, 3), round(hi, 3)]}
+        # Calibration-NORMALIZED ratios in the artifact (VERDICT r12 item
+        # 4): every verdict carries the raw cross-round ratio AND the
+        # ratio scaled by each host scalar, so a real regression can't
+        # hide behind a slow host (nor a fast host manufacture one) and
+        # the docs never need a narrative host caveat.
+        out: dict = {
+            "band": [round(lo, 3), round(hi, 3)],
+            "host_ratios": {
+                k.replace("host_", "").replace("_sec", ""): round(v, 3)
+                for k, v in host_r.items()
+            },
+        }
+        r_py = host_r.get("host_python_loop_sec")
+        r_jvm = host_r.get("host_jvm_agg_sec")
         verdicts: dict = {}
         for name in sorted(set(oq) & set(timings)):
             a, b = oq[name], timings[name]
@@ -1307,6 +1321,10 @@ def main() -> int:
             if lo <= r <= hi:
                 continue
             row = {"old": a, "suite": b, "ratio": round(r, 2)}
+            if r_jvm:
+                row["ratio_cal_jvm"] = round(r / r_jvm, 2)
+            if r_py:
+                row["ratio_cal_py"] = round(r / r_py, 2)
             if r < lo:
                 row["verdict"] = "improvement"
             elif name not in entry_fns:
@@ -1381,6 +1399,28 @@ def main() -> int:
         }
         if prior.get("queries"):
             full["arbitration"] = arbitrate(prior)
+        # Headline cross-round comparison with BOTH raw and
+        # calibration-scaled ratios (VERDICT r12 item 4): cal_ratio =
+        # raw_ratio / host_jvm_ratio — the S3 kernel is JVM-bound, so
+        # the JVM probe is its calibration scalar. <= 1.0 cal means
+        # at-least-parity on a like-for-like host.
+        if (
+            prior.get("pagerank_s3_solo_median_sec")
+            and extras.get("pagerank_s3_solo_median_sec")
+            and prior.get("host_jvm_agg_sec")
+            and extras.get("host_jvm_agg_sec")
+        ):
+            raw_r = (
+                extras["pagerank_s3_solo_median_sec"]
+                / prior["pagerank_s3_solo_median_sec"]
+            )
+            jvm_r = extras["host_jvm_agg_sec"] / prior["host_jvm_agg_sec"]
+            full["headline_cross_round"] = {
+                "prior_solo_sec": prior["pagerank_s3_solo_median_sec"],
+                "raw_ratio": round(raw_r, 3),
+                "host_jvm_ratio": round(jvm_r, 3),
+                "cal_ratio": round(raw_r / jvm_r, 3),
+            }
     # Probes (multi-minute one-offs, SCALING.md §23) persist across suite
     # runs: a fresh full-suite write carries stored probe rows forward.
     all_probes = dict(prior.get("probes", {}))
@@ -1457,6 +1497,8 @@ def main() -> int:
                 "manual_solo",
             )
         }
+    if "headline_cross_round" in full:
+        compact["headline_cross_round"] = full["headline_cross_round"]
     line = json.dumps(compact)
     if len(line) > 1800:  # hard guard: never outgrow the driver's tail capture
         compact["queries"] = {}

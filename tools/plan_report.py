@@ -211,6 +211,10 @@ HEADLINE = [
     "g_partition_cut_stats",
     "g_partition_k4",
     "mm_external_poison_mix",
+    # round-13
+    "g_partition_k4_cut_stats",
+    "g_pagerank_warm_delta",
+    "g_wcc_delta_stream",
 ]
 
 
