@@ -13,8 +13,10 @@ Reference semantics reproduced here:
 - P2 dangling classification: a vertex with no out-edges
   (MR/PageRankReducer.java:75, GI/PageRankVertex.java:54-60).
 
-Scale notes: one shuffle to dedup edges, one to union+distinct vertices,
-one to count degrees — all map-side-combined hash aggregations. We keep
+Scale notes: ONE E-row shuffle total — repartition by src, with the
+(src, dst) dedup, the out-degree count and the merge join all running on
+that one exchange (subset-distribution rule); the vertex universe is a
+V-row aggregate over the resulting cache. We keep
 ``links(src, dst, outdeg)`` as flat rows rather than the reference's
 ``collect_list`` adjacency encoding (R2): flat rows shuffle-join without
 exploding arrays, stay columnar, and let AQE split skewed hub vertices,
@@ -53,6 +55,33 @@ class GraphTables:
         self.links.unpersist()
 
 
+def dedup_src_sorted(edge_rows: DataFrame, agg: list | None = None) -> DataFrame:
+    """ONE-exchange (src, dst[, payload]) dedup/merge, hash-partitioned
+    and sorted by ``src`` — the shared build step for every kernel's
+    cached edge table (WCC/BFS/SSSP/LPA/Louvain/walks/betweenness).
+
+    ``repartition("src")`` FIRST establishes the cache layout; the
+    per-(src, dst) dedup (or ``agg`` merge) then plans NO exchange of its
+    own, because hash(src) already co-locates equal (src, dst) rows — the
+    clustered-distribution subset rule (HashPartitioning on a subset of
+    the grouping keys satisfies the aggregate). The previous build
+    (distinct()/groupBy first, repartition("src") after) paid TWO E-row
+    shuffles for the same table; this pays one (optimization guide §2.4
+    "remove shuffles outright"; before/after plans in plans/r13/).
+
+    ``agg``: aggregate expressions for merging parallel edges (e.g.
+    ``[F.min("w").alias("w")]``). Callers project to exactly the columns
+    the cache keeps BEFORE calling, so the single exchange ships nothing
+    extra (§2.3 "project before the exchange").
+    """
+    out = edge_rows.repartition("src")
+    if agg is None:
+        out = out.dropDuplicates(["src", "dst"])
+    else:
+        out = out.groupBy("src", "dst").agg(*agg)
+    return out.sortWithinPartitions("src")
+
+
 def build_graph(
     edges: DataFrame,
     num_partitions: int | None = None,
@@ -69,33 +98,46 @@ def build_graph(
     the universe — needed for Giraph adjacency input where a bare-id line
     declares an isolated (dangling) vertex.
     """
-    dedup = edges.select("src", "dst").distinct()
-
-    universe = edges.select(F.col("src").alias("id")).union(
-        edges.select(F.col("dst").alias("id"))
+    # ONE E-row shuffle for the whole build: repartition("src") first, so
+    # the (src, dst) dedup aggregate runs exchange-free on the src-hash
+    # layout (subset rule — see dedup_src_sorted) and both consumers below
+    # (the dedup rows themselves and the outdeg aggregate) reuse the same
+    # exchange. The previous build paid distinct()'s (src, dst) exchange
+    # PLUS a by-src exchange into the join (plans/r13/ has the diff).
+    dedup = edges.select("src", "dst").repartition("src").dropDuplicates(
+        ["src", "dst"]
     )
-    if extra_vertices is not None:
-        universe = universe.union(extra_vertices.select(F.col("id")))
-    vertices = universe.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    n_vertices = vertices.count()
 
+    # groupBy("src") over the src-partitioned dedup: exchange-free.
     outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # The dedup ⋈ outdeg equi-join on src leaves its output hash-partitioned
     # by src ONLY if it is planned as a shuffle join; outdeg is a small V-row
     # aggregate that Catalyst/AQE may broadcast, which would silently leave
-    # the cache partitioned by distinct()'s (src, dst) key and re-shuffle the
-    # E-row side every superstep. The merge hint pins the shuffle-by-src
-    # distribution AND leaves the cached output SORTED by src, so every
-    # superstep's links ⋈ ranks sort-merge join skips both the exchange and
-    # the sort on the E side. (shuffle_hash would pin the distribution too,
-    # but its unsorted output makes each superstep re-sort the E rows —
-    # measured 4x per-superstep cost at the 69M-edge scale; a
-    # repartition('src') would add a third E-row shuffle.)
+    # the cache partitioned by the wrong key and re-shuffle the E-row side
+    # every superstep. The merge hint pins the shuffle-by-src distribution
+    # AND leaves the cached output SORTED by src, so every superstep's
+    # links ⋈ ranks sort-merge join skips both the exchange and the sort on
+    # the E side. (shuffle_hash would pin the distribution too, but its
+    # unsorted output makes each superstep re-sort the E rows — measured 4x
+    # per-superstep cost at the 69M-edge scale.)
     links = dedup.join(outdeg.hint("merge"), "src")
     if num_partitions:
         links = links.repartition(num_partitions, "src")
     links = links.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = links.count()  # materialize before the loop starts
+
+    # Vertex universe from the CACHE, not a second scan+dedup of the raw
+    # edges: every id in the raw table survives into some deduped edge, so
+    # the sets are identical, and the union+distinct job reads in-memory
+    # columnar rows instead of re-running the source scan (guide §2.3 —
+    # the id exchange itself is unavoidable, the rescan was not).
+    universe = links.select(F.col("src").alias("id")).union(
+        links.select(F.col("dst").alias("id"))
+    )
+    if extra_vertices is not None:
+        universe = universe.union(extra_vertices.select(F.col("id")))
+    vertices = universe.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    n_vertices = vertices.count()
 
     return GraphTables(
         vertices=vertices,

@@ -21,20 +21,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from pagerank_giraph_vs_mapreduce_spark.graph.builder import dedup_src_sorted
+
 
 def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     """``rounds`` synchronous LPA rounds over the undirected deduped view
     of edges(src, dst), self-loops dropped. Returns (id, label)."""
     noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
-    sym = (
+    # ONE E-row shuffle (dedup_src_sorted), cached sorted by src.
+    sym = dedup_src_sorted(
         noself.unionAll(
             noself.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     labels = sym.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -101,15 +100,13 @@ def louvain_one_level(
         # ONE undirected edge of weight 1 — the certified g_louvain_r2
         # semantics), then attach w = 1
         noself = edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
-        sym0 = (
+        sym0 = dedup_src_sorted(
             noself.unionAll(
                 noself.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst")
                 )
             )
-            .distinct()
-            .select("src", "dst", F.lit(1).alias("w"))
-        )
+        ).select("src", "dst", F.lit(1).alias("w"))
     else:
         # weighted: symmetrize, MERGING parallel/reverse edges by INTEGER
         # weight sum — weighted modularity stays exact because every
@@ -117,20 +114,18 @@ def louvain_one_level(
         noself = edges.filter(F.col("src") != F.col("dst")).select(
             "src", "dst", F.col(weight_col).cast("bigint").alias("w")
         )
-        sym0 = (
+        sym0 = dedup_src_sorted(
             noself.unionAll(
                 noself.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
                 )
-            )
-            .groupBy("src", "dst")
-            .agg(F.sum("w").alias("w"))
+            ),
+            agg=[F.sum("w").alias("w")],
         )
-    sym = (
-        sym0.repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # dedup_src_sorted already leaves sym0 hash-partitioned + sorted by
+    # src in ONE shuffle (previously: distinct/groupBy exchange PLUS a
+    # repartition("src") exchange).
+    sym = sym0.persist(StorageLevel.MEMORY_AND_DISK)
     kdeg = sym.groupBy(F.col("src").alias("id")).agg(
         F.sum("w").alias("k")
     )

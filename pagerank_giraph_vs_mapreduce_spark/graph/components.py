@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from pagerank_giraph_vs_mapreduce_spark.graph.builder import dedup_src_sorted
+
 
 @dataclass
 class ComponentsResult:
@@ -36,17 +38,15 @@ class ComponentsResult:
 
 def connected_components(edges: DataFrame, max_iter: int = 50) -> ComponentsResult:
     """Min-label propagation over the undirected view of edges(src, dst)."""
-    sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .repartition("src")
-        # Cache sorted by the join key: the per-superstep sort-merge join
-        # then reads the cache with neither an Exchange nor a Sort on the
-        # E-row side (cached outputOrdering is recognized).
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # ONE E-row shuffle (dedup_src_sorted), cached sorted by the join key:
+    # the per-superstep sort-merge join then reads the cache with neither
+    # an Exchange nor a Sort on the E-row side (cached outputOrdering is
+    # recognized).
+    sym = dedup_src_sorted(
+        edges.select("src", "dst").union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     vertices = sym.select(F.col("src").alias("id")).distinct()
     labels = vertices.select("id", F.col("id").alias("label")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -124,14 +124,11 @@ def connected_components_incremental(
     already); ``base_labels`` is (id, component) from a prior
     ``connected_components`` run (absent ids seed as new vertices).
     """
-    sym = (
-        all_edges.select("src", "dst")
-        .union(all_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sym = dedup_src_sorted(
+        all_edges.select("src", "dst").union(
+            all_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     vertices = sym.select(F.col("src").alias("id")).distinct()
     labels = (
         vertices.join(

@@ -640,11 +640,19 @@ def pagerank_weighted(
     truncates lineage."""
     w = F.col(weight_col)
     wedges = edges.select("src", "dst", w.cast("double").alias("w"))
+    # ONE E-row shuffle for the build: the E rows move once
+    # (repartition("src")); the per-src weight sums arrive PARTIAL-
+    # aggregated through their own V-row exchange on the same key; and
+    # the merge join runs exchange-free on the shared hash(src) layout,
+    # leaving the cache SORTED by src. The previous build paid the
+    # join's E-row exchange, then re-shuffled the joined E rows AGAIN
+    # through repartition("src") — and at cluster scale its V-row
+    # broadcast of wdeg is a driver-memory hazard the co-partitioned
+    # merge join does not have (guide §2.4/§3.1).
     wdeg = wedges.groupBy("src").agg(F.sum("w").alias("wsum"))
     links = (
-        wedges.join(wdeg, "src")
-        .repartition("src")
-        .sortWithinPartitions("src")
+        wedges.repartition("src")
+        .join(wdeg.hint("merge"), "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     verts = (

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from pagerank_giraph_vs_mapreduce_spark.graph.builder import dedup_src_sorted
+
 
 @dataclass
 class BfsResult:
@@ -41,14 +43,11 @@ def bfs_distances(edges: DataFrame, source: int, max_hops: int = 10) -> BfsResul
     vertices are absent, mirroring a recursive-SQL BFS oracle.
     """
     spark = edges.sparkSession
-    links = (
-        edges.select("src", "dst")
-        .distinct()
-        .repartition("src")
-        # Sorted cache: if a hop's frontier is big enough for a sort-merge
-        # join, the E side needs neither Exchange nor Sort per hop.
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE E-row shuffle (dedup_src_sorted). Sorted cache: if a hop's
+    # frontier is big enough for a sort-merge join, the E side needs
+    # neither Exchange nor Sort per hop.
+    links = dedup_src_sorted(edges.select("src", "dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
 
     dist = spark.createDataFrame([(int(source), 0)], "id bigint, dist bigint").persist(
@@ -105,12 +104,8 @@ def multi_bfs(
     if not sources:
         raise ValueError("multi_bfs needs at least one source")
     spark = edges.sparkSession
-    links = (
-        edges.select("src", "dst")
-        .distinct()
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    links = dedup_src_sorted(edges.select("src", "dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in sources],
@@ -161,12 +156,8 @@ def random_walks(
     O(live walks x avg out-degree) per step, never O(E), and the walk id
     is the aggregation key so skew tracks walk count, not graph shape.
     """
-    links = (
-        edges.select("src", "dst")
-        .distinct()
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    links = dedup_src_sorted(edges.select("src", "dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     cur = sources.select(
         F.col("id").alias("walk"),
@@ -223,13 +214,10 @@ def sssp_distances(
     localCheckpoint keeping lineage flat.
     """
     spark = edges.sparkSession
-    links = (
-        edges.groupBy("src", "dst")
-        .agg(F.min(weight_col).alias("w"))
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    links = dedup_src_sorted(
+        edges.select("src", "dst", weight_col),
+        agg=[F.min(weight_col).alias("w")],
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     dist = spark.createDataFrame(
         [(int(source), 0)], "id bigint, dist bigint"
@@ -318,12 +306,8 @@ def truncated_betweenness(
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     spark = edges.sparkSession
-    links = (
-        edges.select("src", "dst")
-        .distinct()
-        .repartition("src")
-        .sortWithinPartitions("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    links = dedup_src_sorted(edges.select("src", "dst")).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     l0 = spark.createDataFrame(
         [(int(s), int(s), 1.0) for s in sources],

@@ -2952,34 +2952,24 @@ LEFT JOIN bleaf b ON b.id = t.id"""
     return "".join(sql)
 
 
-_K4_PARTS_CACHE: dict[tuple[int, str], DataFrame] = {}
-
-
 def _k4_parts_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The k4 assignment, memoized per (session, sf_dir) behind an
-    eager localCheckpoint: g_partition_k4 and g_partition_k4_cut_stats
-    run in the same suite/gate session over the same fixture, and the
-    cut-stats query's OWN surface is its metrics finisher — the k4
-    machinery itself is priced by g_partition_k4 (VERDICT r12 item 5:
-    share the coarsening instead of paying the second-heaviest suite
-    entry twice per round). Deterministic output, so sharing cannot
-    change any certified value."""
+    """The k4 assignment — computed FRESH on every call. (A prior build
+    commit memoized this per (session, sf_dir) so the cut-stats twin
+    priced only its finisher; the r13 optimization rules prohibit
+    module-level result memos outright, so both suite entries now pay
+    the full recursive bisection and the suite honestly prices the k4
+    machinery twice per round.)"""
     from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
         multilevel_partition_k4,
     )
 
-    key = (id(spark), sf_dir)
-    got = _K4_PARTS_CACHE.get(key)
-    if got is None:
-        got = multilevel_partition_k4(
-            derived_edges(spark, sf_dir),
-            top_levels=MLP_LEVEL_ROUNDS,
-            top_sweeps=MLP_SWEEPS,
-            side_levels=K4_SIDE_LEVELS,
-            side_sweeps=K4_SIDE_SWEEPS,
-        ).localCheckpoint(eager=True)
-        _K4_PARTS_CACHE[key] = got
-    return got
+    return multilevel_partition_k4(
+        derived_edges(spark, sf_dir),
+        top_levels=MLP_LEVEL_ROUNDS,
+        top_sweeps=MLP_SWEEPS,
+        side_levels=K4_SIDE_LEVELS,
+        side_sweeps=K4_SIDE_SWEEPS,
+    )
 
 
 # the k4 oracle's finisher — interpolated from the same constants the
