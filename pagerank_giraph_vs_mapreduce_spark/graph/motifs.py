@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def undirect_dedup(edges: DataFrame) -> DataFrame:
@@ -623,9 +624,13 @@ def greedy_matching(
     live = sym.select(F.col("u").alias("node")).union(
         sym.select(F.col("v").alias("node"))
     ).distinct()
+    # The adjacency is read by EVERY round's proposal pass (twice, via
+    # the p1/p2 aliases) and previously re-derived the symmetrize+dedup
+    # lineage per action; persist it once for the matching's lifetime
+    # (guide §5 — reuse-justified, unpersisted before return).
     adj = sym.select(F.col("u").alias("node"), F.col("v").alias("nbr")).union(
         sym.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     matched_parts = []
     for r in range(1, rounds + 1):
         alive_adj = adj.join(live, "node", "left_semi").join(
@@ -642,6 +647,13 @@ def greedy_matching(
             )
         else:
             prop = alive_adj.groupBy("node").agg(F.min("nbr").alias("prop"))
+        # Lazy checkpoint: the mutual-match self-join consumes prop under
+        # TWO different hash keys (p1 by prop, p2 by node), so without
+        # this the whole proposal aggregate is planned — and computed —
+        # twice per round (no exchange reuse across different keys).
+        # Lazy costs no extra job; the round's action materializes it
+        # once and both join sides read the cached rows.
+        prop = prop.localCheckpoint(eager=False)
         p1 = prop.alias("p1")
         p2 = prop.alias("p2")
         pairs = (
@@ -656,13 +668,21 @@ def greedy_matching(
                 F.col("p2.node").alias("v"),
                 F.lit(r).cast("int").alias("round"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy checkpoint: materialized by this round's live update
+            # (one action per round instead of two); the LAST round has
+            # no live update, so it checkpoints eagerly — which also
+            # lets adj unpersist safely below (no lazy lineage left).
+            .localCheckpoint(eager=(r == rounds))
         )
         matched_parts.append(pairs)
-        gone = pairs.select(F.col("u").alias("node")).union(
-            pairs.select(F.col("v").alias("node"))
-        )
-        live = live.join(gone, "node", "left_anti").localCheckpoint(eager=True)
+        if r < rounds:
+            gone = pairs.select(F.col("u").alias("node")).union(
+                pairs.select(F.col("v").alias("node"))
+            )
+            live = live.join(gone, "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+    adj.unpersist()
     out = matched_parts[0]
     for p in matched_parts[1:]:
         out = out.unionByName(p)
@@ -777,9 +797,13 @@ def _coarsen_once(e, verts, comp, rounds: int):
     on dense graphs — measured 1500 -> 1492 over three id-priority
     levels on the sf0.1 derived graph; see edge_priority), composition
     update, weighted contraction. Returns (mapping, comp, e, verts)."""
+    # Lazy checkpoint: the contraction's eager checkpoint below is the
+    # level's one materialization action and computes the mapping as a
+    # dependency, caching it for the composition update and the next
+    # level's vertex set — one job per level instead of two.
     mapping = matching_mapping(
         e.select("u", "v"), verts, rounds, priority="hash"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     if comp is None:
         comp = mapping.select(F.col("node").alias("id"), "super")
     else:
@@ -787,8 +811,14 @@ def _coarsen_once(e, verts, comp, rounds: int):
             F.col("node").alias("super"),
             F.col("super").alias("super_next"),
         )
-        comp = comp.join(nxt, "super").select(
-            "id", F.col("super_next").alias("super")
+        # Lazy checkpoint: the composition chain is read by leaf_w, the
+        # refinement sweeps' balance aggregate and the final projection;
+        # without this each of those re-joined every level's mapping.
+        # Lazy costs no extra job — the first consumer materializes it.
+        comp = (
+            comp.join(nxt, "super")
+            .select("id", F.col("super_next").alias("super"))
+            .localCheckpoint(eager=False)
         )
     e = contract_weighted(e, mapping).localCheckpoint(eager=True)
     verts = mapping.select(F.col("super").alias("node")).distinct()
@@ -817,7 +847,18 @@ def _multilevel_pipeline_full(
     refines through them transparently (it iterates len(mappings), not
     len(level_rounds))."""
     und = undirect_dedup(edges)
-    e = und.withColumn("weight", F.lit(1).cast("bigint"))
+    # ONE materialization of the leaf edge table. Without this, every
+    # matching round, refinement sweep and eager checkpoint below
+    # re-evaluates the symmetrize+dedup lineage from the raw scan (and,
+    # under k4's recursive bisection, the side-subgraph semi-joins too) —
+    # measured as the dominant cost of the whole family (guide §5:
+    # reuse-justified cache; §2.4: the re-planned dedup exchange per
+    # action disappears). Same discipline as every kernel's persisted
+    # edge cache; the contracted levels were already checkpointed.
+    e = (
+        und.withColumn("weight", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
     verts = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -917,16 +958,20 @@ def region_grow_bipartition(
     levels until bounded) or raise the declared bound consciously."""
     spark = e.sparkSession
     bound = MLP_COARSEST_MAX if collect_max is None else collect_max
-    n_supers = leaf_w.count()
-    if n_supers > bound:
+    # Guarded collect in ONE action (previously count then collect — two
+    # evaluations of the composition aggregate): limit(bound+1) caps the
+    # driver transfer at the declared bound no matter how large the
+    # coarsest table is, and overflowing it raises exactly as before.
+    lw_rows = leaf_w.limit(bound + 1).collect()
+    if len(lw_rows) > bound:
         raise RuntimeError(
-            f"region_grow_bipartition: coarsest table has {n_supers} supers, "
-            f"over the declared serial-fill bound of {bound}. Coarsen "
+            f"region_grow_bipartition: coarsest table has more than "
+            f"{bound} supers, over the declared serial-fill bound. Coarsen "
             "further (pass coarsest_max= to the multilevel pipeline to "
             "auto-add levels) instead of collecting an unbounded table "
             "to the driver."
         )
-    lw = {r["super"]: r["w"] for r in leaf_w.collect()}
+    lw = {r["super"]: r["w"] for r in lw_rows}
     adj: dict = {}
     for r in e.select("u", "v").collect():
         adj.setdefault(r["u"], set()).add(r["v"])
@@ -1022,7 +1067,11 @@ def refine_partition_sweep(
     heavier = side.orderBy(F.desc("tw"), F.asc("part")).limit(1).select("part")
     pu = part.select(F.col("super").alias("u"), F.col("part").alias("p_u"))
     pv = part.select(F.col("super").alias("v"), F.col("part").alias("p_v"))
-    both = e.join(pu, "u").join(pv, "v")
+    # Lazy checkpoint: the per-endpoint contribution union reads `both`
+    # twice (one projection per endpoint), which otherwise plans — and
+    # computes — the e ⋈ part ⋈ part join twice per sweep. No extra job;
+    # the sweep's one action materializes it once.
+    both = e.join(pu, "u").join(pv, "v").localCheckpoint(eager=False)
     c_expr = F.when(F.col("p_u") != F.col("p_v"), F.col("weight")).otherwise(
         -F.col("weight")
     )
@@ -1032,15 +1081,19 @@ def refine_partition_sweep(
         .groupBy("super")
         .agg(F.sum("c").alias("gain"))
     )
+    # Lazy checkpoints, same rationale as `both`: cand is read three
+    # times (cu, cv, movers) and the candidate adjacency twice (one
+    # beaten-direction filter each).
     cand = (
         gain.filter(F.col("gain") > 0)
         .join(part, "super")
         .join(F.broadcast(heavier), "part", "left_semi")
         .select("super", "gain")
+        .localCheckpoint(eager=False)
     )
     cu = cand.select(F.col("super").alias("u"), F.col("gain").alias("g_u"))
     cv = cand.select(F.col("super").alias("v"), F.col("gain").alias("g_v"))
-    adj = e.join(cu, "u").join(cv, "v")
+    adj = e.join(cu, "u").join(cv, "v").localCheckpoint(eager=False)
     beaten = (
         adj.filter(
             (F.col("g_v") > F.col("g_u"))
