@@ -1221,13 +1221,24 @@ def multilevel_partition_k4(
     crosses the top cut, so their side-local placement is free). The
     two side pipelines are independent plans over disjoint edge sets —
     at scale they run concurrently, which is the METIS cost argument
-    (k-way ~ log2(k) x one-bisection work over a shrinking graph)."""
+    (k-way ~ log2(k) x one-bisection work over a shrinking graph). The
+    driver overlaps them too (guide §2.6): each side's pipeline is a
+    chain of small eager actions, so run serially one side's stragglers
+    leave the cluster idle while the other side waits its turn — a
+    2-thread pool lets side 1's jobs back-fill side 0's tail. Results
+    are unaffected (each side is a deterministic function of its edge
+    set; FIFO scheduling only changes timing)."""
     top = multilevel_partition_k2_refined(
         edges, top_levels, top_sweeps, coarsest_max=coarsest_max
     ).localCheckpoint(eager=True)
-    und = undirect_dedup(edges)
-    subs = []
-    for side in (0, 1):
+    # One materialization of the symmetrized leaf table shared by both
+    # side semi-joins — otherwise each side's level-0 checkpoint
+    # re-evaluates the full dedup lineage from the raw scan (one E-row
+    # shuffle per side; guide §5 reuse-justified, same discipline as the
+    # pipeline-internal leaf checkpoint).
+    und = undirect_dedup(edges).localCheckpoint(eager=True)
+
+    def _side_assign(side: int) -> DataFrame:
         vs = top.filter(F.col("part") == side).select("id")
         e_side = und.join(
             vs.select(F.col("id").alias("u")), "u", "left_semi"
@@ -1240,7 +1251,13 @@ def multilevel_partition_k4(
             side_sweeps,
             coarsest_max=coarsest_max,
         )
-        subs.append(sub.select("id", F.col("part").alias(f"sp{side}")))
+        return sub.select("id", F.col("part").alias(f"sp{side}"))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [pool.submit(_side_assign, side) for side in (0, 1)]
+        subs = [f.result() for f in futures]
     return (
         top.join(subs[0], "id", "left")
         .join(subs[1], "id", "left")
