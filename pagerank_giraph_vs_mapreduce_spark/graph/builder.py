@@ -13,15 +13,21 @@ Reference semantics reproduced here:
 - P2 dangling classification: a vertex with no out-edges
   (MR/PageRankReducer.java:75, GI/PageRankVertex.java:54-60).
 
-Scale notes: ONE E-row shuffle total — repartition by src, with the
-(src, dst) dedup, the out-degree count and the merge join all running on
-that one exchange (subset-distribution rule); the vertex universe is a
-V-row aggregate over the resulting cache. We keep
-``links(src, dst, outdeg)`` as flat rows rather than the reference's
-``collect_list`` adjacency encoding (R2): flat rows shuffle-join without
-exploding arrays, stay columnar, and let AQE split skewed hub vertices,
-which is exactly the hot-key pathology the reference documents
-(README.md:417-418).
+Scale notes: the build pays distinct()'s (src, dst) exchange with MAP-SIDE
+partial aggregation, then the by-src exchange into the merge join — two
+E-row shuffles, deliberately. A one-exchange rewrite (repartition("src")
+first, dedup exchange-free on the subset-distribution rule — the
+``dedup_src_sorted`` shape the non-PageRank kernels use) was tried in r13
+and REVERTED for this flagship build: with no partial aggregation before
+the shuffle, the dedup becomes one full-partition hash aggregate per task
+(E/P-row hash tables live concurrently), and the measured ladder showed
+build 28-33 s → 58-212 s and the supersteps AFTER the build 3.95 → 7.03
+s/iter median in the same JVM at S3 scale (OPTIMIZATION_r13.md change #1
+adjudication). We keep ``links(src, dst, outdeg)`` as flat rows rather
+than the reference's ``collect_list`` adjacency encoding (R2): flat rows
+shuffle-join without exploding arrays, stay columnar, and let AQE split
+skewed hub vertices, which is exactly the hot-key pathology the reference
+documents (README.md:417-418).
 """
 
 from __future__ import annotations
@@ -98,17 +104,8 @@ def build_graph(
     the universe — needed for Giraph adjacency input where a bare-id line
     declares an isolated (dangling) vertex.
     """
-    # ONE E-row shuffle for the whole build: repartition("src") first, so
-    # the (src, dst) dedup aggregate runs exchange-free on the src-hash
-    # layout (subset rule — see dedup_src_sorted) and both consumers below
-    # (the dedup rows themselves and the outdeg aggregate) reuse the same
-    # exchange. The previous build paid distinct()'s (src, dst) exchange
-    # PLUS a by-src exchange into the join (plans/r13/ has the diff).
-    dedup = edges.select("src", "dst").repartition("src").dropDuplicates(
-        ["src", "dst"]
-    )
+    dedup = edges.select("src", "dst").distinct()
 
-    # groupBy("src") over the src-partitioned dedup: exchange-free.
     outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # The dedup ⋈ outdeg equi-join on src leaves its output hash-partitioned
     # by src ONLY if it is planned as a shuffle join; outdeg is a small V-row
@@ -126,13 +123,8 @@ def build_graph(
     links = links.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = links.count()  # materialize before the loop starts
 
-    # Vertex universe from the CACHE, not a second scan+dedup of the raw
-    # edges: every id in the raw table survives into some deduped edge, so
-    # the sets are identical, and the union+distinct job reads in-memory
-    # columnar rows instead of re-running the source scan (guide §2.3 —
-    # the id exchange itself is unavoidable, the rescan was not).
-    universe = links.select(F.col("src").alias("id")).union(
-        links.select(F.col("dst").alias("id"))
+    universe = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
     )
     if extra_vertices is not None:
         universe = universe.union(extra_vertices.select(F.col("id")))
