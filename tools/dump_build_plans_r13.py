@@ -52,11 +52,11 @@ def main() -> int:
     # build_graph's links, pre-persist (reconstructed from builder.py so the
     # cached-plan wrapper does not obscure the exchanges).
     if hasattr(b, "dedup_src_sorted"):
-        dedup = (
-            edges.select("src", "dst")
-            .repartition("src")
-            .dropDuplicates(["src", "dst"])
-        )
+        # build_graph itself shipped REVERTED to the two-shuffle layout
+        # (see builder.py module docstring / OPTIMIZATION_r13.md change #1
+        # adjudication) — mirror the shipped code, not the abandoned
+        # one-exchange variant.
+        dedup = edges.select("src", "dst").distinct()
         sym_in = edges.select("src", "dst").union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
