@@ -106,6 +106,21 @@ def build_graph(
     """
     dedup = edges.select("src", "dst").distinct()
 
+    # Vertex universe FIRST, links cache second — the r12 ordering, restored
+    # deliberately: the 2E-row universe.distinct() hash aggregate must run
+    # while storage memory is still empty. r13 left this block AFTER the
+    # links persist+count, so at S3 scale the universe aggregate competed
+    # with the freshly cached E-row links for unified memory (§5 spill setup)
+    # and solo builds ran 2-3x over the 28-45 s band on two hosts
+    # (VERDICT r13 "What's wrong" #1).
+    universe = edges.select(F.col("src").alias("id")).union(
+        edges.select(F.col("dst").alias("id"))
+    )
+    if extra_vertices is not None:
+        universe = universe.union(extra_vertices.select(F.col("id")))
+    vertices = universe.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    n_vertices = vertices.count()
+
     outdeg = dedup.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # The dedup ⋈ outdeg equi-join on src leaves its output hash-partitioned
     # by src ONLY if it is planned as a shuffle join; outdeg is a small V-row
@@ -122,14 +137,6 @@ def build_graph(
         links = links.repartition(num_partitions, "src")
     links = links.persist(StorageLevel.MEMORY_AND_DISK)
     n_edges = links.count()  # materialize before the loop starts
-
-    universe = edges.select(F.col("src").alias("id")).union(
-        edges.select(F.col("dst").alias("id"))
-    )
-    if extra_vertices is not None:
-        universe = universe.union(extra_vertices.select(F.col("id")))
-    vertices = universe.distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    n_vertices = vertices.count()
 
     return GraphTables(
         vertices=vertices,

@@ -36,17 +36,33 @@ class ComponentsResult:
     # (iteration, labels_changed, seconds)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> ComponentsResult:
-    """Min-label propagation over the undirected view of edges(src, dst)."""
-    # ONE E-row shuffle (dedup_src_sorted), cached sorted by the join key:
-    # the per-superstep sort-merge join then reads the cache with neither
-    # an Exchange nor a Sort on the E-row side (cached outputOrdering is
-    # recognized).
-    sym = dedup_src_sorted(
+def build_sym_cache(edges: DataFrame) -> DataFrame:
+    """The symmetrized deduped edge cache every WCC phase iterates over:
+    ONE E-row shuffle (dedup_src_sorted), persisted hash-partitioned and
+    sorted by ``src`` so each superstep's sort-merge join reads it with
+    neither an Exchange nor a Sort on the E-row side. Exposed so a
+    caller running several phases over the SAME edge set (e.g. the
+    incremental-vs-full A/B) builds it once and passes it via
+    ``sym_edges`` instead of paying the build per phase (guide §5
+    reuse); the caller owns its lifetime (persist/unpersist)."""
+    return dedup_src_sorted(
         edges.select("src", "dst").union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    sym_edges: DataFrame | None = None,
+) -> ComponentsResult:
+    """Min-label propagation over the undirected view of edges(src, dst).
+
+    ``sym_edges``: a pre-built ``build_sym_cache(edges)`` to share across
+    phases; when given, this function neither builds nor unpersists it.
+    """
+    sym = sym_edges if sym_edges is not None else build_sym_cache(edges)
     vertices = sym.select(F.col("src").alias("id")).distinct()
     labels = vertices.select("id", F.col("id").alias("label")).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -88,7 +104,8 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> ComponentsResu
             converged = True
             break
 
-    sym.unpersist()
+    if sym_edges is None:
+        sym.unpersist()
     return ComponentsResult(
         components=labels.select("id", F.col("label").alias("component")),
         n_vertices=n,
@@ -103,6 +120,7 @@ def connected_components_incremental(
     all_edges: DataFrame,
     delta_edges: DataFrame,
     max_iter: int = 50,
+    sym_edges: DataFrame | None = None,
 ) -> ComponentsResult:
     """Warm-start WCC maintenance under edge ADDITIONS: given the
     converged labels of the base graph and a batch of new edges,
@@ -123,12 +141,12 @@ def connected_components_incremental(
     ``all_edges`` must be base ∪ delta (the caller usually has it
     already); ``base_labels`` is (id, component) from a prior
     ``connected_components`` run (absent ids seed as new vertices).
+    ``sym_edges``: a pre-built ``build_sym_cache(all_edges)`` to share
+    across phases; when given, neither built nor unpersisted here.
     """
-    sym = dedup_src_sorted(
-        all_edges.select("src", "dst").union(
-            all_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = (
+        sym_edges if sym_edges is not None else build_sym_cache(all_edges)
+    )
     vertices = sym.select(F.col("src").alias("id")).distinct()
     labels = (
         vertices.join(
@@ -182,7 +200,8 @@ def connected_components_incremental(
             converged = True
             break
 
-    sym.unpersist()
+    if sym_edges is None:
+        sym.unpersist()
     return ComponentsResult(
         components=labels.select("id", F.col("label").alias("component")),
         n_vertices=n,

@@ -743,6 +743,7 @@ def _multilevel_pipeline(
     edges: DataFrame,
     level_rounds: tuple[int, ...],
     coarsest_max: int | None = None,
+    sym_edges: DataFrame | None = None,
 ):
     """Shared coarsening pipeline for the multilevel partitioners:
     coarsen ``len(level_rounds)`` levels by mutual-min matching under
@@ -771,7 +772,7 @@ def _multilevel_pipeline(
     assignment (super, part)).
     """
     levels, mappings, comps, part = _multilevel_pipeline_full(
-        edges, level_rounds, coarsest_max=coarsest_max
+        edges, level_rounds, coarsest_max=coarsest_max, sym_edges=sym_edges
     )
     comp = comps[-1]
     leaf_w = comp.groupBy("super").agg(F.count(F.lit(1)).alias("w"))
@@ -829,6 +830,7 @@ def _multilevel_pipeline_full(
     edges: DataFrame,
     level_rounds: tuple[int, ...],
     coarsest_max: int | None = None,
+    sym_edges: DataFrame | None = None,
 ):
     """The pipeline with every per-level artifact exposed (for the
     V-cycle's per-level refinement): returns (levels — weighted edge
@@ -845,20 +847,31 @@ def _multilevel_pipeline_full(
     region_grow_bipartition's collect guard raises. Auto-added levels
     appear in levels/mappings/comps like fixed ones, so the V-cycle
     refines through them transparently (it iterates len(mappings), not
-    len(level_rounds))."""
-    und = undirect_dedup(edges)
-    # ONE materialization of the leaf edge table. Without this, every
-    # matching round, refinement sweep and eager checkpoint below
-    # re-evaluates the symmetrize+dedup lineage from the raw scan (and,
-    # under k4's recursive bisection, the side-subgraph semi-joins too) —
-    # measured as the dominant cost of the whole family (guide §5:
-    # reuse-justified cache; §2.4: the re-planned dedup exchange per
-    # action disappears). Same discipline as every kernel's persisted
-    # edge cache; the contracted levels were already checkpointed.
-    e = (
-        und.withColumn("weight", F.lit(1).cast("bigint"))
-        .localCheckpoint(eager=True)
-    )
+    len(level_rounds)).
+
+    ``sym_edges``, when given, is the canonical weighted leaf table
+    (u < v deduped, ``weight`` column, ALREADY materialized via
+    localCheckpoint) and ``edges`` is ignored — the k4 recursion passes
+    it so the symmetrize+dedup E-row exchange and its materialization
+    are paid once per k4 invocation instead of once per bisection
+    (guide §5 reuse; r13 ADVICE: the top call and the side semi-joins
+    each re-materialized the same table)."""
+    if sym_edges is not None:
+        e = sym_edges
+    else:
+        und = undirect_dedup(edges)
+        # ONE materialization of the leaf edge table. Without this, every
+        # matching round, refinement sweep and eager checkpoint below
+        # re-evaluates the symmetrize+dedup lineage from the raw scan (and,
+        # under k4's recursive bisection, the side-subgraph semi-joins too) —
+        # measured as the dominant cost of the whole family (guide §5:
+        # reuse-justified cache; §2.4: the re-planned dedup exchange per
+        # action disappears). Same discipline as every kernel's persisted
+        # edge cache; the contracted levels were already checkpointed.
+        e = (
+            und.withColumn("weight", F.lit(1).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
     verts = (
         e.select(F.col("u").alias("node"))
         .union(e.select(F.col("v").alias("node")))
@@ -1125,6 +1138,7 @@ def multilevel_partition_k2_refined(
     level_rounds: tuple[int, ...] = (3, 2, 2),
     sweeps: int = 2,
     coarsest_max: int | None = None,
+    sym_edges: DataFrame | None = None,
 ) -> DataFrame:
     """multilevel_partition_k2 + ``sweeps`` deterministic boundary
     refinement sweeps at the coarsest level (see refine_partition_sweep)
@@ -1133,7 +1147,7 @@ def multilevel_partition_k2_refined(
     set movers); the leaf cut equals the refined coarse cut by the same
     conservation argument the unrefined projection pins."""
     comp, e, leaf_w, part = _multilevel_pipeline(
-        edges, level_rounds, coarsest_max=coarsest_max
+        edges, level_rounds, coarsest_max=coarsest_max, sym_edges=sym_edges
     )
     for _ in range(sweeps):
         part = refine_partition_sweep(e, part, leaf_w).localCheckpoint(
@@ -1206,6 +1220,14 @@ def multilevel_partition_k2_vcycle(
     return part.select(F.col("super").alias("id"), "part")
 
 
+# Worker count for k4's two independent side bisections (guide §2.6
+# back-fill overlap). A module-level constant — not a hard-coded pool
+# size — so tools/k4_overlap_probe.py can pin the serial arm (=1) at the
+# call site instead of monkey-patching concurrent.futures process-wide
+# (r13 ADVICE: the global patch also capped PySpark's own pools).
+K4_SIDE_POOL_WORKERS = 2
+
+
 def multilevel_partition_k4(
     edges: DataFrame,
     top_levels: tuple[int, ...] = (3, 2, 2),
@@ -1228,21 +1250,38 @@ def multilevel_partition_k4(
     2-thread pool lets side 1's jobs back-fill side 0's tail. Results
     are unaffected (each side is a deterministic function of its edge
     set; FIFO scheduling only changes timing)."""
+    # ONE materialization of the symmetrized weighted leaf table, shared
+    # by the top bisection (via sym_edges) AND both side semi-joins —
+    # previously the top call materialized its own copy of the identical
+    # symmetrize+dedup lineage (r13 ADVICE: the same table was
+    # materialized twice per k4 invocation; guide §5 reuse).
+    und_w = (
+        undirect_dedup(edges)
+        .withColumn("weight", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
     top = multilevel_partition_k2_refined(
-        edges, top_levels, top_sweeps, coarsest_max=coarsest_max
+        edges,
+        top_levels,
+        top_sweeps,
+        coarsest_max=coarsest_max,
+        sym_edges=und_w,
     ).localCheckpoint(eager=True)
-    # One materialization of the symmetrized leaf table shared by both
-    # side semi-joins — otherwise each side's level-0 checkpoint
-    # re-evaluates the full dedup lineage from the raw scan (one E-row
-    # shuffle per side; guide §5 reuse-justified, same discipline as the
-    # pipeline-internal leaf checkpoint).
-    und = undirect_dedup(edges).localCheckpoint(eager=True)
+    und = und_w.select("u", "v")
 
     def _side_assign(side: int) -> DataFrame:
         vs = top.filter(F.col("part") == side).select("id")
         e_side = und.join(
             vs.select(F.col("id").alias("u")), "u", "left_semi"
         ).join(vs.select(F.col("id").alias("v")), "v", "left_semi")
+        # Materialize the side's induced subgraph once and hand it to the
+        # pipeline as the pre-symmetrized leaf — e_side is already
+        # canonical (u < v, deduped: a semi-join filter of und), so the
+        # per-side re-dedup exchange the pipeline would otherwise plan is
+        # pure waste (§2.4).
+        side_sym = e_side.withColumn(
+            "weight", F.lit(1).cast("bigint")
+        ).localCheckpoint(eager=True)
         sub = multilevel_partition_k2_refined(
             e_side.select(
                 F.col("u").alias("src"), F.col("v").alias("dst")
@@ -1250,14 +1289,26 @@ def multilevel_partition_k4(
             side_levels,
             side_sweeps,
             coarsest_max=coarsest_max,
+            sym_edges=side_sym,
         )
         return sub.select("id", F.col("part").alias(f"sp{side}"))
 
-    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    pool = ThreadPoolExecutor(max_workers=K4_SIDE_POOL_WORKERS)
+    try:
         futures = [pool.submit(_side_assign, side) for side in (0, 1)]
+        # Fail fast (r13 ADVICE): if one side raises, surface it now —
+        # a `with` block's implicit shutdown would silently wait for the
+        # other side to run to completion first.
+        wait(futures, return_when=FIRST_EXCEPTION)
+        for f in futures:
+            if f.done() and f.exception() is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
+                raise f.exception()
         subs = [f.result() for f in futures]
+    finally:
+        pool.shutdown(wait=False)
     return (
         top.join(subs[0], "id", "left")
         .join(subs[1], "id", "left")

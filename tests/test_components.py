@@ -163,3 +163,49 @@ def test_incremental_wcc_bridges_components_and_new_vertices(spark):
     )
     got = {r["id"]: r["component"] for r in inc.components.collect()}
     assert got == {v: 0 for v in (0, 1, 2, 10, 11, 12, 99)}
+
+
+def test_shared_sym_cache_matches_unshared(spark):
+    """r14: both phases of the incremental-vs-full A/B share one
+    build_sym_cache — results must be identical to per-phase builds,
+    and the shared cache must survive both phases (caller-owned)."""
+    import random
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.components import (
+        build_sym_cache,
+        connected_components,
+        connected_components_incremental,
+    )
+
+    rng = random.Random(41)
+    n = 40
+    base = list({(rng.randrange(n), rng.randrange(n)) for _ in range(30)})
+    delta = list(
+        {(rng.randrange(n + 15), rng.randrange(n + 15)) for _ in range(8)}
+    )
+    base_df = spark.createDataFrame(base, "src bigint, dst bigint")
+    delta_df = spark.createDataFrame(delta, "src bigint, dst bigint")
+    updated = base_df.unionAll(delta_df)
+    prev = connected_components(base_df)
+
+    sym = build_sym_cache(updated)
+    inc_shared = connected_components_incremental(
+        prev.components, updated, delta_df, sym_edges=sym
+    )
+    full_shared = connected_components(updated, sym_edges=sym)
+    # cache is caller-owned: still usable after both phases ran
+    assert sym.count() > 0
+    sym.unpersist()
+
+    inc_own = connected_components_incremental(
+        prev.components, updated, delta_df
+    )
+    full_own = connected_components(updated)
+
+    def labels(res):
+        return {r["id"]: r["component"] for r in res.components.collect()}
+
+    assert labels(inc_shared) == labels(inc_own)
+    assert labels(full_shared) == labels(full_own)
+    assert labels(full_shared) == labels(inc_shared)
+    assert inc_shared.iterations == inc_own.iterations

@@ -134,3 +134,53 @@ def test_fixed_mode_semantics_unchanged(spark):
         ).collect()
     }
     assert fixed == auto_noop
+
+
+def test_sym_edges_path_matches_default(spark):
+    """r14: k4 passes a pre-symmetrized materialized leaf table into the
+    pipeline (sym_edges) so the symmetrize+dedup is paid once per k4
+    invocation; the sym_edges path must produce the IDENTICAL assignment
+    to the default path, and k4 itself must be unchanged vs a by-hand
+    composition of its pieces through the default path."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pagerank_giraph_vs_mapreduce_spark.graph.motifs import (
+        multilevel_partition_k2_refined,
+        multilevel_partition_k4,
+        undirect_dedup,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    df = make_edges(spark, edges)
+
+    und_w = (
+        undirect_dedup(df)
+        .withColumn("weight", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    a = {
+        r["id"]: r["part"]
+        for r in multilevel_partition_k2_refined(
+            df, (2, 2), 1, sym_edges=und_w
+        ).collect()
+    }
+    b = {
+        r["id"]: r["part"]
+        for r in multilevel_partition_k2_refined(df, (2, 2), 1).collect()
+    }
+    assert a == b
+
+    k4 = {
+        r["id"]: r["part"]
+        for r in multilevel_partition_k4(
+            df, top_levels=(2, 2), top_sweeps=1, side_levels=(2,), side_sweeps=1
+        ).collect()
+    }
+    assert set(k4.values()) <= {0, 1, 2, 3}
+    assert len(k4) == len(a)  # total over the same vertex universe
+    # top bit of the k4 label == the standalone refined bisection
+    assert {v: p // 2 for v, p in k4.items()} == a

@@ -2,12 +2,13 @@
 (OPTIMIZATION_r13.md change #4, guide §2.6).
 
 Arm "threaded" runs the shipped code (2-thread pool over the two side
-bisections). Arm "serial" monkey-patches ThreadPoolExecutor to a
-max_workers=1 pool INSIDE the same JVM, restoring the pre-change
-serial schedule without touching the tree. Both arms compute the full
-k4 assignment on the sf0.1 derived graph and foot the identical result
-(count + assignment checksum printed so the A/B also asserts
-result-equality run to run).
+bisections). Arm "serial" pins motifs.K4_SIDE_POOL_WORKERS = 1 — the
+call-site constant the pool reads — restoring the pre-change serial
+schedule without touching the tree (r13 ADVICE: the previous global
+ThreadPoolExecutor monkey-patch also capped PySpark's own pools, a
+confound). Both arms compute the full k4 assignment on the sf0.1
+derived graph and foot the identical result (count + assignment
+checksum printed so the A/B also asserts result-equality run to run).
 
 Usage: python tools/k4_overlap_probe.py {threaded|serial}
 One arm per process (fresh JVM per measurement); alternate arms across
@@ -28,15 +29,9 @@ def main() -> int:
         raise SystemExit(f"unknown arm {arm!r}")
 
     if arm == "serial":
-        import concurrent.futures as cf
+        from pagerank_giraph_vs_mapreduce_spark.graph import motifs
 
-        real = cf.ThreadPoolExecutor
-
-        class SerialPool(real):  # type: ignore[misc,valid-type]
-            def __init__(self, max_workers=None, **kw):
-                super().__init__(max_workers=1, **kw)
-
-        cf.ThreadPoolExecutor = SerialPool  # motifs imports from the module
+        motifs.K4_SIDE_POOL_WORKERS = 1
 
     from pagerank_giraph_vs_mapreduce_spark.session import get_spark
     from pagerank_giraph_vs_mapreduce_spark.sources.tables import derived_edges
